@@ -1,0 +1,22 @@
+"""driftval — a PySpark-native schema + constraint validation engine.
+
+Built from scratch (NOT a port) with the query/data-processing capabilities of
+the reference ``enezhadian/drift-detection`` (a single-machine Java implementation
+of the CDCStream/DILCA and CDDA concept-drift detectors for categorical streams),
+re-expressed Spark-first per SURVEY.md:
+
+- per-column stats constraints (null-rate, min/max, HLL distinct, type conformance)
+- uniqueness on key tuples via salted groupBy-count
+- referential integrity via broadcast anti-join
+- distribution drift: chi-square / KL on binned histograms, CDCStream/DILCA and
+  CDDA rough-set drift (bit-for-bit block-level fidelity with the reference),
+  and an MDL/StreamKrimp-style codetable comparison
+- checkpoint/resume with per-partition lineage
+- training-data utilities: dedup (exact/minhash/simhash/ngram-jaccard),
+  embedding similarity search, text quality/langid/token stats
+
+All heavy stages are DataFrame aggregations or Arrow-vectorized pandas UDFs; the
+only sequential state (the drift decision series) is O(#blocks) on the driver.
+"""
+
+__version__ = "0.1.0"

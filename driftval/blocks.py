@@ -1,0 +1,107 @@
+"""Deterministic row sequencing and tumbling-block assignment.
+
+The reference consumes a stream in tumbling count-based blocks
+(``DataStreamReader.java:34-55``); its ``countSoFar`` is a monotone record
+counter. The Spark-native equivalent is a deterministic total order: every row
+gets ``seq`` (0-based position in that order) and ``block_id = seq / block_size``
+(S3/S5 in SURVEY.md §2.1). Partial final blocks fall out naturally.
+
+Scale design: a global ``row_number()`` window serializes on one task, so we
+never use one. Instead:
+
+1. one aggregation computes quantile split points of a numeric order column
+   (``percentile_approx`` — processes all rows, no sampling);
+2. each row's bucket is then a PURE function of the row and those
+   driver-collected literal boundaries (safe under task recomputation, unlike
+   ``spark_partition_id`` after ``repartitionByRange``);
+3. a second tiny aggregation yields per-bucket counts -> cumulative offsets,
+   embedded as a literal map;
+4. ``seq = offset[bucket] + row_number() over (partition by bucket order by
+   order cols)`` — a parallel per-bucket window, no single-task stage.
+
+Rows with equal primary order values land in one bucket (ties are resolved by
+``tie_cols`` inside the window), so the result is a total order. Pick a
+primary order column with enough entropy to avoid a mega-bucket; the engine's
+drift checks use ``(partition index << 32) | crc32(key)`` which spreads even a
+giant repo across buckets.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_sequence(
+    df: DataFrame,
+    order_col: str,
+    tie_cols: list[str] | None = None,
+    seq_col: str = "seq",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Add a deterministic 0-based ``seq`` ordered by numeric ``order_col``
+    (ties broken by ``tie_cols``)."""
+    tie_cols = tie_cols or []
+    n_buckets = num_buckets or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    if n_buckets > 1:
+        fracs = [i / n_buckets for i in range(1, n_buckets)]
+        row = df.select(
+            F.percentile_approx(F.col(order_col), F.array(*[F.lit(f) for f in fracs]), 10_000).alias("qs")
+        ).first()
+        raw = row["qs"] or []
+        # Deduplicate boundaries (heavy ties collapse buckets, harmless).
+        boundaries = sorted({float(b) for b in raw if b is not None})
+    else:
+        boundaries = []
+
+    if boundaries:
+        bucket = reduce(
+            Column.__add__,
+            [F.when(F.col(order_col) > F.lit(b), 1).otherwise(0) for b in boundaries],
+        )
+    else:
+        bucket = F.lit(0)
+    df = df.withColumn("_bucket", bucket)
+
+    counts = {
+        r["_bucket"]: r["cnt"]
+        for r in df.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+
+    w = Window.partitionBy("_bucket").orderBy(
+        *[F.col(order_col)] + [F.col(c) for c in tie_cols]
+    )
+    return df.withColumn(
+        seq_col,
+        (F.row_number().over(w) - 1 + offset_map[F.col("_bucket")]).cast("long"),
+    ).drop("_bucket")
+
+
+def with_block_id(
+    df: DataFrame,
+    block_size: int,
+    order_col: str | None = None,
+    tie_cols: list[str] | None = None,
+    seq_col: str = "seq",
+    block_col: str = "block_id",
+) -> DataFrame:
+    """Assign each row to exactly one tumbling block (S3/S4 semantics).
+
+    Uses an existing ``seq_col`` when present (zero extra shuffles); otherwise
+    derives one via :func:`with_sequence`.
+    """
+    if seq_col not in df.columns:
+        if order_col is None:
+            raise ValueError("order_col required when no sequence column exists")
+        df = with_sequence(df, order_col, tie_cols=tie_cols, seq_col=seq_col)
+    return df.withColumn(block_col, (F.col(seq_col) / F.lit(block_size)).cast("long"))

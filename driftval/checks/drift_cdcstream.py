@@ -1,0 +1,152 @@
+"""CDCStream / DILCA drift check, Spark-native (SURVEY.md §2.2-2.3, V9).
+
+Physical plan: prune to the categorical drift columns, derive ``block_id``
+(tumbling blocks over a deterministic sequence, ``driftval.blocks``), then
+``groupBy(block_id).applyInPandas`` — one Arrow batch per block runs the
+vectorized NumPy math of :mod:`driftval.checks.dilca_np` on an executor. Only
+the O(#blocks) ``(block_id, n_rows, summary)`` frame returns to the driver,
+where the reference's sequential decision loop replays exactly
+(CDCStream/DriftDetector.java:46-116 — warm-up of 2, population std, global
+std extremes initialized to Java's Double.MIN/MAX_VALUE, single-summary
+fallback std, ``>=`` drift test, segment reset, EOF flush).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from driftval.blocks import with_block_id
+from driftval.checks.dilca_np import block_summary_np
+
+_JAVA_MIN_DOUBLE = 5e-324  # Double.MIN_VALUE (DriftDetector.java:50)
+_JAVA_MAX_DOUBLE = sys.float_info.max
+
+
+def block_summaries(
+    df: DataFrame,
+    categorical_cols: list[str],
+    block_size: int,
+    order_col: str | None = None,
+    tie_cols: list[str] | None = None,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Per-block DILCA summaries: ``(block_id, n_rows, summary)``.
+
+    Column-prunes before the Arrow boundary so only the categorical drift
+    columns cross into Python (SURVEY.md §4.2 — never ship ``content``).
+    """
+    cols = list(categorical_cols)
+    blocked = with_block_id(
+        df, block_size, order_col=order_col, tie_cols=tie_cols, seq_col=seq_col
+    ).select("block_id", *cols)
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "block_id": [int(pdf["block_id"].iloc[0])],
+                "n_rows": [len(pdf)],
+                "summary": [block_summary_np(pdf, cols)],
+            }
+        )
+
+    return blocked.groupBy("block_id").applyInPandas(
+        summarize, schema="block_id long, n_rows long, summary double"
+    )
+
+
+@dataclass
+class CDCStreamResult:
+    segments: list[tuple[int, int]]
+    drift_block_ids: list[int]
+    summaries: pd.DataFrame = field(repr=False)
+
+
+class _DecisionState:
+    """Reference decision-loop state (engine-side re-derivation of L1-L8)."""
+
+    def __init__(self, drift_coefficient: float):
+        self.k = drift_coefficient
+        self.history: list[float] = []
+        self.mean = 0.0
+        self.std = 0.0
+        self.max_std = _JAVA_MIN_DOUBLE
+        self.min_std = _JAVA_MAX_DOUBLE
+
+    def refresh(self) -> None:
+        h = np.asarray(self.history, dtype=np.float64)
+        if h.size > 1:
+            self.mean = float(h.sum() / h.size)
+            self.std = math.sqrt(float(((h - self.mean) ** 2).sum() / h.size))
+            self.max_std = max(self.max_std, self.std)
+            self.min_std = min(self.min_std, self.std)
+        elif h.size == 1:
+            self.mean = float(h[0])
+            self.std = (self.min_std + self.max_std) / 2
+
+    def is_drift(self, summary: float) -> bool:
+        return abs(summary - self.mean) >= self.k * self.std
+
+
+def decide(
+    summaries: pd.DataFrame, drift_coefficient: float
+) -> CDCStreamResult:
+    """Replay the sequential decision over the tiny per-block summary frame.
+
+    ``summaries`` needs columns ``block_id``, ``n_rows``, ``summary``; blocks
+    are consumed in ``block_id`` order. Counts follow the reference exactly:
+    ``currentCount`` for block b is the number of records consumed before b
+    was read (CDCStream/DriftDetector.java:67).
+    """
+    s = summaries.sort_values("block_id").reset_index(drop=True)
+    vals = s["summary"].to_numpy(dtype=np.float64)
+    sizes = s["n_rows"].to_numpy(dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(sizes)])
+    n = len(vals)
+
+    segments: list[tuple[int, int]] = []
+    drift_blocks: list[int] = []
+    last_count = 0
+
+    if n < 2:  # head() throws during warm-up; EOF flush with counts 0-0
+        return CDCStreamResult([(0, 0)], [], s)
+
+    st = _DecisionState(drift_coefficient)
+    st.history.extend(vals[:2])
+
+    for b in range(2, n):
+        current_count = int(cum[b])
+        st.refresh()
+        if st.is_drift(vals[b]):
+            segments.append((last_count, current_count))
+            drift_blocks.append(int(s["block_id"].iloc[b]))
+            last_count = current_count + 1
+            st.history.clear()
+        st.history.append(float(vals[b]))
+
+    total = int(cum[n])
+    if total >= last_count:
+        segments.append((last_count, total))
+    return CDCStreamResult(segments, drift_blocks, s)
+
+
+def cdcstream_check(
+    df: DataFrame,
+    categorical_cols: list[str],
+    block_size: int,
+    drift_coefficient: float = 3.0,
+    order_col: str | None = None,
+    tie_cols: list[str] | None = None,
+    seq_col: str = "seq",
+) -> CDCStreamResult:
+    """End-to-end CDCStream drift detection over a DataFrame."""
+    summ = block_summaries(
+        df, categorical_cols, block_size, order_col=order_col, tie_cols=tie_cols, seq_col=seq_col
+    ).toPandas()
+    return decide(summ, drift_coefficient)

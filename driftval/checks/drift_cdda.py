@@ -1,0 +1,187 @@
+"""CDDA rough-set drift check, pure-DataFrame form (SURVEY.md §2.4, V10).
+
+Unlike CDCStream, CDDA has no sequential history — each consecutive block pair
+is independent (CDDA/DriftDetector.java:45-76, the comparison baseline is
+always the previous block). That makes it embarrassingly parallel, so the
+engine expresses it entirely as DataFrame aggregations:
+
+1. melt the categorical columns to long form ``(block_id, attr, value)`` with
+   ``stack`` (stays in whole-stage codegen);
+2. one ``groupBy(block_id, attr, value).count()`` — the per-block equivalence
+   class sizes (CDDA/DriftDetector.java:96-116);
+3. tag counts into consecutive pairs (block b joins pair b as "second" and
+   pair b+1 as "first") and full-outer join on ``(pair, attr, value)`` — the
+   ``Sets.union`` of the two blocks' domains (CDDA/DriftDetector.java:118-134);
+4. conditional sums -> lower/upper approximation masses per (pair, attr);
+5. IEEE division (``x/0.0 -> +inf`` via ``when``, since Spark SQL's ``/``
+   yields NULL on zero) and the final mean over attributes
+   (CDDA/DriftDetector.java:136-142).
+
+The decision loop (C6/C7) runs on the driver over the tiny per-pair series.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from driftval.blocks import with_block_id
+
+_INF = float("inf")
+_NAN = float("nan")
+
+
+def _melt(df: DataFrame, cols: list[str]) -> DataFrame:
+    pairs = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return df.select(
+        "block_id", F.expr(f"stack({len(cols)}, {pairs}) as (attr, value)")
+    )
+
+
+def _java_div(num, den):
+    """Java double division semantics as a Column (x/0.0 -> ±inf, 0/0 -> NaN)."""
+    return (
+        F.when(den != 0, num / den)
+        .when(num > 0, F.lit(_INF))
+        .when(num < 0, F.lit(-_INF))
+        .otherwise(F.lit(_NAN))
+    )
+
+
+def change_degrees(
+    df: DataFrame,
+    categorical_cols: list[str],
+    block_size: int,
+    order_col: str | None = None,
+    tie_cols: list[str] | None = None,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Per consecutive block pair: ``(pair_id, change_degree)``.
+
+    ``pair_id`` = the block_id of the SECOND (current) block of the pair.
+    """
+    m = len(categorical_cols)
+    blocked = with_block_id(
+        df, block_size, order_col=order_col, tie_cols=tie_cols, seq_col=seq_col
+    ).select("block_id", *categorical_cols)
+
+    counts = (
+        _melt(blocked, categorical_cols)
+        .groupBy("block_id", "attr", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    max_block = counts.agg(F.max("block_id")).first()[0]
+    if max_block is None or max_block == 0:
+        return df.sparkSession.createDataFrame(
+            [], "pair_id long, change_degree double"
+        )
+
+    first = counts.select(
+        (F.col("block_id") + 1).alias("pair_id"),
+        "attr",
+        "value",
+        F.col("cnt").alias("first_cnt"),
+    )
+    second = counts.select(
+        F.col("block_id").alias("pair_id"),
+        "attr",
+        "value",
+        F.col("cnt").alias("second_cnt"),
+    )
+    joined = (
+        first.join(second, ["pair_id", "attr", "value"], "full_outer")
+        .where((F.col("pair_id") >= 1) & (F.col("pair_id") <= F.lit(int(max_block))))
+        .select(
+            "pair_id",
+            "attr",
+            F.coalesce("first_cnt", F.lit(0)).alias("fc"),
+            F.coalesce("second_cnt", F.lit(0)).alias("sc"),
+        )
+    )
+
+    both = (F.col("fc") > 0) & (F.col("sc") > 0)
+    masses = joined.groupBy("pair_id", "attr").agg(
+        F.sum(F.when(both, F.col("fc")).otherwise(0)).alias("first_upper"),
+        F.sum(F.when((F.col("fc") > 0) & (F.col("sc") == 0), F.col("fc")).otherwise(0)).alias("first_lower"),
+        F.sum(F.when(both, F.col("sc")).otherwise(0)).alias("second_upper"),
+        F.sum(F.when((F.col("sc") > 0) & (F.col("fc") == 0), F.col("sc")).otherwise(0)).alias("second_lower"),
+    )
+
+    per_attr = masses.select(
+        "pair_id",
+        (
+            _java_div(F.col("first_lower").cast("double"), F.col("first_upper").cast("double"))
+            + _java_div(F.col("second_lower").cast("double"), F.col("second_upper").cast("double"))
+        ).alias("attr_degree"),
+    )
+    return per_attr.groupBy("pair_id").agg(
+        (F.sum("attr_degree") / F.lit(2.0 * m)).alias("change_degree")
+    )
+
+
+@dataclass
+class CDDAResult:
+    segments: list[tuple[int, int]]
+    drift_pair_ids: list[int]
+    degrees: pd.DataFrame = field(repr=False)
+
+
+def decide(
+    degrees: pd.DataFrame, block_sizes: pd.DataFrame, min_change_degree: float
+) -> CDDAResult:
+    """Replay the CDDA loop (C6/C7) over the tiny per-pair degree series.
+
+    ``degrees``: columns (pair_id, change_degree); ``block_sizes``: columns
+    (block_id, n_rows) for every block in order.
+    """
+    sizes = block_sizes.sort_values("block_id")["n_rows"].to_numpy()
+    cum = [0]
+    for s in sizes:
+        cum.append(cum[-1] + int(s))
+    n = len(sizes)
+
+    deg = dict(
+        zip(degrees["pair_id"].astype(int), degrees["change_degree"].astype(float))
+    )
+    segments: list[tuple[int, int]] = []
+    drift_pairs: list[int] = []
+    last_count = 0
+    if n == 0:
+        return CDDAResult([(0, 0)], [], degrees)
+
+    for i in range(1, n):
+        current_count = cum[i]
+        if deg[i] >= min_change_degree:
+            segments.append((last_count, current_count))
+            drift_pairs.append(i)
+            last_count = current_count + 1
+
+    total = cum[n]
+    if total >= last_count:
+        segments.append((last_count, total))
+    return CDDAResult(segments, drift_pairs, degrees)
+
+
+def cdda_check(
+    df: DataFrame,
+    categorical_cols: list[str],
+    block_size: int,
+    min_change_degree: float = 0.1,
+    order_col: str | None = None,
+    tie_cols: list[str] | None = None,
+    seq_col: str = "seq",
+) -> CDDAResult:
+    """End-to-end CDDA drift detection over a DataFrame."""
+    blocked = with_block_id(
+        df, block_size, order_col=order_col, tie_cols=tie_cols, seq_col=seq_col
+    )
+    sizes = (
+        blocked.groupBy("block_id").agg(F.count("*").alias("n_rows")).toPandas()
+    )
+    deg = change_degrees(
+        df, categorical_cols, block_size, order_col=order_col, tie_cols=tie_cols, seq_col=seq_col
+    ).toPandas()
+    return decide(deg, sizes, min_change_degree)

@@ -1,0 +1,225 @@
+"""Deterministic fixture generators (FIXTURES.md F1-F3).
+
+Everything is seeded and wall-clock-free. Generators produce pandas DataFrames
+(written to parquet by tests/bench); no Spark dependency here so the pure-Python
+oracle tests stay JVM-free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+import pandas as pd
+
+LANGS = ["python", "java", "go", "js", "rust", "c", "md", "yaml"]
+LANG_EXT = {
+    "python": "py",
+    "java": "java",
+    "go": "go",
+    "js": "js",
+    "rust": "rs",
+    "c": "c",
+    "md": "md",
+    "yaml": "yaml",
+}
+PART_DATES = [f"2026-01-{d:02d}" for d in range(1, 9)]
+
+_WORDS = (
+    "def class import return if else for while try except self value result "
+    "public static void int string new final private func package type struct "
+    "impl trait match let mut const var function export async await promise "
+    "data index count total merge split parse load store check valid error"
+).split()
+
+
+def _sha1_hex(s: str) -> str:
+    return hashlib.sha1(s.encode("utf-8")).hexdigest()
+
+
+def _content(rng: random.Random, lang: str, target_len: int) -> str:
+    """Deterministic pseudo-source text of roughly ``target_len`` chars."""
+    parts = [f"// lang={lang}"]
+    size = len(parts[0])
+    while size < target_len:
+        line = " ".join(rng.choices(_WORDS, k=rng.randint(3, 9)))
+        parts.append(line)
+        size += len(line) + 1
+    return "\n".join(parts)[: max(10, target_len)]
+
+
+def files_table(
+    rows_per_partition: int = 2000,
+    seed: int = 42,
+    partitions: list[str] | None = None,
+) -> pd.DataFrame:
+    """F1 ``files`` — source-code table with planted per-partition anomalies.
+
+    Partitions (part_date 2026-01-01..08):
+      1-4 baseline concept; 5 lang-histogram drift; 6 content-length drift;
+      7 duplicate (repo,path,commit) keys (V5); 8 orphan repos/commits (V6)
+      + nulls in lang (V1) + malformed commits (V4).
+    """
+    partitions = partitions or PART_DATES
+    rng = random.Random(seed)
+
+    # Zipf-skewed repo population: repo 0 is the "giant repo" (~40% of rows).
+    repos = [f"org{i % 7}/repo{i}" for i in range(20)]
+    repo_weights = [0.40] + [0.60 / 19] * 19
+
+    baseline_lang_w = [0.30, 0.20, 0.12, 0.12, 0.08, 0.08, 0.06, 0.04]
+    drifted_lang_w = [0.05, 0.05, 0.08, 0.08, 0.30, 0.24, 0.10, 0.10]
+
+    recs: list[dict] = []
+    for pi, part_date in enumerate(partitions, start=1):
+        lang_w = drifted_lang_w if pi == 5 else baseline_lang_w
+        len_mu, len_sigma = (7.5, 0.9) if pi == 6 else (5.5, 0.8)
+        for r in range(rows_per_partition):
+            repo = rng.choices(repos, weights=repo_weights, k=1)[0]
+            lang = rng.choices(LANGS, weights=lang_w, k=1)[0]
+            ext = LANG_EXT[lang]
+            path = f"src/{rng.choice('abcdef')}/f{rng.randrange(500)}.{ext}"
+            commit = _sha1_hex(f"{repo}|{part_date}|{r}")
+            target_len = int(min(10_000, max(10, rng.lognormvariate(len_mu, len_sigma))))
+            content = _content(rng, lang, target_len)
+            recs.append(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": commit,
+                    "lang": lang,
+                    "content": content,
+                    "part_date": part_date,
+                }
+            )
+        start = len(recs) - rows_per_partition
+        if pi == 7:  # planted duplicate keys: copy 5% of this partition's rows
+            dup_n = max(1, rows_per_partition // 20)
+            for rec in recs[start : start + dup_n]:
+                recs.append(dict(rec))
+        if pi == 8:  # orphans, nulls, malformed commits
+            for k, rec in enumerate(recs[start:]):
+                if k % 17 == 0:
+                    rec["repo"] = f"ghost/repo{k}"
+                if k % 23 == 0:
+                    rec["lang"] = None
+                if k % 29 == 0:
+                    rec["commit"] = "not-a-sha!"
+
+    df = pd.DataFrame.from_records(recs)
+    return df.astype(
+        {c: "object" for c in ["repo", "path", "commit", "lang", "content", "part_date"]}
+    )
+
+
+def dim_tables(files: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """F2 ``dim_repos`` / ``dim_commits`` — all keys except partition-8 plants."""
+    legit = files[~files["repo"].str.startswith("ghost/", na=False)]
+    legit = legit[legit["commit"].str.fullmatch(r"[0-9a-f]{40}", na=False)]
+    dim_repos = legit[["repo"]].drop_duplicates().reset_index(drop=True)
+    dim_commits = legit[["repo", "commit"]].drop_duplicates().reset_index(drop=True)
+    return dim_repos, dim_commits
+
+
+# ---------------------------------------------------------------------------
+# F3 — KDD-Cup-shaped categorical block fixture for DILCA/CDCStream/CDDA tests
+# ---------------------------------------------------------------------------
+
+
+def _concept_row(rng: random.Random, concept: str) -> tuple[str, ...]:
+    """One row of 5 categorical attrs whose co-occurrence structure depends on
+    the concept (latent z couples a0..a2; a3/a4 have concept-specific marginals)."""
+    if concept == "A":
+        z = rng.choices([0, 1, 2], weights=[0.5, 0.3, 0.2], k=1)[0]
+        a0 = f"u{z}" if rng.random() < 0.85 else f"u{rng.randrange(3)}"
+        a1 = f"v{(z + 1) % 3}" if rng.random() < 0.8 else f"v{rng.randrange(4)}"
+        a2 = f"w{z % 2}" if rng.random() < 0.75 else f"w{rng.randrange(3)}"
+        a3 = rng.choices(["p", "q", "r"], weights=[0.6, 0.3, 0.1], k=1)[0]
+        a4 = f"x{rng.randrange(12)}"
+    elif concept == "B":
+        z = rng.choices([0, 1, 2], weights=[0.2, 0.3, 0.5], k=1)[0]
+        a0 = f"u{(z + 2) % 3}" if rng.random() < 0.85 else f"u{rng.randrange(3)}"
+        a1 = f"v{z}" if rng.random() < 0.8 else f"v{rng.randrange(4)}"
+        a2 = f"w{(z + 1) % 2}" if rng.random() < 0.75 else f"w{rng.randrange(3)}"
+        a3 = rng.choices(["p", "q", "r"], weights=[0.1, 0.3, 0.6], k=1)[0]
+        a4 = f"x{rng.randrange(6)}"
+    else:  # concept C: near-independent attrs
+        a0 = f"u{rng.randrange(3)}"
+        a1 = f"v{rng.randrange(4)}"
+        a2 = f"w{rng.randrange(3)}"
+        a3 = rng.choice(["p", "q", "r"])
+        a4 = f"x{rng.randrange(12)}"
+    return (a0, a1, a2, a3, a4)
+
+
+def categorical_stream(
+    block_size: int = 200,
+    concept_blocks: tuple[int, int, int] = (6, 6, 6),
+    seed: int = 42,
+    partial_tail: int = 0,
+) -> pd.DataFrame:
+    """F3 ``blocks_categorical`` — rows with ``seq`` + 5 categorical attrs.
+
+    Concept A for the first ``concept_blocks[0]`` blocks, then B, then C.
+    ``partial_tail`` appends that many extra concept-C rows (partial block).
+    """
+    rng = random.Random(seed)
+    rows: list[tuple] = []
+    seq = 0
+    for concept, nblocks in zip("ABC", concept_blocks):
+        for _ in range(nblocks * block_size):
+            rows.append((seq, *_concept_row(rng, concept)))
+            seq += 1
+    for _ in range(partial_tail):
+        rows.append((seq, *_concept_row(rng, "C")))
+        seq += 1
+    return pd.DataFrame(rows, columns=["seq", "a0", "a1", "a2", "a3", "a4"])
+
+
+def stream_blocks(df: pd.DataFrame, block_size: int) -> list[list[tuple]]:
+    """Split a ``categorical_stream`` frame into oracle-ready tumbling blocks."""
+    attrs = [c for c in df.columns if c != "seq"]
+    ordered = df.sort_values("seq")
+    vals = list(map(tuple, ordered[attrs].itertuples(index=False, name=None)))
+    return [vals[i : i + block_size] for i in range(0, len(vals), block_size)]
+
+
+def write_parquet(df: pd.DataFrame, path: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    return path
+
+
+_QUIRK_SEED = 1234
+
+
+def quirk_constant_stream(block_size: int = 50, nblocks: int = 6) -> pd.DataFrame:
+    """Identical rows everywhere ⇒ CDCStream drifts on every post-warm-up block
+    (the ``>=`` at CDCStream/DriftDetector.java:102 with std=0, diff=0)."""
+    rows = [(i, "a", "b", "c") for i in range(block_size * nblocks)]
+    return pd.DataFrame(rows, columns=["seq", "a0", "a1", "a2"])
+
+
+def quirk_disjoint_blocks(block_size: int = 50) -> pd.DataFrame:
+    """Consecutive blocks share no values on attribute a0 ⇒ CDDA ``+inf``."""
+    rng = random.Random(_QUIRK_SEED)
+    rows = []
+    for b in range(4):
+        for i in range(block_size):
+            rows.append(
+                (b * block_size + i, f"block{b}_v{rng.randrange(3)}", f"c{rng.randrange(2)}")
+            )
+    return pd.DataFrame(rows, columns=["seq", "a0", "a1"])
+
+
+def quirk_single_value_attr(block_size: int = 50, nblocks: int = 4) -> pd.DataFrame:
+    """One attribute with domain size 1 ⇒ its DILCA summary contribution is 0."""
+    rng = random.Random(_QUIRK_SEED)
+    rows = [
+        (i, "only", f"m{rng.randrange(3)}", f"n{rng.randrange(4)}")
+        for i in range(block_size * nblocks)
+    ]
+    return pd.DataFrame(rows, columns=["seq", "a0", "a1", "a2"])

@@ -1,0 +1,400 @@
+"""Pure-Python oracle for the reference drift detectors.
+
+This is an INDEPENDENT reimplementation (plain dicts/loops, no NumPy) of the
+reference semantics, used only by the test suite to golden-check the Spark
+engine (SURVEY.md §5.2-1). It deliberately mirrors the structure of:
+
+- ``/root/reference/src/main/java/CDCStream/DatabaseStatistics.java:37-107``
+- ``/root/reference/src/main/java/CDCStream/DILCA.java:35-209``
+- ``/root/reference/src/main/java/CDCStream/DriftDetector.java:46-140``
+- ``/root/reference/src/main/java/CDDA/DriftDetector.java:45-143``
+
+including every fidelity quirk documented in SURVEY.md §7 (watch list):
+D7 ``<=`` knockout + stable tie order, D8 raw co-occurrence counts, D9 pair
+normalizer ``(d-1)d``, L4 ``Double.MIN_VALUE`` max-std init, L5 single-summary
+fallback std, L6 ``>=`` drift test, C5 IEEE ``x/0.0 -> inf``.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass
+
+# Java Double.MIN_VALUE is the smallest positive subnormal (4.9e-324), NOT the
+# most-negative double (CDCStream/DriftDetector.java:50).
+JAVA_DOUBLE_MIN_VALUE = 5e-324
+JAVA_DOUBLE_MAX_VALUE = sys.float_info.max
+
+Row = tuple  # a record: tuple of categorical strings
+Block = list  # list[Row]
+
+
+# ---------------------------------------------------------------------------
+# DatabaseStatistics (DatabaseStatistics.java:37-107)
+# ---------------------------------------------------------------------------
+
+
+class BlockStatistics:
+    """Per-block value dictionaries + dense co-occurrence counts.
+
+    Domains are discovered in first-appearance order per block
+    (DatabaseStatistics.java:49-59); the co-occurrence tensor holds counts for
+    every ordered attribute pair including the diagonal i==j whose diagonal
+    entries are the marginal counts (DatabaseStatistics.java:61-90).
+    """
+
+    def __init__(self, block: Block):
+        if len(block) == 0:
+            raise ValueError("Block should not be empty.")
+        self.num_attributes = len(block[0])
+        m = self.num_attributes
+
+        self.domains: list[dict[str, int]] = [{} for _ in range(m)]
+        for record in block:
+            for i in range(m):
+                value = record[i]
+                if value not in self.domains[i]:
+                    self.domains[i][value] = len(self.domains[i])
+
+        sizes = [len(d) for d in self.domains]
+        self._coocc: list[list[list[list[int]]]] = [
+            [[[0] * sizes[j] for _ in range(sizes[i])] for j in range(m)]
+            for i in range(m)
+        ]
+        for record in block:
+            for i in range(m):
+                for j in range(m):
+                    fi = self.domains[i][record[i]]
+                    si = self.domains[j][record[j]]
+                    self._coocc[i][j][fi][si] += 1
+
+    def cooccurrences_for(self, first: int, second: int) -> list[list[int]]:
+        return self._coocc[first][second]
+
+    def domain_size(self, attribute: int) -> int:
+        return len(self.domains[attribute])
+
+
+# ---------------------------------------------------------------------------
+# DILCA (DILCA.java)
+# ---------------------------------------------------------------------------
+
+_LOG2 = math.log(2)
+
+
+def symmetrical_uncertainty(stats: BlockStatistics, target: int, attribute: int) -> float:
+    """SU(target, attribute); 0 when target==attribute or both entropies 0
+    (DILCA.java:124-189)."""
+    if target == attribute:
+        return 0.0
+
+    target_occ = stats.cooccurrences_for(target, target)
+    attr_occ = stats.cooccurrences_for(attribute, attribute)
+    coocc = stats.cooccurrences_for(attribute, target)
+
+    target_total = sum(target_occ[i][i] for i in range(len(target_occ)))
+    target_entropy = 0.0
+    for i in range(len(target_occ)):
+        occ = target_occ[i][i]
+        if occ == 0:
+            continue
+        p = occ / target_total
+        target_entropy -= p * math.log(p) / _LOG2
+
+    attr_total = sum(attr_occ[i][i] for i in range(len(attr_occ)))
+    attr_entropy = 0.0
+    for i in range(len(attr_occ)):
+        occ = attr_occ[i][i]
+        if occ == 0:
+            continue
+        p = occ / attr_total
+        attr_entropy -= p * math.log(p) / _LOG2
+
+    conditional_entropy = 0.0
+    for i in range(len(coocc)):
+        value_entropy = 0.0
+        attr_value_total = attr_occ[i][i]
+        for j in range(len(coocc[i])):
+            occ = coocc[i][j]
+            if occ == 0:
+                continue
+            p = occ / attr_value_total
+            value_entropy -= p * math.log(p) / _LOG2
+        conditional_entropy += (attr_value_total / attr_total) * value_entropy
+
+    if target_entropy == 0 and attr_entropy == 0:
+        return 0.0
+    return 2 * (target_entropy - conditional_entropy) / (target_entropy + attr_entropy)
+
+
+def context_attribute_indexes_for(stats: BlockStatistics, target: int) -> list[int]:
+    """FCBF-style context selection (DILCA.java:83-122).
+
+    Quirks preserved: descending stable sort on SU (ties keep ascending index
+    order, DILCA.java:98); knockout condition is ``<=`` (DILCA.java:107-108),
+    the opposite direction of the published FCBF rule — we reproduce the code.
+    """
+    m = stats.num_attributes
+    uncertainties: dict[int, float] = {}
+    indexes: list[int] = []
+    for i in range(m):
+        if i != target:
+            indexes.append(i)
+            uncertainties[i] = symmetrical_uncertainty(stats, target, i)
+
+    # Python's sorted() is stable like java.util.List.sort (TimSort).
+    indexes.sort(key=lambda i: -uncertainties[i])
+
+    for i in range(len(indexes)):
+        first = indexes[i]
+        if first != -1:
+            for j in range(i + 1, len(indexes)):
+                second = indexes[j]
+                if second != -1 and (
+                    symmetrical_uncertainty(stats, first, second) <= uncertainties[second]
+                ):
+                    indexes[j] = -1
+
+    return [i for i in indexes if i != -1]
+
+
+def distance_matrix_for(stats: BlockStatistics, target: int) -> list[list[float]]:
+    """Upper-triangular DILCA value-distance matrix (DILCA.java:35-79).
+
+    Quirk preserved: distances use RAW co-occurrence counts, not conditional
+    probabilities as in the published DILCA paper.
+    """
+    context = context_attribute_indexes_for(stats, target)
+    d = stats.domain_size(target)
+
+    distances = [[0.0] * (d - i - 1) for i in range(d - 1)]
+
+    for attr in context:
+        coocc = stats.cooccurrences_for(attr, target)
+        for i in range(len(coocc)):
+            for j in range(d):
+                for k in range(j + 1, d):
+                    diff = coocc[i][j] - coocc[i][k]
+                    distances[j][k - j - 1] += diff * diff
+
+    total_context_domain = 0.0
+    for attr in context:
+        total_context_domain += stats.domain_size(attr)
+
+    for i in range(len(distances)):
+        for j in range(len(distances[i])):
+            # Java: 0.0/0.0 -> NaN, sqrt(NaN) -> NaN (empty-context edge case).
+            if total_context_domain == 0:
+                distances[i][j] = float("nan") if distances[i][j] == 0 else float("inf")
+            else:
+                distances[i][j] = math.sqrt(distances[i][j] / total_context_domain)
+
+    return distances
+
+
+def normalized_squared_sum_root(distances: list[list[float]]) -> float:
+    """Scalar matrix summary (DILCA.java:195-209); denominator (d-1)d."""
+    total = 0.0
+    for row in distances:
+        for v in row:
+            total += v * v
+    if total == 0:
+        return 0.0
+    return (2 * math.sqrt(total)) / (len(distances) * (len(distances) + 1))
+
+
+def block_summary(block: Block) -> float:
+    """Mean of per-attribute matrix summaries (CDCStream/DriftDetector.java:122-140)."""
+    if len(block) == 0:
+        raise ValueError("Block should not be empty.")
+    stats = BlockStatistics(block)
+    m = stats.num_attributes
+    summary = 0.0
+    for attribute in range(m):
+        summary += normalized_squared_sum_root(distance_matrix_for(stats, attribute))
+    return summary / m
+
+
+# ---------------------------------------------------------------------------
+# CDCStream drift decision loop (CDCStream/DriftDetector.java:46-116)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Segment:
+    start: int
+    end: int
+
+
+def cdcstream_segments_from_summaries(
+    summaries: list[float],
+    block_sizes: list[int],
+    drift_coefficient: float,
+) -> list[Segment]:
+    """Replay the reference decision loop over a precomputed summary series.
+
+    ``summaries[b]``/``block_sizes[b]`` describe tumbling block ``b`` in stream
+    order (partial final block allowed). Returns printed segments in order,
+    including the EOF flush (CDCStream/DriftDetector.java:110-115).
+    """
+    segments: list[Segment] = []
+    n = len(summaries)
+    cum = [0]
+    for s in block_sizes:
+        cum.append(cum[-1] + s)
+
+    mean = 0.0
+    std = 0.0
+    max_std = JAVA_DOUBLE_MIN_VALUE
+    min_std = JAVA_DOUBLE_MAX_VALUE
+    history: list[float] = []
+    last_count = 0
+    current_count = 0
+
+    # Warm-up: first 2 blocks (CDCStream/DriftDetector.java:59-64). If the
+    # stream has <2 blocks, head() throws during warm-up with current_count=0.
+    if n < 2:
+        if current_count >= last_count:
+            segments.append(Segment(last_count, current_count))
+        return segments
+    history.append(summaries[0])
+    history.append(summaries[1])
+
+    for b in range(2, n):
+        current_count = cum[b]
+        block_summary_value = summaries[b]
+
+        if len(history) > 1:
+            mean = sum(history) / len(history)
+            std = math.sqrt(sum((s - mean) ** 2 for s in history) / len(history))
+            if max_std < std:
+                max_std = std
+            if min_std > std:
+                min_std = std
+        elif len(history) == 1:
+            mean = history[0]
+            std = (min_std + max_std) / 2
+
+        if abs(block_summary_value - mean) >= drift_coefficient * std:
+            segments.append(Segment(last_count, current_count))
+            last_count = current_count + 1
+            history.clear()
+
+        history.append(block_summary_value)
+
+    # The iteration that raises sets current_count to the total consumed count
+    # before head() throws (CDCStream/DriftDetector.java:67,110-115).
+    current_count = cum[n]
+    if current_count >= last_count:
+        segments.append(Segment(last_count, current_count))
+    return segments
+
+
+def cdcstream_segments(
+    blocks: list[Block], drift_coefficient: float
+) -> list[Segment]:
+    """End-to-end oracle: summarize blocks then replay the decision loop."""
+    return cdcstream_segments_from_summaries(
+        [block_summary(b) for b in blocks], [len(b) for b in blocks], drift_coefficient
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDDA (CDDA/DriftDetector.java:45-143)
+# ---------------------------------------------------------------------------
+
+
+def _java_div(a: float, b: float) -> float:
+    """IEEE-754 double division as Java performs it (x/0.0 -> ±inf, 0/0 -> NaN)."""
+    if b != 0:
+        return a / b
+    if a > 0:
+        return float("inf")
+    if a < 0:
+        return float("-inf")
+    return float("nan")
+
+
+def cdda_change_degree(first_block: Block, second_block: Block) -> float:
+    """Rough-set change degree between consecutive blocks
+    (CDDA/DriftDetector.java:82-143), incl. the C5 ``+inf`` quirk when a block
+    shares no values with its neighbor on some attribute."""
+    if len(first_block) == 0 or len(second_block) == 0:
+        raise ValueError("Blocks should not be empty.")
+    m = len(first_block[0])
+    if len(second_block[0]) != m:
+        raise ValueError("Number of features should match.")
+
+    total_new_emerging = 0.0
+    total_old_fading = 0.0
+
+    for attribute in range(m):
+        first_equiv: dict[str, int] = {}
+        second_equiv: dict[str, int] = {}
+        for record in first_block:
+            v = record[attribute]
+            first_equiv[v] = first_equiv.get(v, 0) + 1
+        for record in second_block:
+            v = record[attribute]
+            second_equiv[v] = second_equiv.get(v, 0) + 1
+
+        first_lower = first_upper = second_lower = second_upper = 0.0
+        for value in set(first_equiv) | set(second_equiv):
+            fc = first_equiv.get(value, 0)
+            sc = second_equiv.get(value, 0)
+            if fc > 0:
+                if sc > 0:
+                    first_upper += fc
+                    second_upper += sc
+                else:
+                    first_lower += fc
+            elif sc > 0:
+                second_lower += sc
+
+        total_old_fading += _java_div(first_lower, first_upper)
+        total_new_emerging += _java_div(second_lower, second_upper)
+
+    return (total_new_emerging + total_old_fading) / (2 * m)
+
+
+def cdda_segments(blocks: list[Block], min_change_degree: float) -> list[Segment]:
+    """Replay the CDDA loop (CDDA/DriftDetector.java:45-76)."""
+    return cdda_segments_from_degrees(
+        [cdda_change_degree(blocks[i - 1], blocks[i]) for i in range(1, len(blocks))],
+        [len(b) for b in blocks],
+        min_change_degree,
+    )
+
+
+def cdda_segments_from_degrees(
+    change_degrees: list[float],
+    block_sizes: list[int],
+    min_change_degree: float,
+) -> list[Segment]:
+    """Decision loop over precomputed per-pair change degrees.
+
+    ``change_degrees[i-1]`` compares block ``i-1`` with block ``i``.
+    """
+    segments: list[Segment] = []
+    n = len(block_sizes)
+    cum = [0]
+    for s in block_sizes:
+        cum.append(cum[-1] + s)
+
+    last_count = 0
+    current_count = 0
+    if n == 0:
+        segments.append(Segment(0, 0))
+        return segments
+
+    for i in range(1, n):
+        current_count = cum[i]
+        if change_degrees[i - 1] >= min_change_degree:
+            segments.append(Segment(last_count, current_count))
+            last_count = current_count + 1
+
+    current_count = cum[n]
+    if current_count >= last_count:
+        segments.append(Segment(last_count, current_count))
+    return segments

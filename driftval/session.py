@@ -1,0 +1,45 @@
+"""SparkSession construction with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "driftval",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Session with AQE + Arrow on. ``master`` defaults to ``local[N]`` from
+    ``SPARK_GRAFT_CPUS`` (sandbox); on a real cluster pass ``master=None`` via
+    spark-submit and these conf keys still apply."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf = {
+        # AQE: runtime coalescing, skew-join splitting, plan re-optimization.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow transfer for every pandas UDF boundary (BASELINE.json:15).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or int(cpus)),
+        # Keep parquet scans wide enough to parallelize on local[32] fixtures.
+        "spark.sql.files.maxPartitionBytes": "64m",
+        "spark.driver.memory": os.environ.get("DRIFTVAL_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.session.timeZone": "UTC",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

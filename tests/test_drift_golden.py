@@ -1,0 +1,137 @@
+"""Golden tests: Spark engine vs the pure-Python oracle (SURVEY.md §5.2-1).
+
+Covers the reference fidelity quirks: constant stream (L6 ``>=``), domain size
+1 (D9 zero), disjoint CDDA domains (C5 ``+inf``), single-summary fallback (L5),
+partial final block (S3), FCBF ``<=`` knockout (D7 — exercised implicitly by
+every multi-attribute block).
+"""
+
+import math
+
+import pandas as pd
+import pytest
+
+from driftval import fixtures, oracle
+from driftval.checks.drift_cdcstream import cdcstream_check, block_summaries
+from driftval.checks.drift_cdda import cdda_check, change_degrees
+
+ATTRS = ["a0", "a1", "a2", "a3", "a4"]
+BLOCK = 150
+
+
+@pytest.fixture(scope="module")
+def stream_df():
+    return fixtures.categorical_stream(
+        block_size=BLOCK, concept_blocks=(5, 5, 4), seed=42, partial_tail=37
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_blocks(stream_df):
+    return fixtures.stream_blocks(stream_df, BLOCK)
+
+
+def test_engine_block_summaries_match_oracle(spark, stream_df, stream_blocks):
+    sdf = spark.createDataFrame(stream_df)
+    got = (
+        block_summaries(sdf, ATTRS, BLOCK)
+        .toPandas()
+        .sort_values("block_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["block_id"]) == list(range(len(stream_blocks)))
+    assert list(got["n_rows"]) == [len(b) for b in stream_blocks]
+    for i, blk in enumerate(stream_blocks):
+        want = oracle.block_summary(blk)
+        assert got["summary"].iloc[i] == pytest.approx(want, rel=1e-12, abs=1e-12)
+
+
+def test_engine_cdcstream_segments_match_oracle(spark, stream_df, stream_blocks):
+    sdf = spark.createDataFrame(stream_df)
+    res = cdcstream_check(sdf, ATTRS, BLOCK, drift_coefficient=3.0)
+    want = oracle.cdcstream_segments(stream_blocks, 3.0)
+    assert res.segments == [(s.start, s.end) for s in want]
+    assert len(res.segments) >= 1  # EOF flush always emits when counts allow
+
+
+def test_constant_stream_drifts_every_block(spark):
+    pdf = fixtures.quirk_constant_stream(block_size=50, nblocks=6)
+    blocks = fixtures.stream_blocks(pdf, 50)
+    want = oracle.cdcstream_segments(blocks, 3.0)
+    # std=0 and diff=0 -> `>=` fires on every post-warm-up block
+    assert [(s.start, s.end) for s in want] == [
+        (0, 100), (101, 150), (151, 200), (201, 250), (251, 300),
+    ]
+    sdf = spark.createDataFrame(pdf)
+    res = cdcstream_check(sdf, ["a0", "a1", "a2"], 50, 3.0)
+    assert res.segments == [(s.start, s.end) for s in want]
+
+
+def test_single_summary_fallback_after_reset(spark):
+    # After a drift reset, history has 1 element -> std = (minStd+maxStd)/2.
+    # The constant-stream case goes through that path every iteration; also
+    # check a mixed stream where a reset occurs mid-stream.
+    pdf = fixtures.categorical_stream(
+        block_size=100, concept_blocks=(3, 3, 3), seed=9
+    )
+    blocks = fixtures.stream_blocks(pdf, 100)
+    want = oracle.cdcstream_segments(blocks, 0.5)  # low coefficient -> resets happen
+    sdf = spark.createDataFrame(pdf)
+    res = cdcstream_check(sdf, ATTRS, 100, 0.5)
+    assert res.segments == [(s.start, s.end) for s in want]
+    assert len(res.segments) >= 2  # at least one mid-stream drift + EOF flush
+
+
+def test_fewer_than_two_blocks_flushes_zero_segment(spark):
+    pdf = fixtures.categorical_stream(block_size=80, concept_blocks=(1, 0, 0), seed=3)
+    sdf = spark.createDataFrame(pdf)
+    res = cdcstream_check(sdf, ATTRS, 80, 3.0)
+    assert res.segments == [(0, 0)]
+    want = oracle.cdcstream_segments(fixtures.stream_blocks(pdf, 80), 3.0)
+    assert [(s.start, s.end) for s in want] == [(0, 0)]
+
+
+def test_engine_cdda_matches_oracle(spark, stream_df, stream_blocks):
+    sdf = spark.createDataFrame(stream_df)
+    res = cdda_check(sdf, ATTRS, BLOCK, min_change_degree=0.1)
+    want = oracle.cdda_segments(stream_blocks, 0.1)
+    assert res.segments == [(s.start, s.end) for s in want]
+
+    got_deg = res.degrees.sort_values("pair_id")["change_degree"].to_list()
+    want_deg = [
+        oracle.cdda_change_degree(stream_blocks[i - 1], stream_blocks[i])
+        for i in range(1, len(stream_blocks))
+    ]
+    assert got_deg == pytest.approx(want_deg, rel=1e-12)
+
+
+def test_cdda_disjoint_blocks_infinite_degree(spark):
+    pdf = fixtures.quirk_disjoint_blocks(block_size=50)
+    blocks = fixtures.stream_blocks(pdf, 50)
+    want_deg = oracle.cdda_change_degree(blocks[0], blocks[1])
+    assert math.isinf(want_deg)
+
+    sdf = spark.createDataFrame(pdf)
+    deg = change_degrees(sdf, ["a0", "a1"], 50).toPandas().sort_values("pair_id")
+    assert all(math.isinf(v) for v in deg["change_degree"])
+    res = cdda_check(sdf, ["a0", "a1"], 50, min_change_degree=0.1)
+    want = oracle.cdda_segments(blocks, 0.1)
+    assert res.segments == [(s.start, s.end) for s in want]
+    # inf >= anything -> drift at every pair
+    assert res.drift_pair_ids == [1, 2, 3]
+
+
+def test_single_value_attribute_contributes_zero():
+    pdf = fixtures.quirk_single_value_attr(block_size=60, nblocks=2)
+    blocks = fixtures.stream_blocks(pdf, 60)
+    for blk in blocks:
+        stats = oracle.BlockStatistics(blk)
+        assert stats.domain_size(0) == 1
+        dm = oracle.distance_matrix_for(stats, 0)
+        assert oracle.normalized_squared_sum_root(dm) == 0.0
+
+
+def test_partial_final_block_included(spark, stream_df):
+    sdf = spark.createDataFrame(stream_df)
+    got = block_summaries(sdf, ATTRS, BLOCK).toPandas()
+    assert got["n_rows"].iloc[got["block_id"].idxmax()] == 37
