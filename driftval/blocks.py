@@ -10,20 +10,21 @@ Scale design: a global ``row_number()`` window serializes on one task, so we
 never use one. Instead:
 
 1. one aggregation computes quantile split points of a numeric order column
-   (``percentile_approx`` — processes all rows, no sampling);
-2. each row's bucket is then a PURE function of the row and those
-   driver-collected literal boundaries (safe under task recomputation, unlike
-   ``spark_partition_id`` after ``repartitionByRange``);
-3. a second tiny aggregation yields per-bucket counts -> cumulative offsets,
-   embedded as a literal map;
-4. ``seq = offset[bucket] + row_number() over (partition by bucket order by
+   (``percentile_approx`` — processes all rows, no sampling); each row's
+   bucket is then a PURE function of the row and those driver-collected
+   literal boundaries — safe under task recomputation, unlike
+   ``spark_partition_id`` after ``repartitionByRange``;
+2. a tiny per-(group, bucket) count aggregate, cumulated with a window over
+   that tiny frame, gives each bucket its starting offset; it is broadcast
+   back onto the rows;
+3. ``seq = offset + row_number() over (partition by group, bucket order by
    order cols)`` — a parallel per-bucket window, no single-task stage.
 
 Rows with equal primary order values land in one bucket (ties are resolved by
-``tie_cols`` inside the window), so the result is a total order. Pick a
-primary order column with enough entropy to avoid a mega-bucket; the engine's
-drift checks use ``(partition index << 32) | crc32(key)`` which spreads even a
-giant repo across buckets.
+``tie_cols`` inside the window), so the result is a total order per group.
+Pick a primary order column with enough entropy to avoid a mega-bucket; the
+engine's drift checks use ``crc32(concat(key))`` which spreads even a giant
+repo across buckets.
 """
 
 from __future__ import annotations
@@ -32,18 +33,22 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 
 def with_sequence(
     df: DataFrame,
     order_col: str,
     tie_cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
     seq_col: str = "seq",
     num_buckets: int | None = None,
 ) -> DataFrame:
     """Add a deterministic 0-based ``seq`` ordered by numeric ``order_col``
-    (ties broken by ``tie_cols``)."""
+    (ties broken by ``tie_cols``), restarting at 0 within each ``group_cols``
+    group (e.g. per table partition)."""
     tie_cols = tie_cols or []
+    group_cols = group_cols or []
     n_buckets = num_buckets or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -51,10 +56,11 @@ def with_sequence(
     if n_buckets > 1:
         fracs = [i / n_buckets for i in range(1, n_buckets)]
         row = df.select(
-            F.percentile_approx(F.col(order_col), F.array(*[F.lit(f) for f in fracs]), 10_000).alias("qs")
+            F.percentile_approx(
+                F.col(order_col), F.array(*[F.lit(f) for f in fracs]), 10_000
+            ).alias("qs")
         ).first()
-        raw = row["qs"] or []
-        # Deduplicate boundaries (heavy ties collapse buckets, harmless).
+        raw = (row["qs"] if row else None) or []
         boundaries = sorted({float(b) for b in raw if b is not None})
     else:
         boundaries = []
@@ -68,23 +74,26 @@ def with_sequence(
         bucket = F.lit(0)
     df = df.withColumn("_bucket", bucket)
 
-    counts = {
-        r["_bucket"]: r["cnt"]
-        for r in df.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    counts = df.groupBy(*group_cols, "_bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.withColumn(
+        "_offset", F.sum("_cnt").over(w_off) - F.col("_cnt")
+    ).drop("_cnt")
 
-    w = Window.partitionBy("_bucket").orderBy(
+    joined = df.join(broadcast(offsets), group_cols + ["_bucket"])
+    w = Window.partitionBy(*(group_cols + ["_bucket"])).orderBy(
         *[F.col(order_col)] + [F.col(c) for c in tie_cols]
     )
-    return df.withColumn(
-        seq_col,
-        (F.row_number().over(w) - 1 + offset_map[F.col("_bucket")]).cast("long"),
-    ).drop("_bucket")
+    return (
+        joined.withColumn(
+            seq_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long")
+        )
+        .drop("_bucket", "_offset")
+    )
 
 
 def with_block_id(
@@ -92,16 +101,28 @@ def with_block_id(
     block_size: int,
     order_col: str | None = None,
     tie_cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
     seq_col: str = "seq",
     block_col: str = "block_id",
 ) -> DataFrame:
     """Assign each row to exactly one tumbling block (S3/S4 semantics).
 
     Uses an existing ``seq_col`` when present (zero extra shuffles); otherwise
-    derives one via :func:`with_sequence`.
+    derives one via :func:`with_sequence`. With ``group_cols``, blocks tumble
+    within each group (partial final block per group).
     """
     if seq_col not in df.columns:
         if order_col is None:
             raise ValueError("order_col required when no sequence column exists")
-        df = with_sequence(df, order_col, tie_cols=tie_cols, seq_col=seq_col)
+        df = with_sequence(
+            df, order_col, tie_cols=tie_cols, group_cols=group_cols, seq_col=seq_col
+        )
     return df.withColumn(block_col, (F.col(seq_col) / F.lit(block_size)).cast("long"))
+
+
+def order_key(*cols: str) -> Column:
+    """Deterministic, skew-busting numeric order key from string columns:
+    ``crc32`` of the NUL-joined tuple. Use as ``order_col`` when the table has
+    no natural sequence — any deterministic total order is a valid stream
+    order for block statistics."""
+    return F.crc32(F.concat_ws("\x00", *[F.col(c) for c in cols]).cast("binary"))

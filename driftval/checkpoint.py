@@ -1,0 +1,85 @@
+"""V13 — checkpoint/resume with per-partition lineage.
+
+Verdict + lineage rows (FIXTURES.md F5 schema) are appended to a parquet
+checkpoint table, partitioned on disk by ``(run_id, partition_value)`` and
+written with dynamic partition overwrite — re-validating a partition replaces
+its verdict rows instead of duplicating them, which makes per-partition writes
+idempotent under retries.
+
+Resume: ``pending = all_partitions LEFT ANTI JOIN completed(run_id)`` — a
+killed run restarts and skips every partition whose verdicts are already
+checkpointed, without re-reading its data (the source scan is filtered to
+pending partitions, so partition pruning keeps completed data untouched).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_value", T.StringType()),
+        T.StructField("check_name", T.StringType()),
+        T.StructField("passed", T.BooleanType()),
+        T.StructField("metric", T.DoubleType()),
+        T.StructField("threshold", T.DoubleType()),
+        T.StructField("violation_count", T.LongType()),
+        T.StructField("segment_start", T.LongType()),
+        T.StructField("segment_end", T.LongType()),
+        T.StructField("rows_scanned", T.LongType()),
+        T.StructField("content_sha_xor", T.StringType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("completed_at", T.TimestampType()),
+    ]
+)
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        df = self.spark.read.parquet(self.path)
+        # partition columns come back typed as read; normalize to strings
+        return df.select(
+            *[F.col(f.name).cast(f.dataType) for f in CHECKPOINT_SCHEMA.fields]
+        )
+
+    def completed_partitions(self, run_id: str) -> DataFrame:
+        """Partitions already fully validated under this run_id."""
+        return (
+            self.read()
+            .where(F.col("run_id") == run_id)
+            .select("partition_value")
+            .distinct()
+        )
+
+    def pending_partitions(self, all_partitions: DataFrame, run_id: str) -> list[str]:
+        """all_partitions: single-column 'partition_value' frame."""
+        pending = all_partitions.join(
+            self.completed_partitions(run_id), "partition_value", "left_anti"
+        )
+        return sorted(r["partition_value"] for r in pending.collect())
+
+    def write(self, verdicts: DataFrame) -> None:
+        """Idempotent per-(run, partition) verdict write."""
+        aligned = verdicts.select(
+            *[F.col(f.name).cast(f.dataType) for f in CHECKPOINT_SCHEMA.fields]
+        )
+        (
+            aligned.repartition("run_id", "partition_value")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "partition_value")
+            .parquet(self.path)
+        )

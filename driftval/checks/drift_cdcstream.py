@@ -61,6 +61,47 @@ def block_summaries(
     )
 
 
+def partition_block_summaries(
+    df: DataFrame,
+    categorical_cols: list[str],
+    block_size: int,
+    partition_col: str,
+    order_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-(table partition, block) DILCA summaries — blocks tumble WITHIN each
+    partition (the suite's resumable form: each partition's verdict depends
+    only on the baseline blocks plus its own blocks).
+
+    Returns ``(partition_value, block_id, n_rows, summary)``; one Arrow batch
+    per (partition, block) group, all groups in parallel.
+    """
+    cols = list(categorical_cols)
+    blocked = with_block_id(
+        df.withColumn("_part", F.col(partition_col).cast("string")),
+        block_size,
+        order_col=order_col,
+        tie_cols=tie_cols,
+        group_cols=["_part"],
+        seq_col="_part_seq",
+    ).select(F.col("_part").alias("partition_value"), "block_id", *cols)
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "partition_value": [pdf["partition_value"].iloc[0]],
+                "block_id": [int(pdf["block_id"].iloc[0])],
+                "n_rows": [len(pdf)],
+                "summary": [block_summary_np(pdf, cols)],
+            }
+        )
+
+    return blocked.groupBy("partition_value", "block_id").applyInPandas(
+        summarize,
+        schema="partition_value string, block_id long, n_rows long, summary double",
+    )
+
+
 @dataclass
 class CDCStreamResult:
     segments: list[tuple[int, int]]

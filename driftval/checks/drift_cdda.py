@@ -122,6 +122,35 @@ def change_degrees(
     )
 
 
+def change_degree_from_counts(
+    first: dict[str, dict[str, int]],
+    second: dict[str, dict[str, int]],
+    attrs: list[str],
+) -> float:
+    """Rough-set change degree from per-attribute value-count maps (the
+    suite's driver-side path over pre-aggregated per-block histograms —
+    mathematically identical to CDDA/DriftDetector.java:82-143)."""
+    total_old = 0.0
+    total_new = 0.0
+    for attr in attrs:
+        fe = first.get(attr, {})
+        se = second.get(attr, {})
+        f_low = f_up = s_low = s_up = 0.0
+        for value in set(fe) | set(se):
+            fc = fe.get(value, 0)
+            sc = se.get(value, 0)
+            if fc > 0 and sc > 0:
+                f_up += fc
+                s_up += sc
+            elif fc > 0:
+                f_low += fc
+            elif sc > 0:
+                s_low += sc
+        total_old += f_low / f_up if f_up else (_INF if f_low else _NAN)
+        total_new += s_low / s_up if s_up else (_INF if s_low else _NAN)
+    return (total_new + total_old) / (2 * len(attrs))
+
+
 @dataclass
 class CDDAResult:
     segments: list[tuple[int, int]]

@@ -1,0 +1,127 @@
+"""Binned-histogram drift: chi-square (V7) and KL divergence (V8).
+
+Histograms are one ``groupBy(partition, bin).count()`` — a single shuffle whose
+output is tiny (partitions × bins). Drift statistics compare each current
+partition against a pooled baseline histogram entirely with column
+expressions (no Python in the loop), using additive smoothing so empty bins
+stay finite:
+
+    SMOOTH_ALPHA = 0.5 added to every bin of BOTH distributions over the union
+    of observed bins K:  p(b) = (o_b + α) / (n + αK).
+
+Chi-square uses expected counts from the smoothed baseline distribution,
+``Σ (o - e)² / e`` with ``e = n_cur · p_base(b)``; KL is ``Σ p·ln(p/q)``
+(natural log). Both are exactly reproducible in ANSI SQL for the DuckDB
+oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SMOOTH_ALPHA = 0.5
+
+
+def length_bin(col: str | Column) -> Column:
+    """Log2-width content-length bins (deterministic, portable to ANSI SQL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(F.log2(c.cast("double") + F.lit(1.0))).cast("long")
+
+
+def histogram(df: DataFrame, partition_col: str, bin_col: Column, bin_name: str) -> DataFrame:
+    """Per-partition histogram: (partition_value, bin, cnt)."""
+    return (
+        df.groupBy(
+            F.col(partition_col).cast("string").alias("partition_value"),
+            bin_col.cast("string").alias(bin_name),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed(bin_name, "bin")
+    )
+
+
+def drift_stats(
+    hist: DataFrame,
+    baseline_partitions: list[str],
+    alpha: float = SMOOTH_ALPHA,
+) -> DataFrame:
+    """Chi-square + KL of every non-baseline partition vs the pooled baseline.
+
+    Returns (partition_value, chi_square, kl_divergence, n_bins) — one row per
+    current partition. All math is column expressions over the tiny histogram
+    frame; Catalyst folds it into a couple of hash aggregates.
+    """
+    base = (
+        hist.where(F.col("partition_value").isin(baseline_partitions))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("base_cnt"))
+    )
+    cur = hist.where(~F.col("partition_value").isin(baseline_partitions)).select(
+        "partition_value", "bin", F.col("cnt").alias("cur_cnt")
+    )
+
+    # Union of bins per current partition: full outer on bin, replicated per
+    # partition via a cross-ish join on the bin key (both sides are tiny).
+    parts = cur.select("partition_value").distinct()
+    domain = parts.crossJoin(base.select("bin").union(cur.select("bin")).distinct())
+    joined = (
+        domain.join(base, "bin", "left")
+        .join(cur, ["partition_value", "bin"], "left")
+        .select(
+            "partition_value",
+            "bin",
+            F.coalesce("base_cnt", F.lit(0)).cast("double").alias("ob"),
+            F.coalesce("cur_cnt", F.lit(0)).cast("double").alias("oc"),
+        )
+    )
+
+    a = F.lit(float(alpha))
+    totals = joined.groupBy("partition_value").agg(
+        F.sum("ob").alias("n_base"),
+        F.sum("oc").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    ex = joined.join(F.broadcast(totals), "partition_value")
+
+    p_base = (F.col("ob") + a) / (F.col("n_base") + a * F.col("n_bins"))
+    p_cur = (F.col("oc") + a) / (F.col("n_cur") + a * F.col("n_bins"))
+    expected = F.col("n_cur") * p_base
+
+    return ex.groupBy("partition_value").agg(
+        F.sum((F.col("oc") - expected) * (F.col("oc") - expected) / expected).alias("chi_square"),
+        F.sum(p_cur * F.log(p_cur / p_base)).alias("kl_divergence"),
+        F.first("n_bins").alias("n_bins"),
+    )
+
+
+def histogram_drift_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    bin_col: Column,
+    feature_name: str,
+    baseline_partitions: list[str],
+    chi_square_threshold: float,
+    kl_threshold: float,
+    alpha: float = SMOOTH_ALPHA,
+) -> DataFrame:
+    """Verdict rows ``chi_square:<feature>`` and ``kl:<feature>`` per current
+    partition (baseline partitions implicitly pass — they ARE the reference)."""
+    stats = drift_stats(histogram(df, partition_col, bin_col, feature_name), baseline_partitions, alpha)
+    chi = stats.select(
+        "partition_value",
+        F.lit(f"chi_square:{feature_name}").alias("check_name"),
+        (F.col("chi_square") < F.lit(chi_square_threshold)).alias("passed"),
+        F.col("chi_square").alias("metric"),
+        F.lit(float(chi_square_threshold)).alias("threshold"),
+        F.when(F.col("chi_square") < chi_square_threshold, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("violation_count"),
+    )
+    kl = stats.select(
+        "partition_value",
+        F.lit(f"kl:{feature_name}").alias("check_name"),
+        (F.col("kl_divergence") < F.lit(kl_threshold)).alias("passed"),
+        F.col("kl_divergence").alias("metric"),
+        F.lit(float(kl_threshold)).alias("threshold"),
+        F.when(F.col("kl_divergence") < kl_threshold, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("violation_count"),
+    )
+    return chi.unionByName(kl)

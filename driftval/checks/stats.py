@@ -1,0 +1,165 @@
+"""Per-column stats constraints (SURVEY.md §2.7 V1-V4).
+
+All constraints over all columns are evaluated in ONE ``groupBy(partition)``
+aggregation pass — a single scan + single shuffle regardless of how many
+constraints are registered. Output is a tiny (partitions × checks) verdict
+frame; violation-row extraction for type conformance is a separate pushed-down
+filter (Catalyst prunes it to the offending partition/columns).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VERDICT_COLS = ["partition_value", "check_name", "passed", "metric", "threshold", "violation_count"]
+
+
+@dataclass(frozen=True)
+class NullRate:
+    """V1: fraction of NULLs in ``column`` must be <= ``max_rate``."""
+
+    column: str
+    max_rate: float = 0.0
+
+    @property
+    def name(self) -> str:
+        return f"null_rate:{self.column}"
+
+
+@dataclass(frozen=True)
+class Bounds:
+    """V2: numeric ``expr`` (SQL string) min/max must stay inside [lo, hi]."""
+
+    expr: str
+    lo: float | None = None
+    hi: float | None = None
+    label: str | None = None
+
+    @property
+    def name(self) -> str:
+        return f"bounds:{self.label or self.expr}"
+
+
+@dataclass(frozen=True)
+class DistinctCount:
+    """V3: HyperLogLog++ distinct count of ``column`` within [lo, hi].
+
+    ``approx_count_distinct`` keeps one HLL sketch per (partition, column) —
+    constant memory at any scale; ``rsd`` trades sketch size for accuracy.
+    """
+
+    column: str
+    lo: int = 0
+    hi: int = 2**62
+    rsd: float = 0.02
+
+    @property
+    def name(self) -> str:
+        return f"distinct_hll:{self.column}"
+
+
+@dataclass(frozen=True)
+class TypeConformance:
+    """V4: fraction of non-null values of ``column`` NOT matching ``pattern``
+    (full-match regex) or not in ``allowed`` must be <= ``max_rate``."""
+
+    column: str
+    pattern: str | None = None
+    allowed: tuple[str, ...] | None = None
+    max_rate: float = 0.0
+
+    @property
+    def name(self) -> str:
+        return f"type_conformance:{self.column}"
+
+    def violation_predicate(self) -> Column:
+        col = F.col(self.column)
+        if self.pattern is not None:
+            ok = col.rlike(f"^(?:{self.pattern})$")
+        else:
+            ok = col.isin(*self.allowed)
+        return col.isNotNull() & ~ok
+
+
+StatsConstraint = NullRate | Bounds | DistinctCount | TypeConformance
+
+
+def stats_verdicts(
+    df: DataFrame, partition_col: str, constraints: list[StatsConstraint]
+) -> DataFrame:
+    """Single-pass evaluation of V1-V4 constraints per partition."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(constraints):
+        if isinstance(c, NullRate):
+            aggs.append(
+                F.avg(F.col(c.column).isNull().cast("double")).alias(f"_m{i}")
+            )
+        elif isinstance(c, Bounds):
+            aggs.append(F.min(F.expr(c.expr)).cast("double").alias(f"_min{i}"))
+            aggs.append(F.max(F.expr(c.expr)).cast("double").alias(f"_max{i}"))
+        elif isinstance(c, DistinctCount):
+            aggs.append(
+                F.approx_count_distinct(c.column, c.rsd).cast("double").alias(f"_m{i}")
+            )
+        elif isinstance(c, TypeConformance):
+            aggs.append(
+                F.avg(c.violation_predicate().cast("double")).alias(f"_m{i}")
+            )
+            aggs.append(
+                F.sum(c.violation_predicate().cast("long")).alias(f"_v{i}")
+            )
+        else:  # pragma: no cover
+            raise TypeError(f"unknown constraint {c!r}")
+
+    agg = df.groupBy(F.col(partition_col).cast("string").alias("partition_value")).agg(*aggs)
+
+    verdicts: list[DataFrame] = []
+    for i, c in enumerate(constraints):
+        if isinstance(c, NullRate):
+            metric = F.col(f"_m{i}")
+            passed = metric <= F.lit(c.max_rate)
+            threshold = F.lit(float(c.max_rate))
+            violations = (metric * F.col("_n")).cast("long")
+        elif isinstance(c, Bounds):
+            lo_ok = F.lit(True) if c.lo is None else F.col(f"_min{i}") >= F.lit(float(c.lo))
+            hi_ok = F.lit(True) if c.hi is None else F.col(f"_max{i}") <= F.lit(float(c.hi))
+            metric = F.col(f"_max{i}") if c.hi is not None else F.col(f"_min{i}")
+            passed = lo_ok & hi_ok
+            threshold = F.lit(float(c.hi if c.hi is not None else c.lo))
+            violations = F.when(passed, F.lit(0)).otherwise(F.lit(-1)).cast("long")
+        elif isinstance(c, DistinctCount):
+            metric = F.col(f"_m{i}")
+            passed = (metric >= F.lit(float(c.lo))) & (metric <= F.lit(float(c.hi)))
+            threshold = F.lit(float(c.hi))
+            violations = F.when(passed, F.lit(0)).otherwise(F.lit(-1)).cast("long")
+        else:  # TypeConformance
+            metric = F.col(f"_m{i}")
+            passed = metric <= F.lit(c.max_rate)
+            threshold = F.lit(float(c.max_rate))
+            violations = F.col(f"_v{i}").cast("long")
+        verdicts.append(
+            agg.select(
+                "partition_value",
+                F.lit(c.name).alias("check_name"),
+                passed.alias("passed"),
+                metric.cast("double").alias("metric"),
+                threshold.cast("double").alias("threshold"),
+                violations.alias("violation_count"),
+            )
+        )
+
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    return out
+
+
+def type_conformance_violations(
+    df: DataFrame, partition_col: str, c: TypeConformance, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """Violation rows for a V4 constraint (filter pushes to the scan)."""
+    cols = [partition_col, c.column] + (extra_cols or [])
+    return df.where(c.violation_predicate()).select(*cols)

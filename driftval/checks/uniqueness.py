@@ -1,0 +1,68 @@
+"""V5 — key uniqueness via explicit two-phase salted aggregation.
+
+A plain ``groupBy(key).count()`` relies on map-side partial aggregation to
+absorb hot keys; the north rule mandates explicit salting for giant repos, so
+phase 1 groups on ``(key, salt)`` where salt is the (deterministic) map
+partition id modulo ``num_salts`` — each reducer sees at most ``num_salts``
+partial rows per key — and phase 2 merges the partials per key. The verdict is
+per table-partition; violation rows come back via a semi-join against the
+(duplicate-keys-only, hence small) key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(
+    df: DataFrame, key_cols: list[str], num_salts: int = 64
+) -> DataFrame:
+    """Keys occurring more than once: ``(*key_cols, n)`` with n > 1."""
+    salt = F.pmod(F.spark_partition_id(), F.lit(num_salts)).alias("_salt")
+    phase1 = df.groupBy(*key_cols, salt).agg(F.count(F.lit(1)).alias("_partial"))
+    return (
+        phase1.groupBy(*key_cols)
+        .agg(F.sum("_partial").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def uniqueness_verdicts(
+    df: DataFrame, partition_col: str, key_cols: list[str], num_salts: int = 64
+) -> DataFrame:
+    """Per-partition verdict rows for ``unique:(key_cols)``.
+
+    Counts duplicate ROWS per partition (rows whose key occurs >1 times in the
+    whole table) so a cross-partition duplicate is attributed to every
+    partition holding one of its rows.
+    """
+    dups = duplicate_keys(df, key_cols, num_salts)
+    check = f"unique:({','.join(key_cols)})"
+
+    per_part = (
+        df.join(dups.select(*key_cols), key_cols, "left_semi")
+        .groupBy(F.col(partition_col).cast("string").alias("partition_value"))
+        .agg(F.count(F.lit(1)).alias("violation_count"))
+    )
+    all_parts = df.select(
+        F.col(partition_col).cast("string").alias("partition_value")
+    ).distinct()
+    return (
+        all_parts.join(per_part, "partition_value", "left")
+        .select(
+            "partition_value",
+            F.lit(check).alias("check_name"),
+            (F.coalesce("violation_count", F.lit(0)) == 0).alias("passed"),
+            F.coalesce("violation_count", F.lit(0)).cast("double").alias("metric"),
+            F.lit(0.0).alias("threshold"),
+            F.coalesce("violation_count", F.lit(0)).cast("long").alias("violation_count"),
+        )
+    )
+
+
+def uniqueness_violations(
+    df: DataFrame, key_cols: list[str], num_salts: int = 64
+) -> DataFrame:
+    """All rows participating in a duplicate key (semi-join, dup set is small)."""
+    return df.join(duplicate_keys(df, key_cols, num_salts).select(*key_cols), key_cols, "left_semi")

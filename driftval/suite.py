@@ -1,0 +1,372 @@
+"""The validation-suite orchestrator (SURVEY.md §3.4 lifecycle).
+
+``run_suite`` drives one resumable validation pass over a partitioned
+source-code table:
+
+1. resume filter — pending = all partitions ∖ checkpointed (V13);
+2. ONE ``groupBy(partition).agg`` pass for every V1-V4 constraint, scanning
+   only pending partitions (partition pruning);
+3. salted uniqueness (V5), broadcast-anti-join referential integrity (V6),
+   sha256 fidelity vs a manifest (V12, optional);
+4. histogram drift — chi-square + KL vs the pooled baseline partitions (V7/V8);
+5. block drift — per-(partition, block) DILCA summaries and CDDA value counts
+   computed in single distributed jobs; the reference's sequential decision
+   loops replay on the driver per pending partition over
+   ``baseline blocks ++ partition blocks`` (V9/V10), so each partition's
+   verdict is independent of other non-baseline partitions -> resumable;
+6. Krimp codetable drift vs baseline (V11);
+7. per-partition lineage (rows_scanned, sha-xor fold) + verdict rows appended
+   idempotently to the checkpoint table.
+
+Scale notes: every heavy stage is a single scan + single shuffle; the only
+driver-side data are O(partitions × checks) verdicts, O(blocks) summaries and
+O(blocks × attrs × values) binned histograms.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from driftval.blocks import order_key, with_block_id
+from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore
+from driftval.checks import drift_cdcstream, drift_cdda
+from driftval.checks.fidelity import fidelity_verdicts, partition_lineage
+from driftval.checks.histogram import histogram_drift_verdicts, length_bin
+from driftval.checks.krimp import krimp_drift_verdicts
+from driftval.checks.referential import referential_verdicts
+from driftval.checks.stats import (
+    Bounds,
+    DistinctCount,
+    NullRate,
+    StatsConstraint,
+    TypeConformance,
+    stats_verdicts,
+)
+from driftval.checks.uniqueness import uniqueness_verdicts
+
+NULL_TOKEN = "<null>"
+
+
+@dataclass
+class SuiteConfig:
+    baseline_partitions: list[str]
+    partition_col: str = "part_date"
+    key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    content_col: str = "content"
+    lang_col: str = "lang"
+    path_col: str = "path"
+    stats_constraints: list[StatsConstraint] = field(default_factory=list)
+    block_size: int = 500
+    drift_coefficient: float = 3.0
+    min_change_degree: float = 0.35
+    chi2_threshold: float = 200.0
+    kl_threshold: float = 0.25
+    krimp_threshold: float = 0.05
+    num_salts: int = 64
+
+    @staticmethod
+    def default_constraints() -> list[StatsConstraint]:
+        return [
+            NullRate("repo", 0.0),
+            NullRate("path", 0.0),
+            NullRate("commit", 0.0),
+            NullRate("lang", 0.0),
+            NullRate("content", 0.0),
+            Bounds("length(content)", lo=1, hi=10_000_000, label="content_length"),
+            DistinctCount("lang", lo=1, hi=64),
+            TypeConformance("commit", pattern="[0-9a-f]{40}"),
+        ]
+
+
+def drift_features(df: DataFrame, cfg: SuiteConfig) -> tuple[DataFrame, list[str]]:
+    """Categorical drift columns (the reference's "attributes"): lang, log2
+    content-length bin, path extension. ``content`` itself never crosses the
+    Arrow boundary — only these derived columns do (SURVEY.md §4.2)."""
+    feats = df.select(
+        F.col(cfg.partition_col).cast("string").alias("partition_value"),
+        F.coalesce(F.col(cfg.lang_col).cast("string"), F.lit(NULL_TOKEN)).alias("f_lang"),
+        F.coalesce(
+            length_bin(F.length(F.col(cfg.content_col))).cast("string"), F.lit(NULL_TOKEN)
+        ).alias("f_len_bin"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col(cfg.path_col), r"\.([^./]+)$", 1), F.lit("")),
+            F.lit(NULL_TOKEN),
+        ).alias("f_ext"),
+        order_key(*cfg.key_cols).cast("double").alias("_ord"),
+        F.concat_ws("\x00", *[F.col(c) for c in cfg.key_cols]).alias("_tie"),
+    )
+    return feats, ["f_lang", "f_len_bin", "f_ext"]
+
+
+def _blockwise_verdicts(
+    spark: SparkSession,
+    feats: DataFrame,
+    attr_cols: list[str],
+    cfg: SuiteConfig,
+    pending_current: list[str],
+) -> pd.DataFrame:
+    """V9 (CDCStream) + V10 (CDDA) verdict rows, driver-assembled.
+
+    One distributed job computes per-(partition, block) DILCA summaries; one
+    more computes per-(partition, block, attr, value) counts. Decisions replay
+    per pending partition over ``baseline blocks ++ partition blocks``.
+    """
+    scope = cfg.baseline_partitions + pending_current
+    scoped = feats.where(F.col("partition_value").isin(scope)).persist()
+    try:
+        summaries = drift_cdcstream.partition_block_summaries(
+            scoped, attr_cols, cfg.block_size, "partition_value", "_ord", ["_tie"]
+        ).toPandas()
+
+        blocked = with_block_id(
+            scoped.withColumn("_part", F.col("partition_value")),
+            cfg.block_size,
+            order_col="_ord",
+            tie_cols=["_tie"],
+            group_cols=["_part"],
+            seq_col="_part_seq",
+        )
+        melt_pairs = ", ".join(f"'{c}', `{c}`" for c in attr_cols)
+        counts = (
+            blocked.select(
+                "partition_value",
+                "block_id",
+                F.expr(f"stack({len(attr_cols)}, {melt_pairs}) as (attr, value)"),
+            )
+            .groupBy("partition_value", "block_id", "attr", "value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .toPandas()
+        )
+    finally:
+        scoped.unpersist()
+
+    # --- driver-side assembly over tiny frames ---
+    summaries = summaries.sort_values(["partition_value", "block_id"])
+
+    def blocks_of(part: str) -> pd.DataFrame:
+        return summaries[summaries["partition_value"] == part]
+
+    def counts_of(part: str) -> dict[int, dict[str, dict[str, int]]]:
+        sub = counts[counts["partition_value"] == part]
+        out: dict[int, dict[str, dict[str, int]]] = {}
+        for b, attr, value, cnt in zip(sub["block_id"], sub["attr"], sub["value"], sub["cnt"]):
+            out.setdefault(int(b), {}).setdefault(attr, {})[value] = int(cnt)
+        return out
+
+    base_parts = sorted(p for p in cfg.baseline_partitions if p in set(summaries["partition_value"]))
+    base_blocks = pd.concat([blocks_of(p) for p in base_parts]) if base_parts else summaries.iloc[0:0]
+    base_counts: list[dict] = []
+    for p in base_parts:
+        cp = counts_of(p)
+        base_counts.extend(cp[b] for b in sorted(cp))
+
+    rows: list[dict] = []
+    for part in pending_current:
+        pb = blocks_of(part)
+        if pb.empty:
+            continue
+        # CDCStream: concatenated stream = baseline blocks ++ this partition's
+        stream = pd.concat([base_blocks, pb]).reset_index(drop=True)
+        stream["block_id"] = range(len(stream))  # linearized order
+        res = drift_cdcstream.decide(stream, cfg.drift_coefficient)
+        n_base_blocks = len(base_blocks)
+        own_drifts = [
+            (i, b) for i, b in enumerate(res.drift_block_ids) if b >= n_base_blocks
+        ]
+        seg = res.segments[own_drifts[0][0]] if own_drifts else (None, None)
+        rows.append(
+            {
+                "partition_value": part,
+                "check_name": "drift:cdcstream",
+                "passed": not own_drifts,
+                "metric": float(len(own_drifts)),
+                "threshold": cfg.drift_coefficient,
+                "violation_count": len(own_drifts),
+                "segment_start": seg[0],
+                "segment_end": seg[1],
+            }
+        )
+
+        # CDDA: consecutive pairs over the same concatenated stream
+        cp = counts_of(part)
+        part_counts = [cp[b] for b in sorted(cp)]
+        all_counts = base_counts + part_counts
+        sizes = list(stream["n_rows"])
+        degrees, cum = [], [0]
+        for s in sizes:
+            cum.append(cum[-1] + int(s))
+        drift_pairs = []
+        cdda_seg = (None, None)
+        last_count = 0
+        max_deg = 0.0
+        for i in range(1, len(all_counts)):
+            d = drift_cdda.change_degree_from_counts(all_counts[i - 1], all_counts[i], attr_cols)
+            degrees.append(d)
+            if d >= cfg.min_change_degree:
+                if i >= n_base_blocks:  # second block of the pair is ours
+                    drift_pairs.append(i)
+                    if cdda_seg == (None, None):
+                        cdda_seg = (last_count, cum[i])
+                last_count = cum[i] + 1
+        own_deg = degrees[n_base_blocks - 1 :] if n_base_blocks else degrees
+        if own_deg:
+            max_deg = max(own_deg)
+        rows.append(
+            {
+                "partition_value": part,
+                "check_name": "drift:cdda",
+                "passed": not drift_pairs,
+                "metric": max_deg,
+                "threshold": cfg.min_change_degree,
+                "violation_count": len(drift_pairs),
+                "segment_start": cdda_seg[0],
+                "segment_end": cdda_seg[1],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def run_suite(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: SuiteConfig,
+    checkpoint_path: str,
+    run_id: str,
+    dim_repos: DataFrame | None = None,
+    dim_commits: DataFrame | None = None,
+    manifest: DataFrame | None = None,
+    completed_at: dt.datetime | None = None,
+    partition_limit: int | None = None,
+) -> DataFrame:
+    """One resumable validation pass; returns this run's full verdict frame.
+
+    ``partition_limit`` processes only the first N pending partitions (used by
+    the kill/resume e2e test to simulate an interrupted run).
+    """
+    store = CheckpointStore(spark, checkpoint_path)
+    pcol = cfg.partition_col
+    completed_at = completed_at or dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+    all_parts = files.select(
+        F.col(pcol).cast("string").alias("partition_value")
+    ).distinct()
+    pending = store.pending_partitions(all_parts, run_id)
+    if partition_limit is not None:
+        pending = pending[:partition_limit]
+    if not pending:
+        return store.read().where(F.col("run_id") == run_id)
+
+    scoped = files.where(F.col(pcol).cast("string").isin(pending))
+    constraints = cfg.stats_constraints or SuiteConfig.default_constraints()
+
+    frames: list[DataFrame] = [stats_verdicts(scoped, pcol, constraints)]
+
+    # V5 — duplicates are judged table-wide but attributed per partition;
+    # key columns only (column pruning keeps content out of this shuffle).
+    frames.append(
+        uniqueness_verdicts(
+            files.select(pcol, *cfg.key_cols), pcol, list(cfg.key_cols), cfg.num_salts
+        ).where(F.col("partition_value").isin(pending))
+    )
+
+    if dim_repos is not None:
+        frames.append(
+            referential_verdicts(scoped, dim_repos, ["repo"], pcol, "referential:(repo)")
+        )
+    if dim_commits is not None:
+        frames.append(
+            referential_verdicts(
+                scoped, dim_commits, ["repo", "commit"], pcol, "referential:(repo,commit)"
+            )
+        )
+    if manifest is not None:
+        frames.append(
+            fidelity_verdicts(scoped, manifest, list(cfg.key_cols), pcol, cfg.content_col)
+        )
+
+    pending_current = [p for p in pending if p not in cfg.baseline_partitions]
+
+    # V7/V8 — histogram drift vs pooled baseline (baseline partitions pass).
+    if pending_current:
+        hist_scope = files.where(
+            F.col(pcol).cast("string").isin(cfg.baseline_partitions + pending_current)
+        )
+        frames.append(
+            histogram_drift_verdicts(
+                hist_scope, pcol, F.col(cfg.lang_col), "lang",
+                cfg.baseline_partitions, cfg.chi2_threshold, cfg.kl_threshold,
+            ).where(F.col("partition_value").isin(pending_current))
+        )
+        frames.append(
+            histogram_drift_verdicts(
+                hist_scope, pcol, length_bin(F.length(F.col(cfg.content_col))),
+                "content_len_bin", cfg.baseline_partitions,
+                cfg.chi2_threshold, cfg.kl_threshold,
+            ).where(F.col("partition_value").isin(pending_current))
+        )
+
+    verdicts = frames[0]
+    for f in frames[1:]:
+        verdicts = verdicts.unionByName(f)
+    verdicts_pdf = verdicts.toPandas()
+    verdicts_pdf["segment_start"] = None
+    verdicts_pdf["segment_end"] = None
+
+    # V9/V10 — blockwise drift (driver decisions over single-job block stats).
+    feats, attr_cols = drift_features(files, cfg)
+    if pending_current:
+        bw = _blockwise_verdicts(spark, feats, attr_cols, cfg, pending_current)
+        if not bw.empty:
+            verdicts_pdf = pd.concat([verdicts_pdf, bw], ignore_index=True)
+
+    # V11 — Krimp codetable drift.
+    if pending_current:
+        krimp = krimp_drift_verdicts(
+            feats.select("partition_value", *attr_cols),
+            "partition_value",
+            attr_cols,
+            cfg.baseline_partitions,
+            cfg.krimp_threshold,
+        ).where(F.col("partition_value").isin(pending_current)).toPandas()
+        if not krimp.empty:
+            krimp["segment_start"] = None
+            krimp["segment_end"] = None
+            verdicts_pdf = pd.concat([verdicts_pdf, krimp], ignore_index=True)
+
+    # Baseline partitions trivially pass the drift checks they define.
+    base_pending = [p for p in pending if p in cfg.baseline_partitions]
+    drift_checks = [
+        "chi_square:lang", "kl:lang", "chi_square:content_len_bin",
+        "kl:content_len_bin", "drift:cdcstream", "drift:cdda",
+        f"krimp:({','.join(attr_cols)})",
+    ]
+    base_rows = [
+        {
+            "partition_value": p, "check_name": c, "passed": True, "metric": 0.0,
+            "threshold": 0.0, "violation_count": 0,
+            "segment_start": None, "segment_end": None,
+        }
+        for p in base_pending
+        for c in drift_checks
+    ]
+    if base_rows:
+        verdicts_pdf = pd.concat([verdicts_pdf, pd.DataFrame(base_rows)], ignore_index=True)
+
+    # lineage + run metadata
+    lineage = partition_lineage(scoped, pcol, cfg.content_col).toPandas()
+    out = verdicts_pdf.merge(lineage, on="partition_value", how="left")
+    out["run_id"] = run_id
+    out["completed_at"] = pd.Timestamp(completed_at).tz_localize(None)
+    out["violation_count"] = out["violation_count"].astype("Int64")
+    out["segment_start"] = out["segment_start"].astype("Int64")
+    out["segment_end"] = out["segment_end"].astype("Int64")
+    out["rows_scanned"] = out["rows_scanned"].astype("Int64")
+
+    result = spark.createDataFrame(out[[f.name for f in CHECKPOINT_SCHEMA.fields]], CHECKPOINT_SCHEMA)
+    store.write(result)
+    return store.read().where(F.col("run_id") == run_id)

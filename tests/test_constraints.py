@@ -1,0 +1,138 @@
+"""Unit tests for V1-V8 constraint checks on hand-built tiny frames."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval.checks.histogram import drift_stats, histogram, length_bin
+from driftval.checks.referential import orphan_rows, referential_verdicts
+from driftval.checks.stats import (
+    Bounds,
+    DistinctCount,
+    NullRate,
+    TypeConformance,
+    stats_verdicts,
+    type_conformance_violations,
+)
+from driftval.checks.uniqueness import (
+    duplicate_keys,
+    uniqueness_verdicts,
+    uniqueness_violations,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        # part, repo, commit, lang, n
+        ("p1", "a/r1", "f" * 40, "python", 10),
+        ("p1", "a/r1", "f" * 40, "python", 10),  # dup key in p1
+        ("p1", "a/r2", "e" * 40, "java", 250),
+        ("p2", "a/r1", "d" * 40, None, 7),       # null lang in p2
+        ("p2", "ghost", "BAD", "go", 99),        # orphan repo + bad commit
+        ("p2", "a/r2", "c" * 40, "go", 5),
+    ]
+    return spark.createDataFrame(rows, "part string, repo string, commit string, lang string, n long")
+
+
+def _v(df, check, part):
+    rows = df.where(
+        (F.col("check_name") == check) & (F.col("partition_value") == part)
+    ).collect()
+    assert len(rows) == 1, f"{check}/{part}: {rows}"
+    return rows[0]
+
+
+def test_null_rate(spark, tiny):
+    v = stats_verdicts(tiny, "part", [NullRate("lang", 0.0)])
+    p1 = _v(v, "null_rate:lang", "p1")
+    p2 = _v(v, "null_rate:lang", "p2")
+    assert p1["passed"] and p1["metric"] == 0.0
+    assert not p2["passed"]
+    assert p2["metric"] == pytest.approx(1 / 3)
+    assert p2["violation_count"] == 1
+
+
+def test_bounds(spark, tiny):
+    v = stats_verdicts(tiny, "part", [Bounds("n", lo=1, hi=100, label="n")])
+    assert not _v(v, "bounds:n", "p1")["passed"]  # 250 > 100
+    assert _v(v, "bounds:n", "p2")["passed"]
+    assert _v(v, "bounds:n", "p1")["metric"] == 250.0
+
+
+def test_distinct_hll(spark, tiny):
+    v = stats_verdicts(tiny, "part", [DistinctCount("repo", lo=1, hi=2)])
+    assert _v(v, "distinct_hll:repo", "p1")["passed"]  # {a/r1, a/r2}
+    assert not _v(v, "distinct_hll:repo", "p2")["passed"]  # 3 distinct
+
+
+def test_type_conformance(spark, tiny):
+    c = TypeConformance("commit", pattern="[0-9a-f]{40}")
+    v = stats_verdicts(tiny, "part", [c])
+    assert _v(v, c.name, "p1")["passed"]
+    p2 = _v(v, c.name, "p2")
+    assert not p2["passed"] and p2["violation_count"] == 1
+    viol = type_conformance_violations(tiny, "part", c).collect()
+    assert [(r["part"], r["commit"]) for r in viol] == [("p2", "BAD")]
+
+
+def test_allowed_set_conformance(spark, tiny):
+    c = TypeConformance("lang", allowed=("python", "java"))
+    v = stats_verdicts(tiny, "part", [c])
+    assert _v(v, c.name, "p1")["passed"]
+    # p2: "go" twice violates; NULL does not count as violation (null-rate's job)
+    assert _v(v, c.name, "p2")["violation_count"] == 2
+
+
+def test_uniqueness(spark, tiny):
+    dups = duplicate_keys(tiny, ["repo", "commit"]).collect()
+    assert [(r["repo"], r["n"]) for r in dups] == [("a/r1", 2)]
+    v = uniqueness_verdicts(tiny, "part", ["repo", "commit"])
+    assert not _v(v, "unique:(repo,commit)", "p1")["passed"]
+    assert _v(v, "unique:(repo,commit)", "p1")["violation_count"] == 2
+    assert _v(v, "unique:(repo,commit)", "p2")["passed"]
+    assert uniqueness_violations(tiny, ["repo", "commit"]).count() == 2
+
+
+def test_referential(spark, tiny):
+    dim = spark.createDataFrame([("a/r1",), ("a/r2",)], "repo string")
+    orphans = orphan_rows(tiny, dim, ["repo"]).collect()
+    assert len(orphans) == 1 and orphans[0]["repo"] == "ghost"
+    v = referential_verdicts(tiny, dim, ["repo"], "part")
+    assert _v(v, "referential:(repo)", "p1")["passed"]
+    assert not _v(v, "referential:(repo)", "p2")["passed"]
+
+
+def test_histogram_and_drift_stats(spark):
+    rows = [("base", "a")] * 50 + [("base", "b")] * 50 + \
+           [("same", "a")] * 25 + [("same", "b")] * 25 + \
+           [("shifted", "a")] * 5 + [("shifted", "b")] * 45 + [("shifted", "c")] * 10
+    df = spark.createDataFrame(rows, "part string, v string")
+    hist = histogram(df, "part", F.col("v"), "v")
+    stats = {r["partition_value"]: r for r in drift_stats(hist, ["base"]).collect()}
+    assert stats["same"]["chi_square"] < 1.0
+    assert stats["shifted"]["chi_square"] > 20.0
+    assert stats["same"]["kl_divergence"] < 0.01
+    assert stats["shifted"]["kl_divergence"] > 0.2
+    # Python cross-check of the smoothed formulas on the 'shifted' partition
+    a, K = 0.5, 3
+    base = {"a": 50, "b": 50, "c": 0}
+    cur = {"a": 5, "b": 45, "c": 10}
+    nb, nc = 100, 60
+    chi = sum(
+        (cur[b] - nc * (base[b] + a) / (nb + a * K)) ** 2 / (nc * (base[b] + a) / (nb + a * K))
+        for b in base
+    )
+    kl = sum(
+        ((cur[b] + a) / (nc + a * K)) * math.log(((cur[b] + a) / (nc + a * K)) / ((base[b] + a) / (nb + a * K)))
+        for b in base
+    )
+    assert stats["shifted"]["chi_square"] == pytest.approx(chi, rel=1e-9)
+    assert stats["shifted"]["kl_divergence"] == pytest.approx(kl, rel=1e-9)
+
+
+def test_length_bin_portable(spark):
+    df = spark.createDataFrame([(0,), (1,), (7,), (8,), (1023,)], "x long")
+    got = [r[0] for r in df.select(length_bin(F.col("x"))).collect()]
+    assert got == [0, 1, 3, 3, 10]
