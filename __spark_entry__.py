@@ -1,10 +1,14 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, query catalog, and DuckDB oracle twins.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (the
+reference's drift operators plus the BASELINE.json §2.7 validation suite and
+the training-data utilities) as (spark, sf_dir) -> DataFrame callables over
+the shared testdata tables. ``oracle_sql()`` gives the ANSI-SQL twin for every
+SQL-expressible operator; DILCA/Krimp entries are intentionally omitted there
+(non-SQL-expressible -> rows-only check).
+
+Column names are aliased identically on both sides (the driver hashes values
+after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +16,634 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from driftval import simsearch, textops
+from driftval.blocks import with_block_id
+from driftval.checks import drift_cdcstream, drift_cdda
+from driftval.checks.histogram import drift_stats, histogram, length_bin
+from driftval.checks.referential import orphan_rows
+from driftval.checks.stats import TypeConformance, stats_verdicts
+from driftval.checks.uniqueness import duplicate_keys
+
+SF001 = "/root/testdata/sf0.001"
+
+DOC_LANGS = ("en", "de", "fr", "es", "zh")
+KNN_QUERY_IDS = list(range(10))
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Query catalog
+# ---------------------------------------------------------------------------
+
+
+def q_colstats_documents(spark, sf_dir):
+    """V1-V3 single-pass column stats per source partition."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.col("source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg(F.col("lang").isNull().cast("double")).alias("lang_null_rate"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count_distinct(F.col("lang")).alias("lang_distinct"),
+        F.sum(F.length("text").cast("long")).alias("total_text_chars"),
+    )
+
+
+def q_type_conformance_lang(spark, sf_dir):
+    """V4: lang must be in the allowed set; per-source violation stats."""
+    d = _t(spark, sf_dir, "documents")
+    c = TypeConformance("lang", allowed=DOC_LANGS)
+    v = stats_verdicts(d, "source", [c])
+    return v.select(
+        F.col("partition_value").alias("source"),
+        F.col("passed"),
+        F.col("metric").alias("violation_rate"),
+        F.col("violation_count"),
+    )
+
+
+def q_unique_lineitem_pk(spark, sf_dir):
+    """V5: salted uniqueness of (l_orderkey, l_linenumber) — dup keys (empty=pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", F.col("n").alias("dup_count")
+    )
+
+
+def q_unique_orderkey_multiplicity(spark, sf_dir):
+    """V5 (non-degenerate): lineitem keys sharing an order, via the same
+    salted two-phase aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = duplicate_keys(li, ["l_orderkey"])
+    return d.groupBy(F.col("n").alias("lines_per_order")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_referential_orphans(spark, sf_dir):
+    """V6: orders.o_custkey not in customer via broadcast anti-join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    orphans = orphan_rows(o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"])
+    return orphans.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("orphan_orders")
+    )
+
+
+def q_hist_lang_by_source(spark, sf_dir):
+    """V7 input layer: per-(source, lang) histogram."""
+    d = _t(spark, sf_dir, "documents")
+    h = histogram(d, "source", F.col("lang"), "lang")
+    return h.select(F.col("partition_value").alias("source"), F.col("bin").alias("lang"), F.col("cnt"))
+
+
+def q_drift_lang_chisq_kl(spark, sf_dir):
+    """V7+V8: chi-square + KL of each source's lang histogram vs src0's."""
+    d = _t(spark, sf_dir, "documents")
+    h = histogram(d, "source", F.col("lang"), "lang")
+    s = drift_stats(h, ["src0"])
+    return s.select(
+        F.col("partition_value").alias("source"),
+        F.round("chi_square", 8).alias("chi_square"),
+        F.round("kl_divergence", 8).alias("kl_divergence"),
+        F.col("n_bins"),
+    )
+
+
+def q_drift_len_chisq_kl(spark, sf_dir):
+    """V7+V8 on log2 content-length bins of documents."""
+    d = _t(spark, sf_dir, "documents")
+    h = histogram(d, "source", length_bin(F.col("n_chars")), "len_bin")
+    s = drift_stats(h, ["src0"])
+    return s.select(
+        F.col("partition_value").alias("source"),
+        F.round("chi_square", 8).alias("chi_square"),
+        F.round("kl_divergence", 8).alias("kl_divergence"),
+        F.col("n_bins"),
+    )
+
+
+def q_fidelity_sha256(spark, sf_dir):
+    """V12: per-row sha256(text) — the row-fidelity invariant."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"))
+
+
+def q_lineage_xor(spark, sf_dir):
+    """V13 lineage fold: per-source xor of 60-bit sha prefixes + row count."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.sha2(F.col("text").cast("binary"), 256), 1, 15), 16, 10).cast("long")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.expr(
+            "bit_xor(cast(conv(substring(sha2(cast(text as binary),256),1,15),16,10) as bigint))"
+        ).alias("sha_xor"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by md5(text) (empty on this corpus = all unique);
+    emits the corpus-level summary so the result is non-degenerate."""
+    d = _t(spark, sf_dir, "documents")
+    groups = textops.exact_dup_groups(d, "doc_id", "text")
+    return d.select(F.md5(F.col("text").cast("binary")).alias("text_md5")).distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("distinct_texts")
+    ).crossJoin(groups.groupBy().agg(F.count(F.lit(1)).alias("dup_groups")))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.minhash_signatures(d, "doc_id", "text", k=8)
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.minhash_dup_pairs(d, "doc_id", "text", k=8, band_rows=2)
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.simhash(d, "doc_id", "text", bits=16)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-word-shingle Jaccard >= 0.2 pairs (low threshold so the
+    synthetic corpus yields rows)."""
+    d = _t(spark, sf_dir, "documents")
+    p = textops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return p.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.doc_quality(d, "doc_id", "text")
+
+
+def q_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.langid_stopwords(d, "doc_id", "text")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textops.doc_fingerprint(d, "doc_id", "text")
+
+
+def q_token_counts_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = textops.doc_quality(d, "doc_id", "text").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return q.groupBy("source").agg(
+        F.sum("token_count").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 8).alias("avg_quality"),
+    )
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.knn_bruteforce(e, "vec_id", "embedding", KNN_QUERY_IDS, k=5)
+
+
+def q_lsh_bucket_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.lsh_bucket_histogram(e, "embedding", n_planes=8)
+
+
+def q_knn_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.knn_lsh(e, "vec_id", "embedding", KNN_QUERY_IDS, k=5, n_planes=4)
+
+
+# --- reference drift operators over the events stream -----------------------
+
+EVENT_BLOCK = 500
+
+
+def _event_features(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("a0"),
+        F.floor(F.log2(F.col("value") + F.lit(1.0))).cast("string").alias("a1"),
+        F.date_format("ts", "HH").alias("a2"),
+    )
+
+
+def q_cdda_change_degrees(spark, sf_dir):
+    """C1-C5: rough-set change degree between consecutive event blocks —
+    full DataFrame form, SQL-expressible."""
+    feats = _event_features(spark, sf_dir)
+    deg = drift_cdda.change_degrees(feats, ["a0", "a1", "a2"], EVENT_BLOCK)
+    return deg.select("pair_id", F.round("change_degree", 8).alias("change_degree"))
+
+
+def q_cdda_equivalence_counts(spark, sf_dir):
+    """C3: per-block equivalence-class sizes (long format)."""
+    feats = with_block_id(_event_features(spark, sf_dir), EVENT_BLOCK)
+    return (
+        feats.select(
+            "block_id",
+            F.expr("stack(3, 'a0', a0, 'a1', a1, 'a2', a2) as (attr, value)"),
+        )
+        .groupBy("block_id", "attr", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_cdcstream_block_summaries(spark, sf_dir):
+    """D1-D10: per-block DILCA summaries over the events stream (non-SQL —
+    rows-only driver check; golden-tested against the pure-Python oracle)."""
+    feats = _event_features(spark, sf_dir)
+    return drift_cdcstream.block_summaries(feats, ["a0", "a1", "a2"], EVENT_BLOCK)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "colstats_documents": q_colstats_documents,
+        "type_conformance_lang": q_type_conformance_lang,
+        "unique_lineitem_pk": q_unique_lineitem_pk,
+        "unique_orderkey_multiplicity": q_unique_orderkey_multiplicity,
+        "referential_orphans": q_referential_orphans,
+        "hist_lang_by_source": q_hist_lang_by_source,
+        "drift_lang_chisq_kl": q_drift_lang_chisq_kl,
+        "drift_len_chisq_kl": q_drift_len_chisq_kl,
+        "fidelity_sha256": q_fidelity_sha256,
+        "lineage_xor": q_lineage_xor,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_quality": q_doc_quality,
+        "langid": q_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_counts_by_source": q_token_counts_by_source,
+        "knn_bruteforce": q_knn_bruteforce,
+        "lsh_bucket_histogram": q_lsh_bucket_histogram,
+        "knn_lsh": q_knn_lsh,
+        "cdda_change_degrees": q_cdda_change_degrees,
+        "cdda_equivalence_counts": q_cdda_equivalence_counts,
+        "cdcstream_block_summaries": q_cdcstream_block_summaries,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the validation column-stats pass over sf0.001 documents."""
+    return q_colstats_documents(spark, SF001)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+_TOK = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+_H64 = "(('0x' || substr(md5(t),1,15))::BIGINT)"
+_H31 = f"({_H64} % 2147483647)"
+_P = 2_147_483_647
+
+
+def _minhash_sql() -> str:
+    from driftval.textops import MINHASH_A, MINHASH_B
+
+    hs = ",\n    ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {_P})) AS h{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct({_TOK}) AS ts FROM documents
+), hashed AS (
+  SELECT doc_id, list_transform(ts, t -> {_H31}) AS hs FROM tok
+)
+SELECT doc_id, {hs} FROM hashed
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct({_TOK}) AS ts FROM documents
+), hashed AS (
+  SELECT doc_id, list_transform(ts, t -> {_H31}) AS hs FROM tok
+)
+SELECT doc_id, ({terms})::BIGINT AS simhash FROM hashed
+"""
+
+
+_SHINGLES = """
+  SELECT doc_id, list_distinct(
+    list_filter(
+      list_transform(toks, (x, i) -> CASE WHEN i + 2 <= len(toks)
+        THEN array_to_string(list_slice(toks, i, i + 2), ' ') END),
+      s -> s IS NOT NULL)
+  ) AS shingles
+  FROM (SELECT doc_id, {tok} AS toks FROM documents)
+""".format(tok=_TOK)
+
+
+_DRIFT_SQL_TMPL = """
+WITH hist AS (
+  SELECT source, {bin_expr} AS bin, count(*)::DOUBLE AS cnt FROM documents GROUP BY 1, 2
+), base AS (
+  SELECT bin, sum(cnt) AS base_cnt FROM hist WHERE source = 'src0' GROUP BY 1
+), cur AS (
+  SELECT source, bin, cnt AS cur_cnt FROM hist WHERE source <> 'src0'
+), domain AS (
+  SELECT p.source, b.bin FROM (SELECT DISTINCT source FROM cur) p
+  CROSS JOIN (SELECT bin FROM base UNION SELECT DISTINCT bin FROM cur) b
+), joined AS (
+  SELECT d.source, d.bin,
+         COALESCE(b.base_cnt, 0)::DOUBLE AS ob,
+         COALESCE(c.cur_cnt, 0)::DOUBLE AS oc
+  FROM domain d
+  LEFT JOIN base b ON d.bin = b.bin
+  LEFT JOIN cur c ON d.source = c.source AND d.bin = c.bin
+), tot AS (
+  SELECT source, sum(ob) AS n_base, sum(oc) AS n_cur, count(*) AS n_bins
+  FROM joined GROUP BY 1
+), ex AS (
+  SELECT j.*, t.n_base, t.n_cur, t.n_bins,
+         (j.ob + 0.5) / (t.n_base + 0.5 * t.n_bins) AS p_base,
+         (j.oc + 0.5) / (t.n_cur + 0.5 * t.n_bins) AS p_cur
+  FROM joined j JOIN tot t USING (source)
+)
+SELECT source,
+       round(sum((oc - n_cur * p_base) * (oc - n_cur * p_base) / (n_cur * p_base)), 8) AS chi_square,
+       round(sum(p_cur * ln(p_cur / p_base)), 8) AS kl_divergence,
+       first(n_bins) AS n_bins
+FROM ex GROUP BY source
+"""
+
+_STOP_EN = "['the','and','of','to','a','in','is','it','that','for']"
+_STOPLISTS = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit','von','zu']",
+    "en": _STOP_EN,
+    "es": "['el','la','los','las','es','un','una','que','de','por']",
+    "fr": "['le','la','les','et','est','un','une','des','dans','que']",
+}
+
+_PLANE_SUM = (
+    "list_sum(list_transform(v, (x, i) -> x::DOUBLE * "
+    "((((i - 1) * 31 + {p} * 17) % 7) - 3)::DOUBLE))"
+)
+
+
+def _bucket_sql(n_planes: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_PLANE_SUM.format(p=p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cdda_melt = """
+  SELECT (event_id // 500) AS b, 'a0' AS attr, event_type AS value FROM events
+  UNION ALL
+  SELECT (event_id // 500), 'a1', (floor(log2(value + 1.0))::BIGINT)::VARCHAR FROM events
+  UNION ALL
+  SELECT (event_id // 500), 'a2', strftime(ts, '%H') FROM events
+"""
+    return {
+        "colstats_documents": """
+SELECT source,
+       count(*) AS n_rows,
+       avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END) AS lang_null_rate,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       count(DISTINCT lang) AS lang_distinct,
+       sum(length(text))::BIGINT AS total_text_chars
+FROM documents GROUP BY source
+""",
+        "type_conformance_lang": """
+SELECT source,
+       (sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) = 0) AS passed,
+       avg(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh') THEN 1.0 ELSE 0.0 END) AS violation_rate,
+       sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END)::BIGINT AS violation_count
+FROM documents GROUP BY source
+""",
+        "unique_lineitem_pk": """
+SELECT l_orderkey, l_linenumber, count(*)::BIGINT AS dup_count
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+""",
+        "unique_orderkey_multiplicity": """
+SELECT n AS lines_per_order, count(*)::BIGINT AS n_orders FROM (
+  SELECT l_orderkey, count(*)::BIGINT AS n FROM lineitem GROUP BY 1 HAVING count(*) > 1
+) GROUP BY 1
+""",
+        "referential_orphans": """
+SELECT o_orderpriority, count(*)::BIGINT AS orphan_orders
+FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+        "hist_lang_by_source": """
+SELECT source, lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2
+""",
+        "drift_lang_chisq_kl": _DRIFT_SQL_TMPL.format(bin_expr="lang"),
+        "drift_len_chisq_kl": _DRIFT_SQL_TMPL.format(
+            bin_expr="(floor(log2(n_chars::DOUBLE + 1.0))::BIGINT)::VARCHAR"
+        ),
+        "fidelity_sha256": "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+        "lineage_xor": """
+SELECT source, count(*)::BIGINT AS rows_scanned,
+       bit_xor(('0x' || substr(sha256(text),1,15))::BIGINT) AS sha_xor
+FROM documents GROUP BY source
+""",
+        "dedup_exact": """
+SELECT (SELECT count(DISTINCT md5(text))::BIGINT FROM documents) AS distinct_texts,
+       (SELECT count(*)::BIGINT FROM (SELECT md5(text) m, count(*) c FROM documents GROUP BY 1 HAVING count(*) > 1)) AS dup_groups
+""",
+        "minhash_signatures": _minhash_sql(),
+        "minhash_dup_pairs": f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id AS _id, '0:' || h0 || ':' || h1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, '1:' || h2 || ':' || h3 FROM sig
+  UNION ALL SELECT doc_id, '2:' || h4 || ':' || h5 FROM sig
+  UNION ALL SELECT doc_id, '3:' || h6 || ':' || h7 FROM sig
+)
+SELECT DISTINCT l._id AS id_a, r._id AS id_b
+FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
+""",
+        "simhash": _simhash_sql(16),
+        "ngram_jaccard_pairs": f"""
+WITH sh AS (
+  SELECT doc_id AS _id, {_H64.replace('(t)', '(shingle)')} AS sh
+  FROM (
+    SELECT doc_id, unnest(shingles) AS shingle FROM ({_SHINGLES})
+  )
+), sizes AS (
+  SELECT _id, count(*)::BIGINT AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a._id AS id_a, b._id AS id_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a._id < b._id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 8) AS jaccard
+FROM inter
+JOIN sizes sa ON sa._id = id_a
+JOIN sizes sb ON sb._id = id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+""",
+        "doc_quality": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOK} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS token_count,
+         length(text)::BIGINT AS char_count,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS punct,
+         len(list_intersect(toks, {_STOP_EN}))::DOUBLE AS stop
+  FROM t
+), r AS (
+  SELECT doc_id, token_count, char_count,
+         CASE WHEN char_count > 0 THEN punct / char_count ELSE 0.0 END AS punct_ratio,
+         CASE WHEN token_count > 0 THEN stop / token_count ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN token_count > 0 THEN (char_count - token_count + 1.0) / token_count ELSE 0.0 END AS mean_wl
+  FROM feat
+)
+SELECT doc_id, token_count, char_count,
+       round(punct_ratio, 6)::DOUBLE AS punct_ratio,
+       round(stopword_ratio, 6)::DOUBLE AS stopword_ratio,
+       round(
+         (CASE WHEN token_count BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN mean_wl BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0 END), 2)::DOUBLE AS quality_score
+FROM r
+""",
+        "langid": f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOK}) AS ts FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_intersect(ts, {_STOPLISTS['de']})) AS s_de,
+         len(list_intersect(ts, {_STOPLISTS['en']})) AS s_en,
+         len(list_intersect(ts, {_STOPLISTS['es']})) AS s_es,
+         len(list_intersect(ts, {_STOPLISTS['fr']})) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM s
+""",
+        "doc_fingerprint": f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS toks FROM documents
+)
+SELECT doc_id,
+       COALESCE(list_aggregate(
+         list_transform(toks, (t, i) -> ({_H31} * i) % 2147483647),
+         'bit_xor'), 0)::BIGINT AS fingerprint
+FROM t
+""",
+        "token_counts_by_source": f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_TOK} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         len(toks)::BIGINT AS token_count,
+         length(text)::BIGINT AS char_count,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS punct,
+         len(list_intersect(toks, {_STOP_EN}))::DOUBLE AS stop
+  FROM t
+), r AS (
+  SELECT doc_id, source, token_count,
+         CASE WHEN char_count > 0 THEN punct / char_count ELSE 0.0 END AS punct_ratio,
+         CASE WHEN token_count > 0 THEN stop / token_count ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN token_count > 0 THEN (char_count - token_count + 1.0) / token_count ELSE 0.0 END AS mean_wl
+  FROM feat
+), scored AS (
+  SELECT source, token_count,
+         (CASE WHEN token_count BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN mean_wl BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0 END) AS q
+  FROM r
+)
+SELECT source, sum(token_count)::BIGINT AS total_tokens,
+       round(avg(round(q, 2)), 8) AS avg_quality
+FROM scored GROUP BY source
+""",
+        "knn_bruteforce": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qvec, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= 5
+""",
+        "lsh_bucket_histogram": f"""
+SELECT ({_bucket_sql(8)})::BIGINT AS bucket, count(*)::BIGINT AS n_vectors
+FROM (SELECT embedding AS v FROM embeddings) GROUP BY 1
+""",
+        "knn_lsh": f"""
+WITH wb AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS _vec, ({_bucket_sql(4)})::BIGINT AS bucket
+  FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings)
+), q AS (
+  SELECT _id AS query_id, _vec AS qvec, bucket FROM wb WHERE _id < 10
+), cands AS (
+  SELECT q.query_id, w._id AS neighbor_id,
+         round(list_dot_product(q.qvec, w._vec) /
+               (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(w._vec, w._vec))), 6) AS sim
+  FROM wb w JOIN q ON w.bucket = q.bucket AND w._id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cands
+)
+SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= 5
+""",
+        "cdda_equivalence_counts": f"""
+SELECT b AS block_id, attr, value, count(*)::BIGINT AS cnt
+FROM ({cdda_melt}) GROUP BY 1, 2, 3
+""",
+        "cdda_change_degrees": f"""
+WITH counts AS (
+  SELECT b AS block_id, attr, value, count(*)::BIGINT AS cnt
+  FROM ({cdda_melt}) GROUP BY 1, 2, 3
+), maxb AS (SELECT max(block_id) AS mb FROM counts),
+f AS (SELECT block_id + 1 AS pair_id, attr, value, cnt AS fc FROM counts),
+s AS (SELECT block_id AS pair_id, attr, value, cnt AS sc FROM counts),
+j AS (
+  SELECT COALESCE(f.pair_id, s.pair_id) AS pair_id,
+         COALESCE(f.attr, s.attr) AS attr,
+         COALESCE(f.value, s.value) AS value,
+         COALESCE(fc, 0) AS fc, COALESCE(sc, 0) AS sc
+  FROM f FULL OUTER JOIN s
+    ON f.pair_id = s.pair_id AND f.attr = s.attr AND f.value = s.value
+), masses AS (
+  SELECT pair_id, attr,
+         sum(CASE WHEN fc > 0 AND sc > 0 THEN fc ELSE 0 END)::DOUBLE AS fu,
+         sum(CASE WHEN fc > 0 AND sc = 0 THEN fc ELSE 0 END)::DOUBLE AS fl,
+         sum(CASE WHEN fc > 0 AND sc > 0 THEN sc ELSE 0 END)::DOUBLE AS su,
+         sum(CASE WHEN sc > 0 AND fc = 0 THEN sc ELSE 0 END)::DOUBLE AS sl
+  FROM j, maxb WHERE pair_id BETWEEN 1 AND mb
+  GROUP BY 1, 2
+)
+SELECT pair_id,
+       round(sum((CASE WHEN fu <> 0 THEN fl / fu WHEN fl > 0 THEN 'inf'::DOUBLE ELSE 'nan'::DOUBLE END)
+               + (CASE WHEN su <> 0 THEN sl / su WHEN sl > 0 THEN 'inf'::DOUBLE ELSE 'nan'::DOUBLE END))
+             / 6.0, 8) AS change_degree
+FROM masses GROUP BY pair_id
+""",
+    }

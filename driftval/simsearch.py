@@ -1,0 +1,137 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Brute-force cosine top-k is the correctness baseline (all-pairs against a
+small query set — the query side is broadcast, the corpus side streams, no
+shuffle until the final per-query top-k). The scale path buckets vectors with
+deterministic random-hyperplane LSH so candidate generation is a bucket-local
+join instead of a cross product.
+
+All arithmetic is double-precision column expressions (``zip_with`` +
+``aggregate``) so the DuckDB oracle can reproduce values exactly; similarities
+are rounded before ranking to keep cross-engine float folds stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (query side broadcast).
+
+    Returns (query_id, neighbor_id, sim, rank); self-matches excluded; ties
+    broken by neighbor id for determinism."""
+    queries = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = corpus.join(broadcast(queries)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket: plane p's weight for
+    dimension d is ``((d*31 + p*17) % 7) - 3`` (an integer in [-3, 3]) — a
+    fixed pseudo-random pattern reproducible in ANSI SQL. Bucket bit p = sign
+    of the weighted sum."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.transform(
+                vec,
+                lambda x, i: x.cast("double")
+                * (((i * 31 + p * 17) % 7) - 3).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_bucket_histogram(
+    df: DataFrame, vec_col: str, n_planes: int = 8
+) -> DataFrame:
+    """(bucket, n_vectors) — the LSH partitioning a bucketed ANN search uses."""
+    return (
+        df.select(hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def knn_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At scale this turns the cross product into a bucket-equi-join; recall is
+    tunable via ``n_planes`` (fewer planes -> bigger buckets -> higher recall).
+    """
+    with_bucket = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    queries = with_bucket.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"),
+        F.col("_vec").alias("qvec"),
+        F.col("bucket"),
+    )
+    cands = with_bucket.join(broadcast(queries), "bucket").where(
+        F.col("_id") != F.col("query_id")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("_vec")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.select("query_id", F.col("_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

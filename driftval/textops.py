@@ -1,0 +1,268 @@
+"""Training-data text operators: dedup, fingerprints, quality, lang-id.
+
+Everything here is expressed with built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Hash primitives are chosen to be
+bit-identical in ANSI SQL (DuckDB oracle twins): token hash = first 15 hex
+digits of md5 as a BIGINT, folded into 31-bit space for overflow-free affine
+hashing on both engines.
+
+Scale notes: per-doc operators are narrow (no shuffle). MinHash-LSH produces
+candidate pairs via a band-bucket self-join — the classic sub-quadratic path;
+the shingle-join Jaccard operator is exact and reserved for within-bucket
+verification or small corpora (quadratic in bucket size, never run it on the
+full 100 TB corpus without banding first).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_31 = 2_147_483_647  # 2^31 - 1, prime
+# Deterministic affine coefficients (odd, < 2^31), same constants in oracle SQL.
+MINHASH_A = [1_103_515_245, 1_299_709, 104_729, 15_485_863, 32_452_843, 49_979_687, 67_867_967, 86_028_121]
+MINHASH_B = [12_345, 7_919, 104_723, 15_485_857, 32_452_799, 49_979_621, 67_867_927, 86_028_061]
+
+
+def tokens(text: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens, empty strings dropped (portable: regexp split)."""
+    t = F.lower(text) if lowercase else text
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def token_hash64(tok: Column) -> Column:
+    """First 15 hex digits of md5 as BIGINT — identical to DuckDB's
+    ``('0x' || substr(md5(t),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def token_hash31(tok: Column) -> Column:
+    return token_hash64(tok) % F.lit(MERSENNE_31)
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct n-word shingles (space-joined), via indexed transform —
+    portable to DuckDB ``list_transform(arr, (x,i) -> ...)``."""
+    toks = tokens(text)
+    shingle = F.transform(
+        toks,
+        lambda x, i: F.when(
+            i + n <= F.size(toks), F.array_join(F.slice(toks, i + 1, n), " ")
+        ),
+    )
+    return F.array_distinct(F.filter(shingle, lambda s: s.isNotNull()))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact duplicates: (text_md5, n, min_id) for n > 1.
+
+    The groupBy key is the 128-bit md5, not the text — the shuffle carries
+    16 bytes + id per row instead of the document body."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """(id, h0..h{k-1}): k affine min-hashes over the distinct-token set.
+
+    Computed entirely inside array expressions — no explode, no shuffle."""
+    assert k <= len(MINHASH_A)
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hashed = F.transform(toks, lambda t: token_hash64(t) % MERSENNE_31)
+    cols = [F.col(id_col)]
+    for i in range(k):
+        h = F.transform(
+            hashed, lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % MERSENNE_31
+        )
+        cols.append(F.array_min(h).alias(f"h{i}"))
+    return df.select(*cols)
+
+
+def minhash_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, band_rows: int = 2
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of ``band_rows`` consecutive
+    min-hashes. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The self-join is per band-bucket — at scale, bucket sizes stay small, so
+    the join output is near-linear; AQE splits any skewed bucket."""
+    sig = minhash_signatures(df, id_col, text_col, k)
+    n_bands = k // band_rows
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            ":", F.lit(b), *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+        )
+        bands.append(sig.select(F.col(id_col).alias("_id"), key.alias("band_key")))
+    all_bands = reduce(DataFrame.unionByName, bands)
+    left = all_bands.alias("l")
+    right = all_bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash): ``bits``-bit SimHash over token hashes (±1 votes/bit)."""
+    hashed = F.transform(
+        F.array_distinct(tokens(F.col(text_col))), lambda t: token_hash64(t) % MERSENNE_31
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        sig = sig + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-word shingles: (id_a, id_b, jaccard).
+
+    Shingle-join form: intersection counts from a join on the shingle hash,
+    set sizes from a narrow per-doc aggregate. Quadratic in shingle-bucket
+    size — pair only within LSH bands at full scale."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).select("_id", token_hash64(F.col("shingle")).alias("sh"))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality / language id / fingerprints
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "de", "por"),
+}
+
+
+def doc_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features: token/char counts, punctuation ratio, English
+    stopword ratio, mean word length, and a [0,1] quality score."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(t).cast("long")
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+    stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    mean_wl = F.when(n_tok > 0, (n_chars - n_tok + 1) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100_000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wl >= 2) & (mean_wl <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("token_count"),
+        n_chars.alias("char_count"),
+        F.round(punct_ratio, 6).cast("double").alias("punct_ratio"),
+        F.round(stop_ratio, 6).cast("double").alias("stopword_ratio"),
+        F.round(score, 2).cast("double").alias("quality_score"),
+    )
+
+
+def langid_stopwords(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic stopword-profile language guess: distinct-token hits per
+    language's stopword list; argmax with lexicographic tiebreak ('und' =
+    undetermined when no list matches)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best_expr = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(STOPWORDS):  # later ties never overwrite (strict >)
+        s = scores[lang]
+        cond = s > best_score
+        best_expr = F.when(cond, F.lit(lang)).otherwise(best_expr)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return df.select(F.col(id_col), best_expr.alias("lang_guess"))
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive 31-bit polynomial fingerprint: XOR-fold of
+    position-weighted token hashes (portable: indexed list_transform +
+    bit_xor in DuckDB)."""
+    toks = tokens(F.col(text_col))
+    weighted = F.transform(
+        toks,
+        lambda x, i: ((token_hash64(x) % MERSENNE_31) * (i + 1)) % MERSENNE_31,
+    )
+    fp = F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at the given sf, compare
+row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+from driftval.session import build_session  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            continue
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(float).round(6)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+        else:
+            try:
+                df[c] = df[c].astype("int64")
+            except (TypeError, ValueError):
+                pass
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str, only: list[str]) -> int:
+    spark = build_session("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
+            failures += 1
+            continue
+        g, w = normalize(got), normalize(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            failures += 1
+            continue
+        mismatch = None
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                af, bf = a.astype(float), b.astype(float)
+                bad = ~(
+                    (af.isna() & bf.isna())
+                    | (af == bf)
+                    | ((af - bf).abs() <= 1e-6 + 1e-6 * bf.abs())
+                    | (af.apply(math.isinf) & bf.apply(math.isinf))
+                )
+                if bad.any():
+                    mismatch = (c, g[bad].head(3), w[bad].head(3))
+                    break
+            else:
+                if not a.astype(str).equals(b.astype(str)):
+                    bad = a.astype(str) != b.astype(str)
+                    mismatch = (c, g[bad].head(3), w[bad].head(3))
+                    break
+        if mismatch:
+            print(f"FAIL {name}: column {mismatch[0]} differs")
+            print("  spark:", mismatch[1].to_dict("records"))
+            print("  duck :", mismatch[2].to_dict("records"))
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if main(sf, sys.argv[2:]) else 0)
