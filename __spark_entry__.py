@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from driftval import simsearch, textops
+from driftval import multimodal, simsearch, textops
 from driftval.blocks import with_block_id
 from driftval.checks import drift_cdcstream, drift_cdda
 from driftval.checks.histogram import drift_stats, histogram, length_bin
@@ -220,6 +220,39 @@ def q_knn_lsh(spark, sf_dir):
     return simsearch.knn_lsh(e, "vec_id", "embedding", KNN_QUERY_IDS, k=5, n_planes=4)
 
 
+# --- multimodal columns (binary payload + typed metadata) -------------------
+
+
+def _media(spark, sf_dir):
+    return multimodal.media_table(_t(spark, sf_dir, "documents"))
+
+
+def q_media_conformance(spark, sf_dir):
+    """Metadata conformance of the multimodal table (JVM-only aggregation)."""
+    return multimodal.media_conformance(_media(spark, sf_dir)).select(
+        "media_type", "n_rows", "violation_count", "passed", "total_bytes"
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame sampling via sequence+explode with per-frame signatures."""
+    return multimodal.frame_sample(_media(spark, sf_dir), every_k=5)
+
+
+def q_media_decode_features(spark, sf_dir):
+    """Stub-codec decode features via mapInPandas, aggregated per media_type.
+
+    mean_intensity (byte mean of the payload) IS SQL-expressible on the
+    synthetic blob, so this keeps a value-checked oracle twin even though the
+    per-row path runs through the Arrow mapInPandas pipeline."""
+    feats = multimodal.decode_features(_media(spark, sf_dir))
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("decoded_bytes"),
+        F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+    )
+
+
 # --- reference drift operators over the events stream -----------------------
 
 EVENT_BLOCK = 500
@@ -284,6 +317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts_by_source": q_token_counts_by_source,
+        "media_conformance": q_media_conformance,
+        "media_frame_sample": q_media_frame_sample,
+        "media_decode_features": q_media_decode_features,
         "knn_bruteforce": q_knn_bruteforce,
         "lsh_bucket_histogram": q_lsh_bucket_histogram,
         "knn_lsh": q_knn_lsh,
@@ -577,6 +613,42 @@ WITH t AS (
 SELECT source, sum(token_count)::BIGINT AS total_tokens,
        round(avg(round(q, 2)), 8) AS avg_quality
 FROM scored GROUP BY source
+""",
+        "media_conformance": """
+WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         octet_length(encode(text))::BIGINT AS payload_len,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         (16 + doc_id % 32)::INT AS width, (16 + doc_id % 24)::INT AS height,
+         (8000 + (doc_id % 4) * 8000)::INT AS sample_rate, (1 + doc_id % 30)::INT AS n_frames
+  FROM documents
+)
+SELECT media_type, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN payload_len <> n_bytes OR width <= 0 OR height <= 0
+                     OR sample_rate <= 0 OR n_frames <= 0 THEN 1 ELSE 0 END)::BIGINT AS violation_count,
+       (sum(CASE WHEN payload_len <> n_bytes OR width <= 0 OR height <= 0
+                      OR sample_rate <= 0 OR n_frames <= 0 THEN 1 ELSE 0 END) = 0) AS passed,
+       sum(n_bytes)::BIGINT AS total_bytes
+FROM m GROUP BY media_type
+""",
+        "media_frame_sample": """
+SELECT doc_id, unnest(range(0, (1 + doc_id % 30)::BIGINT, 5))::BIGINT AS frame_idx,
+       md5(text || '#' || unnest(range(0, (1 + doc_id % 30)::BIGINT, 5))::VARCHAR) AS frame_sig
+FROM documents WHERE doc_id % 3 = 2
+""",
+        "media_decode_features": """
+WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         hex(encode(text)) AS hx, octet_length(encode(text))::BIGINT AS nb
+  FROM documents
+), per AS (
+  SELECT media_type, nb,
+         list_avg(list_transform(range(0, nb::INT), i -> ('0x' || substr(hx, 2*i+1, 2))::INT)) AS mean_b
+  FROM m
+)
+SELECT media_type, count(*)::BIGINT AS n_media, sum(nb)::BIGINT AS decoded_bytes,
+       round(avg(mean_b), 6) AS avg_intensity
+FROM per GROUP BY media_type
 """,
         "knn_bruteforce": """
 WITH q AS (

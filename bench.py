@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Driver bench contract: run the headline workload and print ONE JSON line.
+
+Two phases, both timed wall-clock:
+
+1. ``suite_e2e`` — the flagship metric. Generate the F1 source-code table
+   Spark-natively (``driftval.genfiles``) at ``DRIFTVAL_BENCH_ROWS_PER_PART``
+   rows × 8 partitions, write it to parquet (untimed), then run the FULL
+   resumable validation suite (V1-V14: stats, salted uniqueness, broadcast
+   referential, sha256 fidelity, chi²/KL histograms, DILCA/CDCStream, CDDA,
+   Krimp, lineage checkpoint). Reported as ``files_per_sec`` — the
+   BASELINE.json target metric.
+2. every ``queries()`` catalog entry at ``$SPARK_GRAFT_SF_DIR`` (default
+   sf0.1), each forced with a ``noop``-format write (full computation, no
+   driver collect).
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., "files_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_suite_bench(spark, rows_per_partition: int, block_size: int) -> dict:
+    """Timed full-suite pass over a freshly generated files table."""
+    from driftval.genfiles import dim_tables_spark, files_table_spark
+    from driftval.suite import SuiteConfig, run_suite
+
+    from pyspark.sql import functions as F
+
+    workdir = tempfile.mkdtemp(prefix="driftval-bench-")
+    try:
+        files_path = os.path.join(workdir, "files")
+        manifest_path = os.path.join(workdir, "manifest")
+        ckpt_path = os.path.join(workdir, "ckpt")
+
+        gen = files_table_spark(spark, rows_per_partition)
+        gen.write.partitionBy("part_date").mode("overwrite").parquet(files_path)
+        files = spark.read.parquet(files_path)
+        files.select("repo", "path", "commit", F.sha2(F.col("content"), 256).alias("expected_sha")) \
+            .write.mode("overwrite").parquet(manifest_path)
+        dim_repos, dim_commits = dim_tables_spark(files)
+        dim_repos = dim_repos.cache()
+        dim_commits = dim_commits.cache()
+        total_files = files.count()
+        _ = dim_repos.count(), dim_commits.count()
+        manifest = spark.read.parquet(manifest_path)
+
+        cfg = SuiteConfig(
+            baseline_partitions=[f"2026-01-{d:02d}" for d in range(1, 5)],
+            block_size=block_size,
+        )
+        t0 = time.monotonic()
+        verdicts = run_suite(
+            spark, files, cfg, ckpt_path, run_id="bench",
+            dim_repos=dim_repos, dim_commits=dim_commits, manifest=manifest,
+        )
+        n_verdicts = verdicts.count()
+        dt = time.monotonic() - t0
+        dim_repos.unpersist()
+        dim_commits.unpersist()
+        return {
+            "suite_sec": round(dt, 3),
+            "suite_files": total_files,
+            "files_per_sec": round(total_files / dt, 1),
+            "n_verdicts": n_verdicts,
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows_pp = int(os.environ.get("DRIFTVAL_BENCH_ROWS_PER_PART", "25000"))
+    block_size = int(os.environ.get("DRIFTVAL_BENCH_BLOCK_SIZE", "2500"))
+
+    from driftval.session import build_session
+
+    spark = build_session(
+        "driftval-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qtimes: dict[str, float] = {}
+
+    suite = run_suite_bench(spark, rows_pp, block_size)
+    qtimes["suite_e2e"] = suite["suite_sec"]
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    print(json.dumps({
+        "metric": "driftval_full_suite_plus_catalog_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf_of(sf_dir),
+        "suite_files": suite["suite_files"],
+        "files_per_sec": suite["files_per_sec"],
+        "n_verdicts": suite["n_verdicts"],
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -77,14 +77,35 @@ def partition_block_summaries(
     per (partition, block) group, all groups in parallel.
     """
     cols = list(categorical_cols)
-    blocked = with_block_id(
+    blocked = block_partitioned(
+        df, block_size, partition_col, order_col, tie_cols
+    ).select("partition_value", "block_id", *cols)
+    return summaries_from_blocked(blocked, cols)
+
+
+def block_partitioned(
+    df: DataFrame,
+    block_size: int,
+    partition_col: str,
+    order_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling block assignment within each table partition: adds
+    ``partition_value`` + ``block_id``. Derive once, reuse for every
+    blockwise consumer (the sequence derivation is the expensive part)."""
+    return with_block_id(
         df.withColumn("_part", F.col(partition_col).cast("string")),
         block_size,
         order_col=order_col,
         tie_cols=tie_cols,
         group_cols=["_part"],
         seq_col="_part_seq",
-    ).select(F.col("_part").alias("partition_value"), "block_id", *cols)
+    ).withColumn("partition_value", F.col("_part"))
+
+
+def summaries_from_blocked(blocked: DataFrame, cols: list[str]) -> DataFrame:
+    """DILCA summaries from a pre-blocked frame (see
+    :func:`block_partitioned`): one Arrow batch per (partition, block)."""
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

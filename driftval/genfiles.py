@@ -1,0 +1,160 @@
+"""Spark-native deterministic generator for the F1 source-code table.
+
+Bench-scale sibling of :func:`driftval.fixtures.files_table` (which is a
+pandas loop, fine for 16k-row test fixtures but not for benchmark inputs).
+Everything here is pure column expressions over ``spark.range`` — fully
+distributed, wall-clock-free, and deterministic (randomness = ``xxhash64`` of
+the row id, never ``rand()``), so regenerating under task retry yields
+identical rows.
+
+Same planted-anomaly layout as the pandas fixture (FIXTURES.md F1):
+partitions ``2026-01-01..04`` baseline concept; ``05`` lang-histogram drift;
+``06`` content-length drift; ``07`` duplicate (repo,path,commit) keys;
+``08`` ghost repos + NULL lang + malformed commits.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from driftval.fixtures import LANGS, LANG_EXT, PART_DATES
+
+_WORD_SOUP = (
+    "def class import return if else for while try except self value result "
+    "public static void int string new final private func package type struct "
+    "impl trait match let mut const var function export async await promise "
+    "data index count total merge split parse load store check valid error "
+)
+
+_BASELINE_LANG_W = [0.30, 0.20, 0.12, 0.12, 0.08, 0.08, 0.06, 0.04]
+_DRIFTED_LANG_W = [0.05, 0.05, 0.08, 0.08, 0.30, 0.24, 0.10, 0.10]
+
+
+def _u(salt: int, *cols: Column) -> Column:
+    """Deterministic uniform in [0, 1) from xxhash64 of (salt, cols)."""
+    return (F.abs(F.xxhash64(F.lit(salt), *cols)) % F.lit(1_000_003)) / F.lit(1_000_003.0)
+
+
+def _weighted_pick(u: Column, choices: list[str], weights: list[float]) -> Column:
+    cum, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        cum.append(acc)
+    expr: Column = F.lit(choices[-1])
+    for threshold, choice in zip(reversed(cum), reversed(choices[:-1])):
+        expr = F.when(u < F.lit(threshold), F.lit(choice)).otherwise(expr)
+    return expr
+
+
+def files_table_spark(
+    spark: SparkSession,
+    rows_per_partition: int,
+    partitions: list[str] | None = None,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed F1 table: (repo, path, commit, lang, content, part_date)."""
+    partitions = partitions or PART_DATES
+    npart = len(partitions)
+    total = npart * rows_per_partition
+    df = spark.range(0, total, 1, num_tasks or spark.sparkContext.defaultParallelism)
+
+    pi = (F.col("id") / rows_per_partition).cast("int") + 1  # 1-based partition index
+    r = (F.col("id") % rows_per_partition).cast("long")
+    part_date = F.element_at(
+        F.array(*[F.lit(p) for p in partitions]), pi.cast("int")
+    )
+
+    # Zipf-ish repo population: repo 0 takes ~40% of rows (the "giant repo"
+    # exercising V5 salting / V14 skew handling), the rest uniform over 19.
+    u_repo = _u(1, F.col("id"))
+    repo_idx = F.when(u_repo < 0.40, F.lit(0)).otherwise(
+        (((u_repo - 0.40) / 0.60) * 19).cast("int") + 1
+    )
+    repo = F.concat(F.lit("org"), (repo_idx % 7).cast("string"), F.lit("/repo"), repo_idx.cast("string"))
+
+    u_lang = _u(2, F.col("id"))
+    lang_base = _weighted_pick(u_lang, list(LANGS), _BASELINE_LANG_W)
+    lang_drift = _weighted_pick(u_lang, list(LANGS), _DRIFTED_LANG_W)
+    lang = F.when(pi == 5, lang_drift).otherwise(lang_base)
+
+    ext_map = F.create_map(*[F.lit(x) for kv in LANG_EXT.items() for x in kv])
+    path = F.concat(
+        F.lit("src/"),
+        F.element_at(F.array(*[F.lit(c) for c in "abcdef"]), ((F.abs(F.xxhash64(F.lit(3), F.col("id"))) % 6) + 1).cast("int")),
+        F.lit("/f"),
+        (F.abs(F.xxhash64(F.lit(4), F.col("id"))) % 500).cast("string"),
+        F.lit("."),
+        ext_map[lang],
+    )
+
+    commit = F.sha1(
+        F.concat(repo, F.lit("|"), part_date, F.lit("|"), r.cast("string")).cast("binary")
+    )
+
+    # Log-normal content length via Box–Muller over two hash-uniforms; the
+    # length-drift partition (pi=6) shifts mu 5.5→7.5 exactly like the fixture.
+    u1 = _u(5, F.col("id"))
+    u2 = _u(6, F.col("id"))
+    z = F.sqrt(-2.0 * F.log(u1 + F.lit(1e-12))) * F.cos(F.lit(2.0 * math.pi) * u2)
+    mu = F.when(pi == 6, F.lit(7.5)).otherwise(F.lit(5.5))
+    sigma = F.when(pi == 6, F.lit(0.9)).otherwise(F.lit(0.8))
+    target_len = F.least(
+        F.lit(10_000), F.greatest(F.lit(10), F.exp(mu + sigma * z).cast("int"))
+    )
+
+    soup_reps = (target_len / len(_WORD_SOUP)).cast("int") + 1
+    content = F.concat(
+        F.lit("// lang="),
+        lang,
+        F.lit("\n"),
+        F.substring(
+            F.concat(commit, F.lit(" "), F.repeat(F.lit(_WORD_SOUP), soup_reps)),
+            1,
+            target_len,
+        ),
+    )
+
+    base = df.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+        part_date.alias("part_date"),
+        pi.alias("_pi"),
+        r.alias("_r"),
+    )
+
+    # Partition 7: duplicate the first 5% of its rows (exact key duplicates).
+    dups = base.where((F.col("_pi") == 7) & (F.col("_r") < rows_per_partition // 20))
+    out = base.unionByName(dups)
+
+    # Partition 8: ghost repos, NULL lang, malformed commits.
+    out = out.select(
+        F.when((F.col("_pi") == 8) & (F.col("_r") % 17 == 0),
+               F.concat(F.lit("ghost/repo"), F.col("_r").cast("string")))
+        .otherwise(F.col("repo")).alias("repo"),
+        "path",
+        F.when((F.col("_pi") == 8) & (F.col("_r") % 29 == 0), F.lit("not-a-sha!"))
+        .otherwise(F.col("commit")).alias("commit"),
+        F.when((F.col("_pi") == 8) & (F.col("_r") % 23 == 0), F.lit(None).cast("string"))
+        .otherwise(F.col("lang")).alias("lang"),
+        "content",
+        "part_date",
+    )
+    return out
+
+
+def dim_tables_spark(files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of :func:`driftval.fixtures.dim_tables`: all legit keys."""
+    legit = files.where(
+        (~F.col("repo").startswith("ghost/")) & F.col("commit").rlike("^[0-9a-f]{40}$")
+    )
+    return (
+        legit.select("repo").distinct(),
+        legit.select("repo", "commit").distinct(),
+    )

@@ -1,0 +1,171 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched ``mapInPandas`` pipelines.
+
+Design for 100 TB: payloads never leave the executor as rows — every stage is
+a ``mapInPandas`` over the scan (no shuffle until the final small aggregate),
+metadata checks are pure JVM column expressions (pushdown-friendly), and the
+per-batch Python work is vectorized NumPy over ``pyarrow``-delivered byte
+arrays.
+
+The actual codec step is STUBBED: this container ships no image/audio codecs
+(no PIL/ffmpeg), so ``decode_payload`` uses a clearly-marked deterministic
+fake (byte-level statistics standing in for pixel/sample decoding) unless a
+real codec is importable — the Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) is real and tested either way.
+
+No multimodal capability exists in the reference (SURVEY.md §2.6); this module
+is part of the [SPEC] training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "width int, height int, sample_rate int, n_frames int, n_bytes long"
+)
+
+
+def media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic multimodal table derived from the documents fixture:
+    payload = UTF-8 bytes of the text (an opaque blob as far as the pipeline
+    is concerned), media_type round-robins by id, typed metadata columns."""
+    i = F.col(id_col).cast("long")
+    return docs.select(
+        i.alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]), (i % 3 + 1).cast("int")
+        ).alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        (F.lit(16) + (i % 32)).cast("int").alias("width"),
+        (F.lit(16) + (i % 24)).cast("int").alias("height"),
+        (F.lit(8000) + (i % 4) * F.lit(8000)).cast("int").alias("sample_rate"),
+        (F.lit(1) + (i % 30)).cast("int").alias("n_frames"),
+        F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _codec_available() -> bool:
+    try:  # real codec path — not present in this container
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """STUB codec: deterministic byte-array view standing in for decoded
+    pixels/samples. Replace with PIL/soundfile when available."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
+    if _codec_available():
+        raise NotImplementedError(
+            "real codec decode is intentionally out of scope in this container; "
+            "wire PIL/soundfile/ffmpeg here on a real cluster"
+        )
+    return _fake_decode(payload)
+
+
+def decode_features(media: DataFrame, hist_bins: int = 16) -> DataFrame:
+    """Per-payload decoded-signal features via one ``mapInPandas`` pass:
+    mean/std intensity plus an L1-normalized ``hist_bins``-bucket byte
+    histogram (the stand-in for pixel/spectral features). No shuffle."""
+    out_schema = (
+        "doc_id long, media_type string, n_bytes long, "
+        "mean_intensity double, std_intensity double, hist array<double>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = decode_payload(bytes(payload), mtype)
+                hist = np.bincount(arr >> (8 - hist_bins.bit_length() + 1), minlength=hist_bins)[:hist_bins]
+                total = max(1, int(hist.sum()))
+                rows.append(
+                    (
+                        int(doc_id), mtype, int(arr.size),
+                        float(arr.mean()) if arr.size else 0.0,
+                        float(arr.std()) if arr.size else 0.0,
+                        (hist / total).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "n_bytes", "mean_intensity", "std_intensity", "hist"],
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def resize_stub(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Image 'resize': recompute metadata JVM-side, mark payload transform as
+    the stubbed codec step (payload passes through; a real codec would
+    re-encode). Keeps full lineage columns for downstream verification."""
+    return media.where(F.col("media_type") == "image").select(
+        "doc_id",
+        "payload",
+        F.col("width").alias("orig_width"),
+        F.col("height").alias("orig_height"),
+        F.lit(target_w).alias("width"),
+        F.lit(target_h).alias("height"),
+        (F.col("n_bytes") * target_w * target_h / (F.col("width") * F.col("height")))
+        .cast("long")
+        .alias("est_bytes"),
+    )
+
+
+def frame_sample(media: DataFrame, every_k: int = 5) -> DataFrame:
+    """Video frame sampling: explode every k-th frame index JVM-side
+    (``sequence`` + ``explode`` — no Python), with a deterministic per-frame
+    signature for downstream dedup/fingerprint joins."""
+    frames = media.where(F.col("media_type") == "video").select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+        ).alias("frame_idx"),
+        F.col("payload"),
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(
+            F.concat(
+                F.decode(F.col("payload"), "UTF-8"), F.lit("#"), F.col("frame_idx").cast("string")
+            )
+        ).alias("frame_sig"),
+    )
+
+
+def media_conformance(media: DataFrame) -> DataFrame:
+    """Metadata conformance per media_type — pure JVM aggregation:
+    payload length must equal declared n_bytes; dims/rate/frames positive."""
+    bad = (
+        (F.length("payload") != F.col("n_bytes"))
+        | (F.col("width") <= 0)
+        | (F.col("height") <= 0)
+        | (F.col("sample_rate") <= 0)
+        | (F.col("n_frames") <= 0)
+    ).cast("long")
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad).alias("violation_count"),
+        (F.sum(bad) == 0).alias("passed"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from driftval.blocks import order_key, with_block_id
+from driftval.blocks import order_key
 from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore
 from driftval.checks import drift_cdcstream, drift_cdda
 from driftval.checks.fidelity import fidelity_verdicts, partition_lineage
@@ -117,20 +117,16 @@ def _blockwise_verdicts(
     per pending partition over ``baseline blocks ++ partition blocks``.
     """
     scope = cfg.baseline_partitions + pending_current
-    scoped = feats.where(F.col("partition_value").isin(scope)).persist()
+    scoped = feats.where(F.col("partition_value").isin(scope))
+    # Derive the (partition, block) assignment ONCE — the sequence derivation
+    # (quantile pass + per-bucket window) is the expensive part — and reuse it
+    # for both the DILCA summaries and the CDDA value counts.
+    blocked = drift_cdcstream.block_partitioned(
+        scoped, cfg.block_size, "partition_value", "_ord", ["_tie"]
+    ).select("partition_value", "block_id", *attr_cols).persist()
     try:
-        summaries = drift_cdcstream.partition_block_summaries(
-            scoped, attr_cols, cfg.block_size, "partition_value", "_ord", ["_tie"]
-        ).toPandas()
+        summaries = drift_cdcstream.summaries_from_blocked(blocked, attr_cols).toPandas()
 
-        blocked = with_block_id(
-            scoped.withColumn("_part", F.col("partition_value")),
-            cfg.block_size,
-            order_col="_ord",
-            tie_cols=["_tie"],
-            group_cols=["_part"],
-            seq_col="_part_seq",
-        )
         melt_pairs = ", ".join(f"'{c}', `{c}`" for c in attr_cols)
         counts = (
             blocked.select(
@@ -143,7 +139,7 @@ def _blockwise_verdicts(
             .toPandas()
         )
     finally:
-        scoped.unpersist()
+        blocked.unpersist()
 
     # --- driver-side assembly over tiny frames ---
     summaries = summaries.sort_values(["partition_value", "block_id"])
@@ -314,14 +310,16 @@ def run_suite(
     for f in frames[1:]:
         verdicts = verdicts.unionByName(f)
     verdicts_pdf = verdicts.toPandas()
-    verdicts_pdf["segment_start"] = None
-    verdicts_pdf["segment_end"] = None
+    verdicts_pdf["segment_start"] = pd.array([None] * len(verdicts_pdf), dtype="Int64")
+    verdicts_pdf["segment_end"] = pd.array([None] * len(verdicts_pdf), dtype="Int64")
 
     # V9/V10 — blockwise drift (driver decisions over single-job block stats).
     feats, attr_cols = drift_features(files, cfg)
     if pending_current:
         bw = _blockwise_verdicts(spark, feats, attr_cols, cfg, pending_current)
         if not bw.empty:
+            bw["segment_start"] = bw["segment_start"].astype("Int64")
+            bw["segment_end"] = bw["segment_end"].astype("Int64")
             verdicts_pdf = pd.concat([verdicts_pdf, bw], ignore_index=True)
 
     # V11 — Krimp codetable drift.
@@ -334,8 +332,8 @@ def run_suite(
             cfg.krimp_threshold,
         ).where(F.col("partition_value").isin(pending_current)).toPandas()
         if not krimp.empty:
-            krimp["segment_start"] = None
-            krimp["segment_end"] = None
+            krimp["segment_start"] = pd.array([None] * len(krimp), dtype="Int64")
+            krimp["segment_end"] = pd.array([None] * len(krimp), dtype="Int64")
             verdicts_pdf = pd.concat([verdicts_pdf, krimp], ignore_index=True)
 
     # Baseline partitions trivially pass the drift checks they define.
@@ -355,7 +353,10 @@ def run_suite(
         for c in drift_checks
     ]
     if base_rows:
-        verdicts_pdf = pd.concat([verdicts_pdf, pd.DataFrame(base_rows)], ignore_index=True)
+        base_pdf = pd.DataFrame(base_rows)
+        base_pdf["segment_start"] = base_pdf["segment_start"].astype("Int64")
+        base_pdf["segment_end"] = base_pdf["segment_end"].astype("Int64")
+        verdicts_pdf = pd.concat([verdicts_pdf, base_pdf], ignore_index=True)
 
     # lineage + run metadata
     lineage = partition_lineage(scoped, pcol, cfg.content_col).toPandas()

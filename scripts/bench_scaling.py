@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Scaling evidence (BASELINE.json north rule): the SAME suite job at two
+parallelism levels — ``local[8]`` (N) and ``local[32]`` (4N) — over the SAME
+pre-generated input, reporting throughput at both plus per-core scaling
+efficiency. Sandbox stand-in for N vs 4N executors (driver instruction).
+
+Each level runs in its own subprocess (fresh JVM — Spark can't change master
+in-process, and this also keeps JIT/codegen warm-up comparable). Within a
+subprocess the suite runs twice: first pass is the warm-up, second is timed.
+
+Usage:
+    python scripts/bench_scaling.py            # full run, writes BENCH/BASELINE.md
+    python scripts/bench_scaling.py --worker local[8] <files_path> <manifest_path>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROWS_PP = int(os.environ.get("DRIFTVAL_SCALE_ROWS_PER_PART", "125000"))
+BLOCK_SIZE = int(os.environ.get("DRIFTVAL_SCALE_BLOCK_SIZE", "5000"))
+MASTERS = ["local[8]", "local[32]"]
+
+
+def _run_suite_once(spark, files, manifest, dim_repos, dim_commits, ckpt) -> int:
+    from driftval.suite import SuiteConfig, run_suite
+
+    cfg = SuiteConfig(
+        baseline_partitions=[f"2026-01-{d:02d}" for d in range(1, 5)],
+        block_size=BLOCK_SIZE,
+    )
+    return run_suite(
+        spark, files, cfg, ckpt, run_id=f"scale-{time.monotonic_ns()}",
+        dim_repos=dim_repos, dim_commits=dim_commits, manifest=manifest,
+    ).count()
+
+
+def worker(master: str, files_path: str, manifest_path: str) -> None:
+    from driftval.genfiles import dim_tables_spark
+    from driftval.session import build_session
+
+    cores = int(master.split("[")[1].rstrip("]"))
+    spark = build_session("driftval-scale", master=master, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    files = spark.read.parquet(files_path)
+    manifest = spark.read.parquet(manifest_path)
+    dim_repos, dim_commits = dim_tables_spark(files)
+    dim_repos = dim_repos.cache()
+    dim_commits = dim_commits.cache()
+    _ = dim_repos.count(), dim_commits.count()
+    total_files = files.count()
+
+    with tempfile.TemporaryDirectory(prefix="driftval-scale-ckpt-") as tmp:
+        _run_suite_once(spark, files, manifest, dim_repos, dim_commits, os.path.join(tmp, "warm"))  # warm-up
+        t0 = time.monotonic()
+        n = _run_suite_once(spark, files, manifest, dim_repos, dim_commits, os.path.join(tmp, "timed"))
+        dt = time.monotonic() - t0
+
+    print(json.dumps({
+        "master": master, "cores": cores, "suite_sec": round(dt, 3),
+        "files": total_files, "files_per_sec": round(total_files / dt, 1),
+        "n_verdicts": n,
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    from driftval.genfiles import files_table_spark
+    from driftval.session import build_session
+
+    from pyspark.sql import functions as F
+
+    workdir = tempfile.mkdtemp(prefix="driftval-scale-")
+    files_path = os.path.join(workdir, "files")
+    manifest_path = os.path.join(workdir, "manifest")
+    try:
+        spark = build_session("driftval-scale-gen", master="local[32]", shuffle_partitions=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        files_table_spark(spark, ROWS_PP).write.partitionBy("part_date").parquet(files_path)
+        spark.read.parquet(files_path).select(
+            "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("expected_sha")
+        ).write.parquet(manifest_path)
+        spark.stop()
+
+        results = []
+        for master in MASTERS:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", master,
+                 files_path, manifest_path],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results.append(json.loads(line))
+            print(line)
+
+        lo, hi = results[0], results[1]
+        speedup = hi["files_per_sec"] / lo["files_per_sec"]
+        core_ratio = hi["cores"] / lo["cores"]
+        eff = speedup / core_ratio
+        report = {
+            "rows_per_partition": ROWS_PP, "block_size": BLOCK_SIZE,
+            "runs": results, "speedup": round(speedup, 3),
+            "efficiency": round(eff, 3),
+        }
+        print(json.dumps(report))
+
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(f"""# BENCH — measured throughput & scaling evidence
+
+Workload: the FULL validation suite (V1-V14 — column stats, salted uniqueness,
+broadcast referential integrity, sha256 fidelity vs manifest, chi²/KL histogram
+drift, DILCA/CDCStream blockwise drift, CDDA, Krimp codetable drift, lineage
+checkpoint write) over a Spark-generated F1 source-code table:
+{lo['files']:,} files across 8 date partitions ({ROWS_PP:,} rows/partition
+before planted duplicates), block_size={BLOCK_SIZE}. Same parquet input for
+both runs; per-level fresh JVM; one untimed warm-up pass, second pass timed.
+
+The north rule's two-cluster-size criterion (N vs 4N executors) is evidenced
+in this sandbox by the same job at two parallelism levels (driver
+instruction): `local[8]` vs `local[32]` on identical input.
+
+| parallelism | suite wall (s) | validated files/sec |
+|---|---|---|
+| local[8] (N) | {lo['suite_sec']} | {lo['files_per_sec']:,} |
+| local[32] (4N) | {hi['suite_sec']} | {hi['files_per_sec']:,} |
+
+- speedup (4N vs N): **{speedup:.2f}×** (ideal 4×)
+- per-core scaling efficiency: **{eff:.2f}** (target ≥ 0.8)
+
+Reference comparison: the reference publishes no numbers (BASELINE.md); its
+workload is a single-threaded Java loop over ~494k rows. Our `local[8]` run
+validates {lo['files_per_sec']:,.0f} files/sec through a strictly larger check
+suite.
+
+Raw JSON: `BENCH/scaling.json`.
+""")
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(report, f, indent=2)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], sys.argv[3], sys.argv[4])
+    else:
+        main()

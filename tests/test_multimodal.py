@@ -1,0 +1,74 @@
+"""Multimodal plumbing tests: binary payload schema, Arrow mapInPandas decode
+(stub codec), frame sampling, resize metadata, conformance aggregation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from driftval import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "abc def " * (i + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    return multimodal.media_table(docs).cache()
+
+
+def test_media_schema_and_types(media):
+    d = dict(media.dtypes)
+    assert d["payload"] == "binary"
+    assert d["media_type"] == "string"
+    assert d["n_bytes"] == "bigint"
+    types = {r["media_type"] for r in media.select("media_type").distinct().collect()}
+    assert types == {"image", "audio", "video"}
+
+
+def test_conformance_all_pass(media):
+    rows = multimodal.media_conformance(media).collect()
+    assert len(rows) == 3
+    assert all(r["passed"] and r["violation_count"] == 0 for r in rows)
+
+
+def test_conformance_catches_bad_metadata(media):
+    broken = media.withColumn(
+        "n_bytes",
+        F.when(F.col("doc_id") == 0, F.lit(1)).otherwise(F.col("n_bytes")),
+    )
+    rows = {r["media_type"]: r for r in multimodal.media_conformance(broken).collect()}
+    assert not rows["image"]["passed"] and rows["image"]["violation_count"] == 1
+    assert rows["audio"]["passed"]
+
+
+def test_decode_features_matches_numpy(media):
+    feats = {r["doc_id"]: r for r in multimodal.decode_features(media).collect()}
+    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(feats) == set(src)
+    for doc_id, payload in src.items():
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        row = feats[doc_id]
+        assert row["n_bytes"] == arr.size
+        assert row["mean_intensity"] == pytest.approx(arr.mean())
+        assert row["std_intensity"] == pytest.approx(arr.std())
+        assert len(row["hist"]) == 16
+        assert sum(row["hist"]) == pytest.approx(1.0)
+
+
+def test_frame_sample_every_k(media):
+    frames = multimodal.frame_sample(media, every_k=5).collect()
+    metas = {r["doc_id"]: r["n_frames"] for r in media.where("media_type='video'").collect()}
+    by_doc: dict[int, list[int]] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert set(by_doc) == set(metas)
+    for doc_id, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(0, metas[doc_id], 5))
+    assert len({(r["doc_id"], r["frame_sig"]) for r in frames}) == len(frames)
+
+
+def test_resize_stub_metadata(media):
+    out = multimodal.resize_stub(media, 8, 8).collect()
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+    assert all(r["orig_width"] >= 16 for r in out)
