@@ -220,6 +220,19 @@ def q_knn_lsh(spark, sf_dir):
     return simsearch.knn_lsh(e, "vec_id", "embedding", KNN_QUERY_IDS, k=5, n_planes=4)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within LSH buckets (threshold tuned to
+    the synthetic corpus's cosine tail so the result is non-degenerate)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.near_dup_pairs(e, "vec_id", "embedding", 0.3, n_planes=4)
+
+
+def q_knn_ivf(spark, sf_dir):
+    """IVF single-probe ANN with a deterministic coarse quantizer."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.knn_ivf(e, "vec_id", "embedding", KNN_QUERY_IDS, k=5, n_centroids=8)
+
+
 # --- multimodal columns (binary payload + typed metadata) -------------------
 
 
@@ -323,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "lsh_bucket_histogram": q_lsh_bucket_histogram,
         "knn_lsh": q_knn_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_ivf": q_knn_ivf,
         "cdda_change_degrees": q_cdda_change_degrees,
         "cdda_equivalence_counts": q_cdda_equivalence_counts,
         "cdcstream_block_summaries": q_cdcstream_block_summaries,
@@ -679,6 +694,45 @@ WITH wb AS (
          round(list_dot_product(q.qvec, w._vec) /
                (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(w._vec, w._vec))), 6) AS sim
   FROM wb w JOIN q ON w.bucket = q.bucket AND w._id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cands
+)
+SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= 5
+""",
+        "embedding_near_dup": f"""
+WITH wb AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS _vec, ({_bucket_sql(4)})::BIGINT AS bucket
+  FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings)
+)
+SELECT a._id AS id_a, b._id AS id_b,
+       round(list_dot_product(a._vec, b._vec) /
+             (sqrt(list_dot_product(a._vec, a._vec)) * sqrt(list_dot_product(b._vec, b._vec))), 6) AS sim
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a._id < b._id
+WHERE round(list_dot_product(a._vec, b._vec) /
+            (sqrt(list_dot_product(a._vec, a._vec)) * sqrt(list_dot_product(b._vec, b._vec))), 6) >= 0.3
+""",
+        "knn_ivf": """
+WITH v AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS vec FROM embeddings
+), c AS (
+  SELECT _id AS cluster_id, vec AS centroid FROM v WHERE _id < 8
+), scored AS (
+  SELECT v._id, v.vec, c.cluster_id,
+         round(list_dot_product(v.vec, c.centroid) /
+               (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS csim
+  FROM v CROSS JOIN c
+), assigned AS (
+  SELECT _id, vec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id ORDER BY csim DESC, cluster_id ASC) AS rk FROM scored
+  ) WHERE rk = 1
+), q AS (
+  SELECT _id AS query_id, vec AS qvec, cluster_id FROM assigned WHERE _id < 10
+), cands AS (
+  SELECT q.query_id, a._id AS neighbor_id,
+         round(list_dot_product(q.qvec, a.vec) /
+               (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(a.vec, a.vec))), 6) AS sim
+  FROM assigned a JOIN q ON a.cluster_id = q.cluster_id AND a._id <> q.query_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM cands

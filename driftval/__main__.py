@@ -1,0 +1,137 @@
+"""driftval CLI — spark-submit entry point.
+
+Subcommands:
+
+- ``cdcstream`` / ``cdda``: the reference's two detectors over a CSV stream,
+  printing concept segments exactly as the reference's stdout sink does —
+  one ``<lastCount>-<currentCount>`` line per segment, then ``Done.``
+  (CDCStream/DriftDetector.java:102-115, CDDA/DriftDetector.java:62-75;
+  defaults = Main.java:26-40: blockSize 10000, driftCoefficient 3,
+  minChangeDegree 0.1, no header).
+- ``suite``: the full validation suite over a partitioned source-code table,
+  resumable from the checkpoint table.
+
+Cluster use (north rule):
+
+    python scripts/make_pyfiles.py   # -> dist/driftval.zip
+    spark-submit --py-files dist/driftval.zip driftval/__main__.py suite \\
+        --path s3://bucket/files --checkpoint s3://bucket/ckpt \\
+        --baseline 2026-01-01,2026-01-02 --run-id r1
+
+Locally the session defaults to ``local[$SPARK_GRAFT_CPUS]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from driftval.session import build_session
+from driftval.sources import read_categorical_csv, read_files_table
+
+
+def _add_stream_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--input", required=True, help="CSV path (RFC4180, UTF-8)")
+    p.add_argument("--block-size", type=int, default=10_000)
+    p.add_argument("--has-header", action="store_true")
+    p.add_argument("--columns", help="comma-separated attribute subset (default: all)")
+
+
+def _stream_df(spark, args):
+    df = read_categorical_csv(spark, args.input, has_header=args.has_header)
+    cols = [c for c in df.columns if c != "seq"]
+    if args.columns:
+        cols = args.columns.split(",")
+    return df.select("seq", *cols), cols
+
+
+def cmd_cdcstream(spark, args) -> int:
+    from driftval.checks.drift_cdcstream import cdcstream_check
+
+    df, cols = _stream_df(spark, args)
+    res = cdcstream_check(df, cols, args.block_size, args.drift_coefficient)
+    for start, end in res.segments:
+        print(f"{start}-{end}")
+    print("Done.")
+    return 0
+
+
+def cmd_cdda(spark, args) -> int:
+    from driftval.checks.drift_cdda import cdda_check
+
+    df, cols = _stream_df(spark, args)
+    res = cdda_check(df, cols, args.block_size, args.min_change_degree)
+    for start, end in res.segments:
+        print(f"{start}-{end}")
+    print("Done.")
+    return 0
+
+
+def cmd_suite(spark, args) -> int:
+    from driftval.suite import SuiteConfig, run_suite
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    cfg = SuiteConfig(
+        baseline_partitions=args.baseline.split(","),
+        partition_col=args.partition_col,
+        block_size=args.block_size,
+        drift_coefficient=args.drift_coefficient,
+        min_change_degree=args.min_change_degree,
+    )
+    dim_repos = spark.read.parquet(args.dim_repos) if args.dim_repos else None
+    dim_commits = spark.read.parquet(args.dim_commits) if args.dim_commits else None
+    manifest = spark.read.parquet(args.manifest) if args.manifest else None
+    verdicts = run_suite(
+        spark, files, cfg, args.checkpoint, run_id=args.run_id,
+        dim_repos=dim_repos, dim_commits=dim_commits, manifest=manifest,
+    ).toPandas()
+    verdicts = verdicts.sort_values(["partition_value", "check_name"])
+    cols = ["partition_value", "check_name", "passed", "metric", "violation_count"]
+    print(verdicts[cols].to_string(index=False))
+    n_fail = int((~verdicts["passed"]).sum())
+    print(f"\n{len(verdicts)} verdicts, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="driftval")
+    ap.add_argument("--master", default=None, help="Spark master (default: env/local)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("cdcstream", help="reference CDCStream detector over CSV")
+    _add_stream_args(p)
+    p.add_argument("--drift-coefficient", type=float, default=3.0)
+    p.set_defaults(fn=cmd_cdcstream)
+
+    p = sub.add_parser("cdda", help="reference CDDA detector over CSV")
+    _add_stream_args(p)
+    p.add_argument("--min-change-degree", type=float, default=0.1)
+    p.set_defaults(fn=cmd_cdda)
+
+    p = sub.add_parser("suite", help="full validation suite over a partitioned table")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--baseline", required=True, help="comma-separated baseline partitions")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--partition-col", default="part_date")
+    p.add_argument("--block-size", type=int, default=500)
+    p.add_argument("--drift-coefficient", type=float, default=3.0)
+    p.add_argument("--min-change-degree", type=float, default=0.35)
+    p.add_argument("--dim-repos")
+    p.add_argument("--dim-commits")
+    p.add_argument("--manifest")
+    p.set_defaults(fn=cmd_suite)
+
+    args = ap.parse_args(argv)
+    spark = build_session("driftval", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return args.fn(spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

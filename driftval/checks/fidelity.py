@@ -19,15 +19,21 @@ def with_content_sha(df: DataFrame, content_col: str = "content", out: str = "co
 
 
 def partition_lineage(
-    df: DataFrame, partition_col: str, content_col: str = "content"
+    df: DataFrame, partition_col: str, content_col: str = "content",
+    sha_col: str | None = None,
 ) -> DataFrame:
-    """(partition_value, rows_scanned, content_sha_xor) — one row per partition."""
+    """(partition_value, rows_scanned, content_sha_xor) — one row per partition.
+
+    Pass ``sha_col`` when the digest is already materialized (the suite's
+    single-content-pass derived frame) to avoid re-hashing."""
+    hashed = df if sha_col else with_content_sha(df, content_col)
+    sha = sha_col or "content_sha"
     return (
-        with_content_sha(df, content_col)
+        hashed
         .groupBy(F.col(partition_col).cast("string").alias("partition_value"))
         .agg(
             F.count(F.lit(1)).alias("rows_scanned"),
-            F.lower(F.hex(F.expr("bit_xor(xxhash64(content_sha))"))).alias("content_sha_xor"),
+            F.lower(F.hex(F.expr(f"bit_xor(xxhash64(`{sha}`))"))).alias("content_sha_xor"),
         )
     )
 
@@ -39,16 +45,18 @@ def fidelity_verdicts(
     partition_col: str,
     content_col: str = "content",
     expected_sha_col: str = "expected_sha",
+    sha_col: str | None = None,
 ) -> DataFrame:
     """Per-partition verdicts: every row's sha256(content) matches the manifest.
 
     A row violates if its key is missing from the manifest or the digest
     differs. The manifest join uses the key columns (broadcast if small; a
-    sort-merge join on the key otherwise — Spark/AQE picks)."""
-    hashed = with_content_sha(df, content_col).select(
+    sort-merge join on the key otherwise — Spark/AQE picks). ``sha_col``
+    reuses an already-materialized digest column."""
+    hashed = (df if sha_col else with_content_sha(df, content_col)).select(
         F.col(partition_col).cast("string").alias("partition_value"),
         *key_cols,
-        "content_sha",
+        F.col(sha_col or "content_sha").alias("content_sha"),
     )
     joined = hashed.join(
         manifest.select(*key_cols, expected_sha_col), key_cols, "left"

@@ -19,14 +19,18 @@ VERDICT_COLS = ["partition_value", "check_name", "passed", "metric", "threshold"
 
 @dataclass(frozen=True)
 class NullRate:
-    """V1: fraction of NULLs in ``column`` must be <= ``max_rate``."""
+    """V1: fraction of NULLs in ``column`` must be <= ``max_rate``.
+
+    ``label`` names the check when ``column`` is a derived stand-in (e.g. the
+    suite checks content nulls through the derived sha column)."""
 
     column: str
     max_rate: float = 0.0
+    label: str | None = None
 
     @property
     def name(self) -> str:
-        return f"null_rate:{self.column}"
+        return f"null_rate:{self.label or self.column}"
 
 
 @dataclass(frozen=True)

@@ -34,7 +34,9 @@ def build_session(
         "spark.sql.shuffle.partitions": str(shuffle_partitions or int(cpus)),
         # Keep parquet scans wide enough to parallelize on local[32] fixtures.
         "spark.sql.files.maxPartitionBytes": "64m",
-        "spark.driver.memory": os.environ.get("DRIFTVAL_DRIVER_MEM", "8g"),
+        # local mode: driver == executor — size it for 32 concurrent tasks
+        # (8g measured 2.5x run-to-run variance from GC pressure at 1M rows).
+        "spark.driver.memory": os.environ.get("DRIFTVAL_DRIVER_MEM", "48g"),
         "spark.ui.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
     }

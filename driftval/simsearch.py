@@ -101,6 +101,88 @@ def lsh_bucket_histogram(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates = same LSH bucket
+    (bucket-local self-join, never all-pairs), kept iff cosine >= threshold.
+    Returns (id_a, id_b, sim) with id_a < id_b."""
+    wb = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    pairs = wb.alias("a").join(
+        wb.alias("b"),
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
+    )
+    sim = F.round(cosine(F.col("a._vec"), F.col("b._vec")), round_digits)
+    return (
+        pairs.select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), sim.alias("sim")
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def assign_ivf_cluster(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid by
+    cosine. Centroids here are the first ``n_centroids`` vectors by id — a
+    deterministic stand-in for k-means training (swap in trained centroids on
+    a real pipeline; the assignment/search plumbing is identical). The
+    centroid table is broadcast; assignment is a narrow map, no shuffle."""
+    centroids = df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centroid")
+    )
+    scored = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")).join(
+        broadcast(centroids)
+    )
+    sim = F.round(cosine(F.col("_vec"), F.col("centroid")), 6)
+    w = Window.partitionBy("_id").orderBy(F.desc("csim"), F.asc("cluster_id"))
+    return (
+        scored.select("_id", "_vec", "cluster_id", sim.alias("csim"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("_id", "_vec", "cluster_id")
+    )
+
+
+def knn_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via IVF: search only the query's coarse cluster
+    (single-probe). The scale path for ANN when LSH bucket skew is a concern —
+    cluster sizes are balanced by the quantizer, and the candidate join is a
+    cluster-equi-join co-partitioned on cluster_id."""
+    assigned = assign_ivf_cluster(df, id_col, vec_col, n_centroids)
+    queries = assigned.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), F.col("_vec").alias("qvec"), "cluster_id"
+    )
+    cands = assigned.join(broadcast(queries), "cluster_id").where(
+        F.col("_id") != F.col("query_id")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("_vec")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.select("query_id", F.col("_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     id_col: str,

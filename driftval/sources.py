@@ -1,0 +1,86 @@
+"""Sources: the reference's CSV stream (S1-S5) plus partitioned-table scans.
+
+The reference's only source is an RFC4180 UTF-8 CSV read as an ordered record
+stream with a monotone counter (CategoricalRecordStreamReader.java:42-49,
+DataStreamReader.java:57-62). The Spark-native equivalent: ``spark.read.text``
++ ``zipWithIndex`` (text splits are ordered by file offset, so the index IS
+the file order — the one sanctioned RDD use, SURVEY.md §1.2), then per-line
+RFC4180 parsing on executors. ``seq`` reproduces ``countSoFar`` exactly:
+0-based over data records, header excluded.
+
+Limitation vs full RFC4180 (shared with every line-splitting CSV reader):
+quoted fields must not contain embedded newlines. The reference's workload
+(KDD Cup) has none. Use ``multiline_csv`` for such files (single-task read).
+
+For production tables, the engine reads partitioned Parquet (or an Iceberg
+catalog table when a catalog is configured) — see :func:`read_files_table`.
+"""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_categorical_csv(
+    spark: SparkSession,
+    path: str,
+    has_header: bool = False,
+    column_names: list[str] | None = None,
+) -> DataFrame:
+    """Ordered categorical record stream from CSV: ``(seq, c0..c{m-1})``, all
+    strings, ``seq`` = 0-based data-record index in file order."""
+    lines = spark.read.text(path)
+    first = lines.first()
+    if first is None:
+        raise ValueError(f"empty CSV: {path}")
+    header_row = next(csv.reader([first["value"]]))
+    width = len(header_row)
+    if column_names is None:
+        column_names = (
+            [c.strip() for c in header_row] if has_header else [f"c{i}" for i in range(width)]
+        )
+    if len(column_names) != width:
+        raise ValueError(f"expected {width} columns, got names {column_names}")
+
+    skip = 1 if has_header else 0
+
+    def parse(pairs):
+        for row, idx in pairs:
+            if idx < skip:
+                continue
+            rec = next(csv.reader([row["value"]]))
+            yield (int(idx - skip), *rec)
+
+    schema = T.StructType(
+        [T.StructField("seq", T.LongType(), False)]
+        + [T.StructField(c, T.StringType(), True) for c in column_names]
+    )
+    return spark.createDataFrame(lines.rdd.zipWithIndex().mapPartitions(parse), schema)
+
+
+def multiline_csv(
+    spark: SparkSession, path: str, has_header: bool = False
+) -> DataFrame:
+    """Fallback for CSVs with embedded newlines: Spark's multiLine reader
+    (single task per file — correct, not parallel) + a one-pass sequence."""
+    df = spark.read.option("header", has_header).option("multiLine", True).csv(path)
+    from driftval.blocks import with_sequence
+    from pyspark.sql import functions as F
+
+    ordered = df.withColumn("_ord", F.monotonically_increasing_id())
+    return with_sequence(ordered, "_ord").drop("_ord")
+
+
+def read_files_table(
+    spark: SparkSession, path: str | None = None, table: str | None = None
+) -> DataFrame:
+    """The engine's production source: a partitioned Parquet dataset
+    (``--path``) or a catalog table such as Iceberg (``--table``) — identical
+    partition-column semantics either way (SURVEY.md §7 step 9; no Iceberg
+    jar ships in this sandbox, so tests exercise the Parquet branch)."""
+    if (path is None) == (table is None):
+        raise ValueError("exactly one of path/table required")
+    return spark.read.table(table) if table else spark.read.parquet(path)

@@ -26,9 +26,14 @@ O(blocks × attrs × values) binned histograms.
 from __future__ import annotations
 
 import datetime as dt
+import os
+import sys
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,6 +55,19 @@ from driftval.checks.stats import (
 from driftval.checks.uniqueness import uniqueness_verdicts
 
 NULL_TOKEN = "<null>"
+
+
+@contextmanager
+def _timed(label: str):
+    """Stage timing to stderr when DRIFTVAL_SUITE_TIMINGS=1 (perf triage)."""
+    if os.environ.get("DRIFTVAL_SUITE_TIMINGS") != "1":
+        yield
+        return
+    t0 = time.monotonic()
+    try:
+        yield
+    finally:
+        print(f"[suite-timing] {label}: {time.monotonic() - t0:.2f}s", file=sys.stderr)
 
 
 @dataclass
@@ -83,15 +101,35 @@ class SuiteConfig:
         ]
 
 
-def drift_features(df: DataFrame, cfg: SuiteConfig) -> tuple[DataFrame, list[str]]:
-    """Categorical drift columns (the reference's "attributes"): lang, log2
-    content-length bin, path extension. ``content`` itself never crosses the
-    Arrow boundary — only these derived columns do (SURVEY.md §4.2)."""
-    feats = df.select(
+LEN_COL = "_content_len"
+SHA_COL = "_content_sha"
+
+
+def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """THE single pass over ``content``: every downstream stage (stats,
+    fidelity, histograms, drift features, lineage) reads this frame, which is
+    ~100x smaller than the raw table (length + sha instead of the body), so
+    ``content`` is scanned/decoded once and sha256 computed once per run."""
+    extra = [c for c in {cfg.lang_col, cfg.path_col} if c not in cfg.key_cols]
+    return files.select(
+        F.col(cfg.partition_col),
+        *[F.col(c) for c in cfg.key_cols],
+        *[F.col(c) for c in extra],
+        F.length(F.col(cfg.content_col)).cast("long").alias(LEN_COL),
+        F.sha2(F.col(cfg.content_col), 256).alias(SHA_COL),
+    )
+
+
+def drift_features(derived: DataFrame, cfg: SuiteConfig) -> tuple[DataFrame, list[str]]:
+    """Categorical drift columns (the reference's "attributes") from the
+    derived frame: lang, log2 content-length bin, path extension. ``content``
+    itself never crosses the Arrow boundary — only these derived columns do
+    (SURVEY.md §4.2)."""
+    feats = derived.select(
         F.col(cfg.partition_col).cast("string").alias("partition_value"),
         F.coalesce(F.col(cfg.lang_col).cast("string"), F.lit(NULL_TOKEN)).alias("f_lang"),
         F.coalesce(
-            length_bin(F.length(F.col(cfg.content_col))).cast("string"), F.lit(NULL_TOKEN)
+            length_bin(F.col(LEN_COL)).cast("string"), F.lit(NULL_TOKEN)
         ).alias("f_len_bin"),
         F.coalesce(
             F.nullif(F.regexp_extract(F.col(cfg.path_col), r"\.([^./]+)$", 1), F.lit("")),
@@ -101,6 +139,20 @@ def drift_features(df: DataFrame, cfg: SuiteConfig) -> tuple[DataFrame, list[str
         F.concat_ws("\x00", *[F.col(c) for c in cfg.key_cols]).alias("_tie"),
     )
     return feats, ["f_lang", "f_len_bin", "f_ext"]
+
+
+def _derived_default_constraints(cfg: SuiteConfig) -> list[StatsConstraint]:
+    """The default V1-V4 set phrased over the derived frame (same check names
+    as :meth:`SuiteConfig.default_constraints`): content nulls via the sha
+    column (null iff content null), length bounds via the length column."""
+    out: list[StatsConstraint] = [NullRate(c, 0.0) for c in cfg.key_cols]
+    out.append(NullRate(cfg.lang_col, 0.0))
+    out.append(NullRate(SHA_COL, 0.0, label=cfg.content_col))
+    out.append(Bounds(LEN_COL, lo=1, hi=10_000_000, label="content_length"))
+    out.append(DistinctCount(cfg.lang_col, lo=1, hi=64))
+    if "commit" in cfg.key_cols:
+        out.append(TypeConformance("commit", pattern="[0-9a-f]{40}"))
+    return out
 
 
 def _blockwise_verdicts(
@@ -125,19 +177,21 @@ def _blockwise_verdicts(
         scoped, cfg.block_size, "partition_value", "_ord", ["_tie"]
     ).select("partition_value", "block_id", *attr_cols).persist()
     try:
-        summaries = drift_cdcstream.summaries_from_blocked(blocked, attr_cols).toPandas()
+        with _timed("blockwise:summaries"):
+            summaries = drift_cdcstream.summaries_from_blocked(blocked, attr_cols).toPandas()
 
         melt_pairs = ", ".join(f"'{c}', `{c}`" for c in attr_cols)
-        counts = (
-            blocked.select(
-                "partition_value",
-                "block_id",
-                F.expr(f"stack({len(attr_cols)}, {melt_pairs}) as (attr, value)"),
+        with _timed("blockwise:counts"):
+            counts = (
+                blocked.select(
+                    "partition_value",
+                    "block_id",
+                    F.expr(f"stack({len(attr_cols)}, {melt_pairs}) as (attr, value)"),
+                )
+                .groupBy("partition_value", "block_id", "attr", "value")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .toPandas()
             )
-            .groupBy("partition_value", "block_id", "attr", "value")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .toPandas()
-        )
     finally:
         blocked.unpersist()
 
@@ -257,10 +311,24 @@ def run_suite(
     if not pending:
         return store.read().where(F.col("run_id") == run_id)
 
-    scoped = files.where(F.col(pcol).cast("string").isin(pending))
-    constraints = cfg.stats_constraints or SuiteConfig.default_constraints()
+    pending_current = [p for p in pending if p not in cfg.baseline_partitions]
 
-    frames: list[DataFrame] = [stats_verdicts(scoped, pcol, constraints)]
+    # THE content pass: scope = pending ∪ baseline (drift stages compare
+    # against baseline partitions even when those are already checkpointed),
+    # persisted because every stage below reads it — it carries length + sha
+    # instead of the body, so it is ~100x smaller than the table.
+    scope_parts = sorted(set(pending) | set(cfg.baseline_partitions))
+    derived = derive_columns(
+        files.where(F.col(pcol).cast("string").isin(scope_parts)), cfg
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    derived_pending = derived.where(F.col(pcol).cast("string").isin(pending))
+
+    if cfg.stats_constraints:
+        # custom constraints may reference arbitrary raw columns
+        scoped_raw = files.where(F.col(pcol).cast("string").isin(pending))
+        frames: list[DataFrame] = [stats_verdicts(scoped_raw, pcol, cfg.stats_constraints)]
+    else:
+        frames = [stats_verdicts(derived_pending, pcol, _derived_default_constraints(cfg))]
 
     # V5 — duplicates are judged table-wide but attributed per partition;
     # key columns only (column pruning keeps content out of this shuffle).
@@ -272,35 +340,32 @@ def run_suite(
 
     if dim_repos is not None:
         frames.append(
-            referential_verdicts(scoped, dim_repos, ["repo"], pcol, "referential:(repo)")
+            referential_verdicts(derived_pending, dim_repos, ["repo"], pcol, "referential:(repo)")
         )
     if dim_commits is not None:
         frames.append(
             referential_verdicts(
-                scoped, dim_commits, ["repo", "commit"], pcol, "referential:(repo,commit)"
+                derived_pending, dim_commits, ["repo", "commit"], pcol, "referential:(repo,commit)"
             )
         )
     if manifest is not None:
         frames.append(
-            fidelity_verdicts(scoped, manifest, list(cfg.key_cols), pcol, cfg.content_col)
+            fidelity_verdicts(
+                derived_pending, manifest, list(cfg.key_cols), pcol, sha_col=SHA_COL
+            )
         )
-
-    pending_current = [p for p in pending if p not in cfg.baseline_partitions]
 
     # V7/V8 — histogram drift vs pooled baseline (baseline partitions pass).
     if pending_current:
-        hist_scope = files.where(
-            F.col(pcol).cast("string").isin(cfg.baseline_partitions + pending_current)
-        )
         frames.append(
             histogram_drift_verdicts(
-                hist_scope, pcol, F.col(cfg.lang_col), "lang",
+                derived, pcol, F.col(cfg.lang_col), "lang",
                 cfg.baseline_partitions, cfg.chi2_threshold, cfg.kl_threshold,
             ).where(F.col("partition_value").isin(pending_current))
         )
         frames.append(
             histogram_drift_verdicts(
-                hist_scope, pcol, length_bin(F.length(F.col(cfg.content_col))),
+                derived, pcol, length_bin(F.col(LEN_COL)),
                 "content_len_bin", cfg.baseline_partitions,
                 cfg.chi2_threshold, cfg.kl_threshold,
             ).where(F.col("partition_value").isin(pending_current))
@@ -309,14 +374,16 @@ def run_suite(
     verdicts = frames[0]
     for f in frames[1:]:
         verdicts = verdicts.unionByName(f)
-    verdicts_pdf = verdicts.toPandas()
+    with _timed("constraint-union-collect"):
+        verdicts_pdf = verdicts.toPandas()
     verdicts_pdf["segment_start"] = pd.array([None] * len(verdicts_pdf), dtype="Int64")
     verdicts_pdf["segment_end"] = pd.array([None] * len(verdicts_pdf), dtype="Int64")
 
     # V9/V10 — blockwise drift (driver decisions over single-job block stats).
-    feats, attr_cols = drift_features(files, cfg)
+    feats, attr_cols = drift_features(derived, cfg)
     if pending_current:
-        bw = _blockwise_verdicts(spark, feats, attr_cols, cfg, pending_current)
+        with _timed("blockwise-total"):
+            bw = _blockwise_verdicts(spark, feats, attr_cols, cfg, pending_current)
         if not bw.empty:
             bw["segment_start"] = bw["segment_start"].astype("Int64")
             bw["segment_end"] = bw["segment_end"].astype("Int64")
@@ -324,6 +391,7 @@ def run_suite(
 
     # V11 — Krimp codetable drift.
     if pending_current:
+      with _timed("krimp"):
         krimp = krimp_drift_verdicts(
             feats.select("partition_value", *attr_cols),
             "partition_value",
@@ -359,7 +427,9 @@ def run_suite(
         verdicts_pdf = pd.concat([verdicts_pdf, base_pdf], ignore_index=True)
 
     # lineage + run metadata
-    lineage = partition_lineage(scoped, pcol, cfg.content_col).toPandas()
+    with _timed("lineage"):
+        lineage = partition_lineage(derived_pending, pcol, sha_col=SHA_COL).toPandas()
+    derived.unpersist()
     out = verdicts_pdf.merge(lineage, on="partition_value", how="left")
     out["run_id"] = run_id
     out["completed_at"] = pd.Timestamp(completed_at).tz_localize(None)
@@ -369,5 +439,6 @@ def run_suite(
     out["rows_scanned"] = out["rows_scanned"].astype("Int64")
 
     result = spark.createDataFrame(out[[f.name for f in CHECKPOINT_SCHEMA.fields]], CHECKPOINT_SCHEMA)
-    store.write(result)
+    with _timed("checkpoint-write"):
+        store.write(result)
     return store.read().where(F.col("run_id") == run_id)

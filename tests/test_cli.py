@@ -1,0 +1,68 @@
+"""CLI parity tests: `python -m driftval cdcstream|cdda` over a CSV must print
+exactly the segment lines the reference's stdout sink would (oracle replay),
+including the EOF flush and trailing "Done."."""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+from driftval import fixtures, oracle
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SEG_RE = re.compile(r"^\d+-\d+$")
+
+
+def _run_cli(args: list[str]) -> list[str]:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", *args],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return [l for l in out.stdout.splitlines() if SEG_RE.match(l) or l == "Done."]
+
+
+@pytest.fixture(scope="module")
+def stream_csv(tmp_path_factory):
+    pdf = fixtures.categorical_stream(
+        block_size=150, concept_blocks=(3, 3, 2), seed=7, partial_tail=37
+    )
+    path = tmp_path_factory.mktemp("csv") / "stream.csv"
+    pdf.drop(columns=["seq"]).to_csv(path, index=False, header=False)
+    return pdf, str(path)
+
+
+def test_cli_cdcstream_matches_oracle(stream_csv):
+    pdf, path = stream_csv
+    blocks = fixtures.stream_blocks(pdf, 150)
+    want = [f"{s.start}-{s.end}" for s in oracle.cdcstream_segments(blocks, 3.0)]
+    got = _run_cli(["cdcstream", "--input", path, "--block-size", "150"])
+    assert got == want + ["Done."]
+
+
+def test_cli_cdda_matches_oracle(stream_csv):
+    pdf, path = stream_csv
+    blocks = fixtures.stream_blocks(pdf, 150)
+    want = [f"{s.start}-{s.end}" for s in oracle.cdda_segments(blocks, 0.25)]
+    got = _run_cli(
+        ["cdda", "--input", path, "--block-size", "150", "--min-change-degree", "0.25"]
+    )
+    assert got == want + ["Done."]
+
+
+def test_csv_header_and_column_subset(spark, tmp_path):
+    pdf = fixtures.categorical_stream(block_size=50, concept_blocks=(1, 1, 0), seed=3)
+    path = tmp_path / "h.csv"
+    pdf.drop(columns=["seq"]).to_csv(path, index=False, header=True)
+    from driftval.sources import read_categorical_csv
+
+    df = read_categorical_csv(spark, str(path), has_header=True)
+    assert df.columns == ["seq", "a0", "a1", "a2", "a3", "a4"]
+    rows = df.orderBy("seq").collect()
+    assert len(rows) == len(pdf)
+    assert rows[0]["seq"] == 0
+    assert rows[0]["a0"] == pdf["a0"].iloc[0]
+    assert rows[-1]["a4"] == pdf["a4"].iloc[-1]
