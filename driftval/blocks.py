@@ -36,6 +36,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+UNIFORM_ORDER_MAX = float(2**32)  # crc32 order keys are uniform on [0, 2^32)
+
+
 def with_sequence(
     df: DataFrame,
     order_col: str,
@@ -43,17 +46,26 @@ def with_sequence(
     group_cols: list[str] | None = None,
     seq_col: str = "seq",
     num_buckets: int | None = None,
+    uniform_order_max: float | None = None,
 ) -> DataFrame:
     """Add a deterministic 0-based ``seq`` ordered by numeric ``order_col``
     (ties broken by ``tie_cols``), restarting at 0 within each ``group_cols``
-    group (e.g. per table partition)."""
+    group (e.g. per table partition).
+
+    ``uniform_order_max``: when the order column is known uniform on
+    [0, uniform_order_max) — e.g. a crc32 key (:func:`order_key`) — bucket
+    boundaries are computed STATICALLY, skipping the quantile pre-pass (one
+    whole extra scan + driver round-trip per call)."""
     tie_cols = tie_cols or []
     group_cols = group_cols or []
     n_buckets = num_buckets or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
 
-    if n_buckets > 1:
+    if n_buckets > 1 and uniform_order_max is not None:
+        step = uniform_order_max / n_buckets
+        boundaries = [step * i for i in range(1, n_buckets)]
+    elif n_buckets > 1:
         fracs = [i / n_buckets for i in range(1, n_buckets)]
         row = df.select(
             F.percentile_approx(
@@ -104,6 +116,7 @@ def with_block_id(
     group_cols: list[str] | None = None,
     seq_col: str = "seq",
     block_col: str = "block_id",
+    uniform_order_max: float | None = None,
 ) -> DataFrame:
     """Assign each row to exactly one tumbling block (S3/S4 semantics).
 
@@ -115,7 +128,8 @@ def with_block_id(
         if order_col is None:
             raise ValueError("order_col required when no sequence column exists")
         df = with_sequence(
-            df, order_col, tie_cols=tie_cols, group_cols=group_cols, seq_col=seq_col
+            df, order_col, tie_cols=tie_cols, group_cols=group_cols, seq_col=seq_col,
+            uniform_order_max=uniform_order_max,
         )
     return df.withColumn(block_col, (F.col(seq_col) / F.lit(block_size)).cast("long"))
 

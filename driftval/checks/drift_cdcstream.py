@@ -89,6 +89,7 @@ def block_partitioned(
     partition_col: str,
     order_col: str,
     tie_cols: list[str] | None = None,
+    uniform_order_max: float | None = None,
 ) -> DataFrame:
     """Tumbling block assignment within each table partition: adds
     ``partition_value`` + ``block_id``. Derive once, reuse for every
@@ -100,7 +101,37 @@ def block_partitioned(
         tie_cols=tie_cols,
         group_cols=["_part"],
         seq_col="_part_seq",
+        uniform_order_max=uniform_order_max,
     ).withColumn("partition_value", F.col("_part"))
+
+
+def summaries_and_counts_from_blocked(blocked: DataFrame, cols: list[str]) -> DataFrame:
+    """ONE grouped-map pass per (partition, block) emitting BOTH the DILCA
+    summary row (kind='s': n_rows in ``cnt``, ``summary`` set) and the CDDA
+    per-(attr, value) count rows (kind='c') — the two blockwise drift inputs
+    share a single shuffle + single action instead of two."""
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = pdf["partition_value"].iloc[0]
+        block = int(pdf["block_id"].iloc[0])
+        rows = [
+            (part, block, "s", None, None, len(pdf), block_summary_np(pdf, cols))
+        ]
+        for attr in cols:
+            for value, cnt in pdf[attr].value_counts(dropna=False).items():
+                rows.append((part, block, "c", attr, value, int(cnt), None))
+        return pd.DataFrame(
+            rows,
+            columns=["partition_value", "block_id", "kind", "attr", "value", "cnt", "summary"],
+        )
+
+    return blocked.groupBy("partition_value", "block_id").applyInPandas(
+        emit,
+        schema=(
+            "partition_value string, block_id long, kind string, "
+            "attr string, value string, cnt long, summary double"
+        ),
+    )
 
 
 def summaries_from_blocked(blocked: DataFrame, cols: list[str]) -> DataFrame:

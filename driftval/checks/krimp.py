@@ -219,6 +219,65 @@ def krimp_drift(
     return (l_cross - l_self) / l_self
 
 
+def _wtx_from_rows(rows, item_cols: list[str]) -> WeightedTx:
+    return [
+        (
+            frozenset(
+                f"{c}={'' if pd.isna(v) else v}" for c, v in zip(item_cols, row[:-1])
+            ),
+            int(row[-1]),
+        )
+        for row in rows
+    ]
+
+
+def krimp_verdicts_from_combos(
+    combos: pd.DataFrame,
+    item_cols: list[str],
+    baseline_partitions: list[str],
+    threshold: float = 0.05,
+    min_support: int = 5,
+    max_itemset: int = 3,
+) -> pd.DataFrame:
+    """Krimp drift verdicts from a COLLECTED combo histogram — columns
+    ``(partition_value, *item_cols, _w)``, one row per distinct attribute
+    combo per partition. The histogram is O(partitions × Π domain) regardless
+    of table size (the engine bins first), so the whole comparison is driver
+    math over a tiny frame: build the pooled-baseline codetable, then encode
+    each current partition under it vs its own codetable."""
+    base = (
+        combos[combos["partition_value"].isin(baseline_partitions)]
+        .groupby(item_cols, dropna=False)["_w"].sum().reset_index()
+    )
+    ct_base = build_codetable(
+        _wtx_from_rows(base.itertuples(index=False, name=None), item_cols),
+        min_support, max_itemset,
+    )
+    check = f"krimp:({','.join(item_cols)})"
+    rows = []
+    cur = combos[~combos["partition_value"].isin(baseline_partitions)]
+    for part, sub in cur.groupby("partition_value"):
+        tx = _wtx_from_rows(
+            sub[item_cols + ["_w"]].itertuples(index=False, name=None), item_cols
+        )
+        ct_cur = build_codetable(tx, min_support, max_itemset)
+        l_cross = encode_with(tx, ct_base)
+        l_self = encode_with(tx, ct_cur)
+        d = 0.0 if l_self == 0 else (l_cross - l_self) / l_self
+        rows.append(
+            {
+                "partition_value": part, "check_name": check,
+                "passed": bool(d < threshold), "metric": float(d),
+                "threshold": float(threshold),
+                "violation_count": 0 if d < threshold else -1,
+            }
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["partition_value", "check_name", "passed", "metric", "threshold", "violation_count"],
+    )
+
+
 def krimp_drift_verdicts(
     df: DataFrame,
     partition_col: str,

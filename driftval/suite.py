@@ -32,17 +32,19 @@ import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
+from concurrent.futures import ThreadPoolExecutor
+
 import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from driftval.blocks import order_key
+from driftval.blocks import UNIFORM_ORDER_MAX, order_key
 from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore
 from driftval.checks import drift_cdcstream, drift_cdda
 from driftval.checks.fidelity import fidelity_verdicts, partition_lineage
 from driftval.checks.histogram import histogram_drift_verdicts, length_bin
-from driftval.checks.krimp import krimp_drift_verdicts
+from driftval.checks.krimp import krimp_verdicts_from_combos
 from driftval.checks.referential import referential_verdicts
 from driftval.checks.stats import (
     Bounds,
@@ -155,45 +157,36 @@ def _derived_default_constraints(cfg: SuiteConfig) -> list[StatsConstraint]:
     return out
 
 
-def _blockwise_verdicts(
-    spark: SparkSession,
-    feats: DataFrame,
+def _blockwise_frame(
+    feats: DataFrame, attr_cols: list[str], cfg: SuiteConfig, scope: list[str]
+) -> DataFrame:
+    """The single distributed job behind V9+V10: tumbling-block assignment
+    (static uniform buckets — the order key is crc32, no quantile pre-pass)
+    then one grouped-map pass emitting DILCA summaries AND CDDA value counts."""
+    scoped = feats.where(F.col("partition_value").isin(scope))
+    blocked = drift_cdcstream.block_partitioned(
+        scoped, cfg.block_size, "partition_value", "_ord", ["_tie"],
+        uniform_order_max=UNIFORM_ORDER_MAX,
+    ).select("partition_value", "block_id", *attr_cols)
+    return drift_cdcstream.summaries_and_counts_from_blocked(blocked, attr_cols)
+
+
+def _blockwise_decisions(
+    combined: pd.DataFrame,
     attr_cols: list[str],
     cfg: SuiteConfig,
     pending_current: list[str],
 ) -> pd.DataFrame:
-    """V9 (CDCStream) + V10 (CDDA) verdict rows, driver-assembled.
-
-    One distributed job computes per-(partition, block) DILCA summaries; one
-    more computes per-(partition, block, attr, value) counts. Decisions replay
-    per pending partition over ``baseline blocks ++ partition blocks``.
+    """V9 (CDCStream) + V10 (CDDA) verdict rows from the collected blockwise
+    frame. Decisions replay per pending partition over ``baseline blocks ++
+    partition blocks`` (driver math over an O(blocks × attrs × values) frame).
     """
-    scope = cfg.baseline_partitions + pending_current
-    scoped = feats.where(F.col("partition_value").isin(scope))
-    # Derive the (partition, block) assignment ONCE — the sequence derivation
-    # (quantile pass + per-bucket window) is the expensive part — and reuse it
-    # for both the DILCA summaries and the CDDA value counts.
-    blocked = drift_cdcstream.block_partitioned(
-        scoped, cfg.block_size, "partition_value", "_ord", ["_tie"]
-    ).select("partition_value", "block_id", *attr_cols).persist()
-    try:
-        with _timed("blockwise:summaries"):
-            summaries = drift_cdcstream.summaries_from_blocked(blocked, attr_cols).toPandas()
-
-        melt_pairs = ", ".join(f"'{c}', `{c}`" for c in attr_cols)
-        with _timed("blockwise:counts"):
-            counts = (
-                blocked.select(
-                    "partition_value",
-                    "block_id",
-                    F.expr(f"stack({len(attr_cols)}, {melt_pairs}) as (attr, value)"),
-                )
-                .groupBy("partition_value", "block_id", "attr", "value")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .toPandas()
-            )
-    finally:
-        blocked.unpersist()
+    summaries = combined[combined["kind"] == "s"][
+        ["partition_value", "block_id", "cnt", "summary"]
+    ].rename(columns={"cnt": "n_rows"})
+    counts = combined[combined["kind"] == "c"][
+        ["partition_value", "block_id", "attr", "value", "cnt"]
+    ]
 
     # --- driver-side assembly over tiny frames ---
     summaries = summaries.sort_values(["partition_value", "block_id"])
@@ -374,31 +367,50 @@ def run_suite(
     verdicts = frames[0]
     for f in frames[1:]:
         verdicts = verdicts.unionByName(f)
-    with _timed("constraint-union-collect"):
-        verdicts_pdf = verdicts.toPandas()
+
+    # Lazy frames for the remaining stages, then collect ALL independent
+    # actions from concurrent driver threads — the suite is a chain of many
+    # short Spark jobs, so overlapping their stage/scheduling latency (not
+    # just their compute) is what keeps wall time near the critical path.
+    feats, attr_cols = drift_features(derived, cfg)
+    drift_scope = cfg.baseline_partitions + pending_current
+    lineage_df = partition_lineage(derived_pending, pcol, sha_col=SHA_COL)
+    blockwise_df = combos_df = None
+    if pending_current:
+        blockwise_df = _blockwise_frame(feats, attr_cols, cfg, drift_scope)
+        combos_df = (
+            feats.where(F.col("partition_value").isin(drift_scope))
+            .groupBy("partition_value", *attr_cols)
+            .agg(F.count(F.lit(1)).alias("_w"))
+        )
+
+    with _timed("parallel-collect"), ThreadPoolExecutor(max_workers=4) as ex:
+        fut_verdicts = ex.submit(verdicts.toPandas)
+        fut_lineage = ex.submit(lineage_df.toPandas)
+        fut_block = ex.submit(blockwise_df.toPandas) if blockwise_df is not None else None
+        fut_combos = ex.submit(combos_df.toPandas) if combos_df is not None else None
+        verdicts_pdf = fut_verdicts.result()
+        lineage = fut_lineage.result()
+        blockwise_pdf = fut_block.result() if fut_block else None
+        combos_pdf = fut_combos.result() if fut_combos else None
+
     verdicts_pdf["segment_start"] = pd.array([None] * len(verdicts_pdf), dtype="Int64")
     verdicts_pdf["segment_end"] = pd.array([None] * len(verdicts_pdf), dtype="Int64")
 
-    # V9/V10 — blockwise drift (driver decisions over single-job block stats).
-    feats, attr_cols = drift_features(derived, cfg)
-    if pending_current:
-        with _timed("blockwise-total"):
-            bw = _blockwise_verdicts(spark, feats, attr_cols, cfg, pending_current)
+    # V9/V10 — blockwise drift decisions (driver math over the tiny frame).
+    if blockwise_pdf is not None:
+        bw = _blockwise_decisions(blockwise_pdf, attr_cols, cfg, pending_current)
         if not bw.empty:
             bw["segment_start"] = bw["segment_start"].astype("Int64")
             bw["segment_end"] = bw["segment_end"].astype("Int64")
             verdicts_pdf = pd.concat([verdicts_pdf, bw], ignore_index=True)
 
-    # V11 — Krimp codetable drift.
-    if pending_current:
-      with _timed("krimp"):
-        krimp = krimp_drift_verdicts(
-            feats.select("partition_value", *attr_cols),
-            "partition_value",
-            attr_cols,
-            cfg.baseline_partitions,
-            cfg.krimp_threshold,
-        ).where(F.col("partition_value").isin(pending_current)).toPandas()
+    # V11 — Krimp codetable drift (driver math over the combo histogram).
+    if combos_pdf is not None:
+        krimp = krimp_verdicts_from_combos(
+            combos_pdf, attr_cols, cfg.baseline_partitions, cfg.krimp_threshold
+        )
+        krimp = krimp[krimp["partition_value"].isin(pending_current)]
         if not krimp.empty:
             krimp["segment_start"] = pd.array([None] * len(krimp), dtype="Int64")
             krimp["segment_end"] = pd.array([None] * len(krimp), dtype="Int64")
@@ -426,9 +438,7 @@ def run_suite(
         base_pdf["segment_end"] = base_pdf["segment_end"].astype("Int64")
         verdicts_pdf = pd.concat([verdicts_pdf, base_pdf], ignore_index=True)
 
-    # lineage + run metadata
-    with _timed("lineage"):
-        lineage = partition_lineage(derived_pending, pcol, sha_col=SHA_COL).toPandas()
+    # run metadata (lineage collected above, in parallel with the verdicts)
     derived.unpersist()
     out = verdicts_pdf.merge(lineage, on="partition_value", how="left")
     out["run_id"] = run_id

@@ -26,7 +26,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ROWS_PP = int(os.environ.get("DRIFTVAL_SCALE_ROWS_PER_PART", "125000"))
+# 500k rows x 8 partitions = 4M files: sized so per-level compute (~175
+# core-seconds per 1M files) dominates the suite's ~7.5s job-chain latency
+# floor — the regime a real 100 TB run lives in; smaller inputs measure
+# scheduler latency, not scaling.
+ROWS_PP = int(os.environ.get("DRIFTVAL_SCALE_ROWS_PER_PART", "500000"))
 BLOCK_SIZE = int(os.environ.get("DRIFTVAL_SCALE_BLOCK_SIZE", "5000"))
 # N vs 4N cores. Default 6/24 rather than 8/32: a local[32] JVM on a 32-vCPU
 # box oversubscribes (task threads + GC threads + pyspark daemon workers all
