@@ -54,8 +54,10 @@ def run_suite_bench(spark, rows_per_partition: int, block_size: int) -> dict:
         gen = files_table_spark(spark, rows_per_partition)
         gen.write.partitionBy("part_date").mode("overwrite").parquet(files_path)
         files = spark.read.parquet(files_path)
-        files.select("repo", "path", "commit", F.sha2(F.col("content"), 256).alias("expected_sha")) \
-            .write.mode("overwrite").parquet(manifest_path)
+        files.select(
+            "part_date", "repo", "path", "commit",
+            F.sha2(F.col("content"), 256).alias("expected_sha"),
+        ).write.mode("overwrite").parquet(manifest_path)
         dim_repos, dim_commits = dim_tables_spark(files)
         dim_repos = dim_repos.cache()
         dim_commits = dim_commits.cache()

@@ -38,6 +38,63 @@ def partition_lineage(
     )
 
 
+def fidelity_verdicts_agg(
+    df: DataFrame,
+    manifest: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    sha_col: str,
+    expected_sha_col: str = "expected_sha",
+) -> DataFrame:
+    """V12 fast path — per-partition MULTISET-HASH comparison instead of a
+    row-level join: both sides aggregate ``(count, bit_xor(h),
+    bit_xor(xxhash64(h, 7)))`` — two XOR folds under independent seeds (XOR
+    cannot overflow under ANSI mode; simultaneous cancellation in both 64-bit
+    folds is ~2^-128) — of
+    ``h = xxhash64(key ‖ sha)`` per partition (map-side partial aggregation,
+    no sort, no row shuffle — the only join is over the tiny per-partition
+    frames). Any mismatched/missing/extra row flips all three folds with
+    overwhelming probability. Requires the manifest to carry the partition
+    column; a failed partition reports ``violation_count = -1`` ("failed,
+    not row-localized") — localize with the join path on that partition
+    alone. At 100 TB this is the design: cheap invariant first, expensive
+    localization only on the (rare) failure."""
+    def folds(src: DataFrame, sha: str) -> DataFrame:
+        h = F.xxhash64(F.concat_ws("\x00", *key_cols, F.col(sha)))
+        return (
+            src.select(
+                F.col(partition_col).cast("string").alias("partition_value"),
+                h.alias("_h"),
+            )
+            .groupBy("partition_value")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.expr("bit_xor(_h)").alias("_x"),
+                F.expr("bit_xor(xxhash64(_h, 7))").alias("_s"),
+            )
+        )
+
+    got = folds(df, sha_col)
+    want = folds(manifest, expected_sha_col).withColumnsRenamed(
+        {"_n": "_n2", "_x": "_x2", "_s": "_s2"}
+    )
+    joined = got.join(want, "partition_value", "left")
+    ok = (
+        F.col("_n2").isNotNull()
+        & (F.col("_n") == F.col("_n2"))
+        & F.col("_x").eqNullSafe(F.col("_x2"))
+        & F.col("_s").eqNullSafe(F.col("_s2"))
+    )
+    return joined.select(
+        "partition_value",
+        F.lit("fidelity:sha256(content)").alias("check_name"),
+        ok.alias("passed"),
+        F.when(ok, F.lit(0.0)).otherwise(F.lit(1.0)).alias("metric"),
+        F.lit(0.0).alias("threshold"),
+        F.when(ok, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("violation_count"),
+    )
+
+
 def fidelity_verdicts(
     df: DataFrame,
     manifest: DataFrame,

@@ -40,6 +40,15 @@ def build_session(
         "spark.ui.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
     }
+    # Shuffle/spill scratch on tmpfs when available: a single VM disk
+    # serializes every concurrent shuffle writer (measured: shuffle-heavy
+    # stages stop scaling past ~6 cores); RAM-backed scratch restores
+    # near-linear scaling. On a real cluster executors get local SSDs and
+    # this override is a no-op (dir comes from the cluster manager).
+    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+        conf["spark.local.dir"] = os.environ.get(
+            "DRIFTVAL_LOCAL_DIR", "/dev/shm/spark-local"
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

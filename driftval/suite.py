@@ -42,7 +42,11 @@ from pyspark.sql import functions as F
 from driftval.blocks import UNIFORM_ORDER_MAX, order_key
 from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore
 from driftval.checks import drift_cdcstream, drift_cdda
-from driftval.checks.fidelity import fidelity_verdicts, partition_lineage
+from driftval.checks.fidelity import (
+    fidelity_verdicts,
+    fidelity_verdicts_agg,
+    partition_lineage,
+)
 from driftval.checks.histogram import histogram_drift_verdicts, length_bin
 from driftval.checks.krimp import krimp_verdicts_from_combos
 from driftval.checks.referential import referential_verdicts
@@ -138,7 +142,9 @@ def drift_features(derived: DataFrame, cfg: SuiteConfig) -> tuple[DataFrame, lis
             F.lit(NULL_TOKEN),
         ).alias("f_ext"),
         order_key(*cfg.key_cols).cast("double").alias("_ord"),
-        F.concat_ws("\x00", *[F.col(c) for c in cfg.key_cols]).alias("_tie"),
+        # tie-break for crc32 collisions in _ord: an 8-byte hash, not the raw
+        # ~100-byte key concat — the sequence window shuffles this column
+        F.xxhash64(F.concat_ws("\x00", *[F.col(c) for c in cfg.key_cols])).alias("_tie"),
     )
     return feats, ["f_lang", "f_len_bin", "f_ext"]
 
@@ -342,11 +348,21 @@ def run_suite(
             )
         )
     if manifest is not None:
-        frames.append(
-            fidelity_verdicts(
-                derived_pending, manifest, list(cfg.key_cols), pcol, sha_col=SHA_COL
+        if pcol in manifest.columns:
+            # manifest carries partitions -> multiset-hash compare, no row join
+            frames.append(
+                fidelity_verdicts_agg(
+                    derived_pending,
+                    manifest.where(F.col(pcol).cast("string").isin(pending)),
+                    list(cfg.key_cols), pcol, sha_col=SHA_COL,
+                )
             )
-        )
+        else:
+            frames.append(
+                fidelity_verdicts(
+                    derived_pending, manifest, list(cfg.key_cols), pcol, sha_col=SHA_COL
+                )
+            )
 
     # V7/V8 — histogram drift vs pooled baseline (baseline partitions pass).
     if pending_current:

@@ -103,7 +103,8 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         files_table_spark(spark, ROWS_PP).write.partitionBy("part_date").parquet(files_path)
         spark.read.parquet(files_path).select(
-            "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("expected_sha")
+            "part_date", "repo", "path", "commit",
+            F.sha2(F.col("content"), 256).alias("expected_sha"),
         ).write.parquet(manifest_path)
         spark.stop()
 

@@ -1,0 +1,90 @@
+"""V12 fidelity tests: row-join path and multiset-hash aggregate path must
+agree on pass/fail for planted mismatched / missing / extra rows, and the
+engine's sha256 must equal hashlib's."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval.checks.fidelity import (
+    fidelity_verdicts,
+    fidelity_verdicts_agg,
+    with_content_sha,
+)
+
+ROWS = [
+    ("p1", "r1", "a", "c1", "hello world"),
+    ("p1", "r1", "b", "c2", "def main(): pass"),
+    ("p2", "r2", "a", "c3", "SELECT 1"),
+    ("p2", "r2", "b", "c4", "fn x() {}"),
+]
+SCHEMA = "part string, repo string, path string, commit string, content string"
+KEYS = ["repo", "path", "commit"]
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def good_manifest(spark, files):
+    return files.select(
+        "part", *KEYS, F.sha2(F.col("content"), 256).alias("expected_sha")
+    )
+
+
+def _derived(files):
+    return files.select(
+        "part", *KEYS, F.sha2(F.col("content"), 256).alias("_sha")
+    )
+
+
+def _by_part(df):
+    return {r["partition_value"]: r for r in df.collect()}
+
+
+def test_both_paths_pass_on_clean_data(files, good_manifest):
+    d = _derived(files)
+    for fn in (fidelity_verdicts, fidelity_verdicts_agg):
+        out = _by_part(fn(d, good_manifest, KEYS, "part", sha_col="_sha"))
+        assert set(out) == {"p1", "p2"}
+        assert all(r["passed"] and r["violation_count"] == 0 for r in out.values())
+
+
+def test_mismatched_digest_fails_only_its_partition(spark, files, good_manifest):
+    bad = good_manifest.withColumn(
+        "expected_sha",
+        F.when(F.col("path") == "a", F.lit("0" * 64)).otherwise(F.col("expected_sha")),
+    ).where(F.col("part") == "p1").unionByName(good_manifest.where(F.col("part") == "p2"))
+    d = _derived(files)
+
+    join_out = _by_part(fidelity_verdicts(d, bad, KEYS, "part", sha_col="_sha"))
+    assert not join_out["p1"]["passed"] and join_out["p1"]["violation_count"] == 1
+    assert join_out["p2"]["passed"]
+
+    agg_out = _by_part(fidelity_verdicts_agg(d, bad, KEYS, "part", sha_col="_sha"))
+    assert not agg_out["p1"]["passed"] and agg_out["p1"]["violation_count"] == -1
+    assert agg_out["p2"]["passed"]
+
+
+def test_missing_and_extra_manifest_rows_fail_agg(spark, files, good_manifest):
+    d = _derived(files)
+    missing = good_manifest.where(~((F.col("part") == "p2") & (F.col("path") == "b")))
+    extra = good_manifest.unionByName(
+        spark.createDataFrame(
+            [("p2", "r9", "z", "c9", "0" * 64)],
+            "part string, repo string, path string, commit string, expected_sha string",
+        )
+    )
+    for m in (missing, extra):
+        out = _by_part(fidelity_verdicts_agg(d, m, KEYS, "part", sha_col="_sha"))
+        assert out["p1"]["passed"]
+        assert not out["p2"]["passed"]
+
+
+def test_engine_sha_matches_hashlib(files):
+    rows = with_content_sha(files).collect()
+    for r in rows:
+        assert r["content_sha"] == hashlib.sha256(r["content"].encode()).hexdigest()

@@ -1,0 +1,93 @@
+"""Physical-plan assertions (SURVEY.md §4.2): the properties the 100 TB design
+depends on must be visible in `.explain` — column pruning into the parquet
+scan, partition-filter pushdown, broadcast joins for dimension tables, and
+no shuffle in per-row operators. These are regression tests: an innocent
+refactor that silently introduces a shuffle or widens a scan fails here."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval import simsearch, textops
+from driftval.checks.referential import orphan_rows
+from driftval.checks.histogram import histogram
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_column_pruning_reaches_scan(spark, docs):
+    """A 2-column aggregate must not read the wide text column."""
+    plan = plan_of(docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    assert "text" not in scan_lines[0], scan_lines[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, docs):
+    plan = plan_of(docs.where(F.col("doc_id") < 10).select("doc_id"))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan, plan
+
+
+def test_referential_broadcasts_dimension(spark, docs):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plan = plan_of(orphan_rows(orders, customer, ["o_custkey"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_knn_broadcasts_query_side(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(simsearch.knn_bruteforce(emb, "vec_id", "embedding", [0, 1], k=3))
+    assert "Broadcast" in plan, plan
+
+
+def test_per_doc_operators_have_no_shuffle(spark, docs):
+    """simhash / quality / fingerprint are narrow: no Exchange in the plan."""
+    for df in (
+        textops.simhash(docs, "doc_id", "text"),
+        textops.doc_quality(docs, "doc_id", "text"),
+        textops.doc_fingerprint(docs, "doc_id", "text"),
+        textops.minhash_signatures(docs, "doc_id", "text"),
+    ):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_exact_dedup_single_shuffle(spark, docs):
+    plan = plan_of(textops.exact_dup_groups(docs, "doc_id", "text"))
+    # one exchange for the final agg; partial_ aggregation must appear before it
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_histogram_is_single_agg(spark, docs):
+    plan = plan_of(histogram(docs, "source", F.col("lang"), "lang"))
+    assert "HashAggregate" in plan, plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and "text" not in scan_lines[0], plan
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "pf")
+    spark.range(0, 100).withColumn("p", (F.col("id") % 4).cast("string")) \
+        .write.partitionBy("p").parquet(path)
+    df = spark.read.parquet(path)
+    plan = plan_of(df.where(F.col("p") == "1").select("id"))
+    # partition filter handled at scan (metadata), not a post-scan Filter
+    assert "PartitionFilters" in plan and "isnotnull(p" in plan, plan
