@@ -189,6 +189,12 @@ def q_langid(spark, sf_dir):
     return textops.langid_stopwords(d, "doc_id", "text")
 
 
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts (JVM regex, no Python)."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.token_counts(d, "doc_id", "text")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return textops.doc_fingerprint(d, "doc_id", "text")
@@ -328,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_quality": q_doc_quality,
         "langid": q_langid,
+        "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts_by_source": q_token_counts_by_source,
         "media_conformance": q_media_conformance,
@@ -590,6 +597,12 @@ SELECT doc_id,
             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
             ELSE 'fr' END AS lang_guess
 FROM s
+""",
+        "token_counts": f"""
+SELECT doc_id,
+       len({_TOK})::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_ish_tokens
+FROM documents
 """,
         "doc_fingerprint": f"""
 WITH t AS (

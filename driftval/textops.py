@@ -272,6 +272,22 @@ def langid_stopwords(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), best_expr.alias("lang_guess"))
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Two token counts per doc: whitespace tokens and a BPE-ish regex count
+    (letter runs / short digit runs / single punctuation — the pre-merge
+    word-split shape GPT-style BPE tokenizers start from). Both are single
+    JVM regex passes, no Python."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(t)).cast("long").alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-sensitive 31-bit polynomial fingerprint: XOR-fold of
     position-weighted token hashes (portable: indexed list_transform +

@@ -53,6 +53,16 @@ def test_cli_cdda_matches_oracle(stream_csv):
     assert got == want + ["Done."]
 
 
+def test_multiline_csv_fallback(spark, tmp_path):
+    path = tmp_path / "m.csv"
+    path.write_text('a,b\n"line1\nline2",x\n"v",y\n')
+    from driftval.sources import multiline_csv
+
+    rows = multiline_csv(spark, str(path), has_header=True).orderBy("seq").collect()
+    assert [r["seq"] for r in rows] == [0, 1]
+    assert rows[0]["a"] == "line1\nline2" and rows[1]["b"] == "y"
+
+
 def test_csv_header_and_column_subset(spark, tmp_path):
     pdf = fixtures.categorical_stream(block_size=50, concept_blocks=(1, 1, 0), seed=3)
     path = tmp_path / "h.csv"
