@@ -84,6 +84,7 @@ def cmd_suite(spark, args) -> int:
     verdicts = run_suite(
         spark, files, cfg, args.checkpoint, run_id=args.run_id,
         dim_repos=dim_repos, dim_commits=dim_commits, manifest=manifest,
+        violations_path=args.violations_out,
     ).toPandas()
     verdicts = verdicts.sort_values(["partition_value", "check_name"])
     cols = ["partition_value", "check_name", "passed", "metric", "violation_count"]
@@ -122,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dim-repos")
     p.add_argument("--dim-commits")
     p.add_argument("--manifest")
+    p.add_argument("--violations-out", help="parquet dataset for violation rows")
     p.set_defaults(fn=cmd_suite)
 
     args = ap.parse_args(argv)

@@ -49,7 +49,7 @@ from driftval.checks.fidelity import (
 )
 from driftval.checks.histogram import histogram_drift_verdicts, length_bin
 from driftval.checks.krimp import krimp_verdicts_from_combos
-from driftval.checks.referential import referential_verdicts
+from driftval.checks.referential import orphan_rows, referential_verdicts
 from driftval.checks.stats import (
     Bounds,
     DistinctCount,
@@ -58,7 +58,7 @@ from driftval.checks.stats import (
     TypeConformance,
     stats_verdicts,
 )
-from driftval.checks.uniqueness import uniqueness_verdicts
+from driftval.checks.uniqueness import uniqueness_verdicts, uniqueness_violations
 
 NULL_TOKEN = "<null>"
 
@@ -280,6 +280,77 @@ def _blockwise_decisions(
     return pd.DataFrame(rows)
 
 
+def _write_violation_rows(
+    files: DataFrame,
+    derived_pending: DataFrame,
+    cfg: SuiteConfig,
+    pcol: str,
+    pending: list[str],
+    dim_repos: DataFrame | None,
+    dim_commits: DataFrame | None,
+    violations_path: str,
+    run_id: str,
+) -> None:
+    """Offending-row extraction for the row-localizable checks (V4 type
+    conformance, V5 duplicate keys, V6 referential orphans), appended to a
+    parquet dataset partitioned by (run_id, check_name). Each extractor is a
+    pushed-down filter or a semi-join against a small violating-key set, so
+    the write is proportional to violations, not table size."""
+    key_cols = list(cfg.key_cols)
+    pv = F.col(pcol).cast("string").alias("partition_value")
+    frames: list[DataFrame] = []
+
+    def shape(df: DataFrame, check: str, detail) -> DataFrame:
+        return df.select(
+            pv, *key_cols, detail.cast("string").alias("detail"),
+            F.lit(check).alias("check_name"),
+        )
+
+    if not cfg.stats_constraints:
+        for c in _derived_default_constraints(cfg):
+            if isinstance(c, TypeConformance):
+                frames.append(
+                    shape(
+                        derived_pending.where(c.violation_predicate()),
+                        c.name, F.col(c.column),
+                    )
+                )
+
+    dup_rows = uniqueness_violations(
+        files.select(pcol, *key_cols), key_cols, cfg.num_salts
+    ).where(F.col(pcol).cast("string").isin(pending))
+    frames.append(shape(dup_rows, f"unique:({','.join(key_cols)})", F.lit(None)))
+
+    if dim_repos is not None:
+        frames.append(
+            shape(
+                orphan_rows(derived_pending.select(pcol, *key_cols), dim_repos, ["repo"]),
+                "referential:(repo)", F.col("repo"),
+            )
+        )
+    if dim_commits is not None:
+        frames.append(
+            shape(
+                orphan_rows(
+                    derived_pending.select(pcol, *key_cols), dim_commits, ["repo", "commit"]
+                ),
+                "referential:(repo,commit)", F.col("commit"),
+            )
+        )
+
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    (
+        out.withColumn("run_id", F.lit(run_id))
+        .repartition("check_name")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id", "check_name")
+        .parquet(violations_path)
+    )
+
+
 def run_suite(
     spark: SparkSession,
     files: DataFrame,
@@ -291,6 +362,7 @@ def run_suite(
     manifest: DataFrame | None = None,
     completed_at: dt.datetime | None = None,
     partition_limit: int | None = None,
+    violations_path: str | None = None,
 ) -> DataFrame:
     """One resumable validation pass; returns this run's full verdict frame.
 
@@ -383,6 +455,15 @@ def run_suite(
     verdicts = frames[0]
     for f in frames[1:]:
         verdicts = verdicts.unionByName(f)
+
+    # Violation ROWS (north rule: verdicts PLUS violation rows). Extracted
+    # lazily here, written after the verdict pass — each extractor is a
+    # pushed-down filter / semi-join whose output is only the offending rows.
+    if violations_path is not None:
+        _write_violation_rows(
+            files, derived_pending, cfg, pcol, pending,
+            dim_repos, dim_commits, violations_path, run_id,
+        )
 
     # Lazy frames for the remaining stages, then collect ALL independent
     # actions from concurrent driver threads — the suite is a chain of many

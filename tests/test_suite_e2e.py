@@ -151,3 +151,38 @@ def test_kill_and_resume_identical_matrix(spark, files_sdf, dims, cfg, tmp_path_
         dim_repos=dims[0], dim_commits=dims[1],
     ).toPandas()
     assert len(again) == len(full)
+
+
+def test_violation_rows_match_plants(spark, files_sdf, files_pdf, dims, cfg, tmp_path_factory):
+    """North rule: verdicts PLUS violation rows — the written rows must be
+    exactly the planted anomalies."""
+    base = tmp_path_factory.mktemp("viol")
+    run_suite(
+        spark, files_sdf, cfg, str(base / "ckpt"), run_id="rv",
+        dim_repos=dims[0], dim_commits=dims[1],
+        violations_path=str(base / "violations"),
+    )
+    v = spark.read.parquet(str(base / "violations")).toPandas()
+    assert set(v["run_id"]) == {"rv"}
+
+    by_check = {c: sub for c, sub in v.groupby("check_name")}
+
+    # V4: exactly the malformed commits planted in partition 8
+    bad_commits = files_pdf[~files_pdf["commit"].str.fullmatch("[0-9a-f]{40}", na=False)]
+    tc = by_check["type_conformance:commit"]
+    assert set(tc["partition_value"]) == {"2026-01-08"}
+    assert len(tc) == len(bad_commits)
+    assert set(tc["detail"]) == set(bad_commits["commit"])
+
+    # V5: every row participating in a duplicated key, attributed to partition 7
+    dup_keys = files_pdf.groupby(["repo", "path", "commit"]).size()
+    dup_keys = dup_keys[dup_keys > 1]
+    uq = by_check["unique:(repo,path,commit)"]
+    assert set(uq["partition_value"]) == {"2026-01-07"}
+    assert len(uq) == int(dup_keys.sum())
+
+    # V6: ghost repos planted in partition 8
+    ghosts = files_pdf[files_pdf["repo"].str.startswith("ghost/")]
+    rr = by_check["referential:(repo)"]
+    assert set(rr["partition_value"]) == {"2026-01-08"}
+    assert set(rr["repo"]) == set(ghosts["repo"])
