@@ -171,11 +171,26 @@ def q_simhash(spark, sf_dir):
     return textops.simhash(d, "doc_id", "text", bits=16)
 
 
+NGRAM_DF_CAP = 100
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-word-shingle Jaccard >= 0.2 pairs (low threshold so the
-    synthetic corpus yields rows)."""
+    synthetic corpus yields rows). Shingles in more than NGRAM_DF_CAP docs
+    are dropped from candidate generation (boilerplate/stop-shingles — the
+    quadratic-join killer); values stay exact for surviving pairs."""
     d = _t(spark, sf_dir, "documents")
-    p = textops.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    p = textops.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2, df_cap=NGRAM_DF_CAP
+    )
+    return p.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+
+
+def q_fuzzy_dup_pairs(spark, sf_dir):
+    """Composed dedup: MinHash banded-LSH candidates verified by exact
+    3-shingle Jaccard — the full-scale near-dup pipeline end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    p = textops.fuzzy_dup_pairs(d, "doc_id", "text", n=3, threshold=0.2)
     return p.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
 
 
@@ -226,11 +241,22 @@ def q_knn_lsh(spark, sf_dir):
     return simsearch.knn_lsh(e, "vec_id", "embedding", KNN_QUERY_IDS, k=5, n_planes=4)
 
 
+NEAR_DUP_PLANES = 8
+NEAR_DUP_TABLES = 2
+NEAR_DUP_CAP = 500
+NEAR_DUP_THRESHOLD = 0.25
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within LSH buckets (threshold tuned to
-    the synthetic corpus's cosine tail so the result is non-degenerate)."""
+    """Embedding-cosine near-dup pairs: banded multi-table hyperplane LSH
+    (2 tables x 8 planes -> 256 buckets each, so bucket-local pair counts
+    stay near-linear as N grows) with a bucket-size cap, exact-cosine verify
+    on candidates with precomputed norms."""
     e = _t(spark, sf_dir, "embeddings")
-    return simsearch.near_dup_pairs(e, "vec_id", "embedding", 0.3, n_planes=4)
+    return simsearch.near_dup_pairs(
+        e, "vec_id", "embedding", NEAR_DUP_THRESHOLD,
+        n_planes=NEAR_DUP_PLANES, n_tables=NEAR_DUP_TABLES, bucket_cap=NEAR_DUP_CAP,
+    )
 
 
 def q_knn_ivf(spark, sf_dir):
@@ -332,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "doc_quality": q_doc_quality,
         "langid": q_langid,
         "token_counts": q_token_counts,
@@ -456,9 +483,9 @@ _PLANE_SUM = (
 )
 
 
-def _bucket_sql(n_planes: int) -> str:
+def _bucket_sql(n_planes: int, plane_offset: int = 0) -> str:
     return " + ".join(
-        f"(CASE WHEN {_PLANE_SUM.format(p=p)} > 0 THEN {1 << p} ELSE 0 END)"
+        f"(CASE WHEN {_PLANE_SUM.format(p=p + plane_offset)} > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
 
@@ -534,23 +561,48 @@ FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
 """,
         "simhash": _simhash_sql(16),
         "ngram_jaccard_pairs": f"""
-WITH sh AS (
-  SELECT doc_id AS _id, {_H64.replace('(t)', '(shingle)')} AS sh
-  FROM (
-    SELECT doc_id, unnest(shingles) AS shingle FROM ({_SHINGLES})
-  )
-), sizes AS (
-  SELECT _id, count(*)::BIGINT AS sz FROM sh GROUP BY 1
-), inter AS (
-  SELECT a._id AS id_a, b._id AS id_b, count(*)::BIGINT AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a._id < b._id
-  GROUP BY 1, 2
+WITH d AS (
+  SELECT doc_id AS _id, list_transform(shingles, s -> {_H64.replace('(t)', '(s)')}) AS shs,
+         len(shingles)::BIGINT AS sz
+  FROM ({_SHINGLES})
+), sh AS (
+  SELECT _id, unnest(shs) AS sh FROM d
+), hot AS (
+  SELECT sh FROM sh GROUP BY 1 HAVING count(*) > {NGRAM_DF_CAP}
+), kept AS (
+  SELECT s._id, s.sh FROM sh s ANTI JOIN hot h ON s.sh = h.sh
+), cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a._id < b._id
 )
-SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 8) AS jaccard
-FROM inter
-JOIN sizes sa ON sa._id = id_a
-JOIN sizes sb ON sb._id = id_b
-WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+SELECT id_a, id_b,
+       round(len(list_intersect(da.shs, db.shs))::DOUBLE /
+             (da.sz + db.sz - len(list_intersect(da.shs, db.shs))), 8) AS jaccard
+FROM cand JOIN d da ON da._id = id_a JOIN d db ON db._id = id_b
+WHERE len(list_intersect(da.shs, db.shs))::DOUBLE /
+      (da.sz + db.sz - len(list_intersect(da.shs, db.shs))) >= 0.2
+""",
+        "fuzzy_dup_pairs": f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id AS _id, '0:' || h0 || ':' || h1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, '1:' || h2 || ':' || h3 FROM sig
+  UNION ALL SELECT doc_id, '2:' || h4 || ':' || h5 FROM sig
+  UNION ALL SELECT doc_id, '3:' || h6 || ':' || h7 FROM sig
+), cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
+), d AS (
+  SELECT doc_id AS _id, list_transform(shingles, s -> {_H64.replace('(t)', '(s)')}) AS shs,
+         len(shingles)::BIGINT AS sz
+  FROM ({_SHINGLES})
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(da.shs, db.shs))::DOUBLE /
+             (da.sz + db.sz - len(list_intersect(da.shs, db.shs))), 8) AS jaccard
+FROM cand JOIN d da ON da._id = id_a JOIN d db ON db._id = id_b
+WHERE len(list_intersect(da.shs, db.shs))::DOUBLE /
+      (da.sz + db.sz - len(list_intersect(da.shs, db.shs))) >= 0.2
 """,
         "doc_quality": f"""
 WITH t AS (
@@ -714,16 +766,28 @@ WITH wb AS (
 SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= 5
 """,
         "embedding_near_dup": f"""
-WITH wb AS (
-  SELECT vec_id AS _id, embedding::DOUBLE[] AS _vec, ({_bucket_sql(4)})::BIGINT AS bucket
-  FROM (SELECT vec_id, embedding, embedding AS v FROM embeddings)
+WITH v AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS vec, embedding AS v FROM embeddings
+), b AS (
+  SELECT _id, 0 AS tbl, ({_bucket_sql(NEAR_DUP_PLANES, 0)})::BIGINT AS bucket FROM v
+  UNION ALL
+  SELECT _id, 1, ({_bucket_sql(NEAR_DUP_PLANES, NEAR_DUP_PLANES)})::BIGINT FROM v
+), ok AS (
+  SELECT tbl, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= {NEAR_DUP_CAP}
+), bk AS (
+  SELECT b.* FROM b JOIN ok USING (tbl, bucket)
+), cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b
+  FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l._id < r._id
 )
-SELECT a._id AS id_a, b._id AS id_b,
-       round(list_dot_product(a._vec, b._vec) /
-             (sqrt(list_dot_product(a._vec, a._vec)) * sqrt(list_dot_product(b._vec, b._vec))), 6) AS sim
-FROM wb a JOIN wb b ON a.bucket = b.bucket AND a._id < b._id
-WHERE round(list_dot_product(a._vec, b._vec) /
-            (sqrt(list_dot_product(a._vec, a._vec)) * sqrt(list_dot_product(b._vec, b._vec))), 6) >= 0.3
+SELECT id_a, id_b,
+       round(list_dot_product(va.vec, vb.vec) /
+             (sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec))), 6) AS sim
+FROM cand
+JOIN v va ON va._id = id_a
+JOIN v vb ON vb._id = id_b
+WHERE round(list_dot_product(va.vec, vb.vec) /
+            (sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec))), 6) >= {NEAR_DUP_THRESHOLD}
 """,
         "knn_ivf": """
 WITH v AS (

@@ -1,19 +1,33 @@
 """Embedding similarity search over an ``array<float>`` column.
 
 Brute-force cosine top-k is the correctness baseline (all-pairs against a
-small query set — the query side is broadcast, the corpus side streams, no
-shuffle until the final per-query top-k). The scale path buckets vectors with
-deterministic random-hyperplane LSH so candidate generation is a bucket-local
-join instead of a cross product.
+small query set — the query side is broadcast, the corpus side streams). The
+scale path buckets vectors with deterministic random-hyperplane LSH so
+candidate generation is a bucket-local join instead of a cross product; for
+near-dup pairs the engine bands SEVERAL independent hyperplane tables (like
+MinHash bands) and caps bucket size, so an adversarial hot bucket can never
+go quadratic.
+
+Scale invariants (pinned by tests/test_plans.py):
+- vector norms are materialized ONCE per vector before any pair join (never
+  recomputed inside the join condition — a vector in a B-row bucket would
+  otherwise pay O(d) B times);
+- top-k is two-phase (per-partition partial top-k, then merge) — there is no
+  global per-query ``row_number`` window, so a 1e9-candidate brute-force
+  never funnels one query's candidates into a single task;
+- every candidate join is an equi-join on (table, bucket) or cluster_id.
 
 All arithmetic is double-precision column expressions (``zip_with`` +
-``aggregate``) so the DuckDB oracle can reproduce values exactly; similarities
-are rounded before ranking to keep cross-engine float folds stable.
+``aggregate``) so the DuckDB oracle can reproduce values exactly;
+similarities are rounded before ranking to keep cross-engine float folds
+stable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -37,7 +51,43 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """One-shot cosine (norms folded inline). Use only outside pair joins —
+    inside a join, precompute norms with :func:`with_norm` instead."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(_id, _vec, _n): vectors with their L2 norm materialized once."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase top-k over (query_id, neighbor_id, sim): per-partition
+    partial top-k (map-side, bounded O(k) output per query per partition)
+    then a merge aggregate — replaces the per-query ``row_number`` window,
+    which at a 1e9-row corpus is a single-task sort per query.
+
+    Ties break by neighbor_id ascending (struct sorts by (sim, -id)
+    descending), matching ``ORDER BY sim DESC, neighbor_id ASC``."""
+    item = F.struct(F.col("sim").alias("s"), (-F.col("neighbor_id")).alias("negid"))
+    partial = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("_p"))
+        .agg(F.slice(F.sort_array(F.collect_list(item), False), 1, k).alias("tk"))
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("tk")), False), 1, k).alias("tk")
+    )
+    ex = merged.select("query_id", F.posexplode("tk").alias("pos", "item"))
+    return ex.select(
+        "query_id",
+        (-F.col("item.negid")).alias("neighbor_id"),
+        F.col("item.s").alias("sim"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
 
 
 def knn_bruteforce(
@@ -48,38 +98,39 @@ def knn_bruteforce(
     k: int = 5,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query id (query side broadcast).
+    """Exact top-k cosine neighbors for each query id (query side broadcast,
+    norms precomputed on both sides, two-phase top-k — no global window).
 
     Returns (query_id, neighbor_id, sim, rank); self-matches excluded; ties
     broken by neighbor id for determinism."""
-    queries = df.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    wb = with_norm(df, id_col, vec_col)
+    queries = wb.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), F.col("_vec").alias("qvec"), F.col("_n").alias("qn")
     )
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    corpus = wb.select(
+        F.col("_id").alias("neighbor_id"), F.col("_vec").alias("cvec"), F.col("_n").alias("cn")
+    )
     scored = corpus.join(broadcast(queries)).where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.select("query_id", "neighbor_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    sim = F.round(_dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn")), round_digits)
+    return _topk(scored.select("query_id", "neighbor_id", sim.alias("sim")), k)
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
+def hyperplane_bucket(vec: Column, n_planes: int = 8, plane_offset: int = 0) -> Column:
     """Deterministic random-hyperplane LSH bucket: plane p's weight for
     dimension d is ``((d*31 + p*17) % 7) - 3`` (an integer in [-3, 3]) — a
     fixed pseudo-random pattern reproducible in ANSI SQL. Bucket bit p = sign
-    of the weighted sum."""
+    of the weighted sum. ``plane_offset`` selects an independent plane set,
+    so several hash TABLES can be banded (offset t*n_planes for table t)."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
+        gp = p + plane_offset
         proj = F.aggregate(
             F.transform(
                 vec,
                 lambda x, i: x.cast("double")
-                * (((i * 31 + p * 17) % 7) - 3).cast("double"),
+                * (((i * 31 + gp * 17) % 7) - 3).cast("double"),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -101,31 +152,105 @@ def lsh_bucket_histogram(
     )
 
 
+def near_dup_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a, id_b) from ``n_tables`` independent
+    hyperplane-LSH tables (banded, like MinHash bands: a pair is a candidate
+    if it collides in ANY table). ``bucket_cap`` drops buckets larger than
+    the cap BEFORE the self-join — the backstop against adversarial hot
+    buckets (a bucket of B rows otherwise emits B²/2 pairs); dropped buckets
+    are countable via :func:`bucket_overflow`.
+
+    Recall scales with corpus size by raising ``n_planes`` (≈ log2(N) keeps
+    expected bucket size constant) and recovering recall with more tables."""
+    tagged = [
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.lit(t).alias("tbl"),
+            hyperplane_bucket(F.col(vec_col), n_planes, plane_offset=t * n_planes).alias(
+                "bucket"
+            ),
+        )
+        for t in range(n_tables)
+    ]
+    buckets = reduce(DataFrame.unionByName, tagged)
+    if bucket_cap is not None:
+        ok = (
+            buckets.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") <= bucket_cap)
+            .select("tbl", "bucket")
+        )
+        # ≤ n_tables·2^n_planes rows — broadcast, never a shuffled join
+        buckets = buckets.join(broadcast(ok), ["tbl", "bucket"])
+    return (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def bucket_overflow(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """(tbl, bucket, n_vectors) for buckets exceeding the cap — log this
+    alongside any capped candidate run so truncation is never silent."""
+    tagged = [
+        df.select(
+            F.lit(t).alias("tbl"),
+            hyperplane_bucket(F.col(vec_col), n_planes, plane_offset=t * n_planes).alias(
+                "bucket"
+            ),
+        )
+        for t in range(n_tables)
+    ]
+    return (
+        reduce(DataFrame.unionByName, tagged)
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .where(F.col("n_vectors") > bucket_cap)
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
     n_planes: int = 8,
+    n_tables: int = 2,
+    bucket_cap: int | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates = same LSH bucket
-    (bucket-local self-join, never all-pairs), kept iff cosine >= threshold.
-    Returns (id_a, id_b, sim) with id_a < id_b."""
-    wb = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
-    )
-    pairs = wb.alias("a").join(
-        wb.alias("b"),
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")),
-    )
-    sim = F.round(cosine(F.col("a._vec"), F.col("b._vec")), round_digits)
+    """Embedding-cosine near-duplicate pairs: banded multi-table LSH
+    candidates (see :func:`near_dup_candidates`), verified by exact cosine
+    with precomputed norms — each vector's norm computed once, then joined to
+    the candidate pair list by id. Returns (id_a, id_b, sim), id_a < id_b."""
+    cands = near_dup_candidates(df, id_col, vec_col, n_planes, n_tables, bucket_cap)
+    wb = with_norm(df, id_col, vec_col)
+    va = wb.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), F.col("_n").alias("_na"))
+    vb = wb.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), F.col("_n").alias("_nb"))
+    sim = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), round_digits)
     return (
-        pairs.select(
-            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), sim.alias("sim")
-        )
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
     )
 
@@ -137,21 +262,27 @@ def assign_ivf_cluster(
     cosine. Centroids here are the first ``n_centroids`` vectors by id — a
     deterministic stand-in for k-means training (swap in trained centroids on
     a real pipeline; the assignment/search plumbing is identical). The
-    centroid table is broadcast; assignment is a narrow map, no shuffle."""
-    centroids = df.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centroid")
+    centroid table is broadcast with precomputed norms; the argmax is a
+    map-side-partial ``max(struct)`` aggregate (ties -> lowest cluster_id),
+    not a window — the exchange carries one row per vector."""
+    wb = with_norm(df, id_col, vec_col)
+    centroids = wb.where(F.col("_id") < n_centroids).select(
+        F.col("_id").alias("cluster_id"),
+        F.col("_vec").alias("centroid"),
+        F.col("_n").alias("_cn"),
     )
-    scored = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")).join(
-        broadcast(centroids)
+    scored = wb.join(broadcast(centroids))
+    csim = F.round(_dot(F.col("_vec"), F.col("centroid")) / (F.col("_n") * F.col("_cn")), 6)
+    best = (
+        scored.select("_id", "_vec", "_n", "cluster_id", csim.alias("csim"))
+        .groupBy("_id")
+        .agg(
+            F.max(F.struct(F.col("csim").alias("s"), (-F.col("cluster_id")).alias("negc"))).alias("m"),
+            F.first("_vec").alias("_vec"),
+            F.first("_n").alias("_n"),
+        )
     )
-    sim = F.round(cosine(F.col("_vec"), F.col("centroid")), 6)
-    w = Window.partitionBy("_id").orderBy(F.desc("csim"), F.asc("cluster_id"))
-    return (
-        scored.select("_id", "_vec", "cluster_id", sim.alias("csim"))
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .select("_id", "_vec", "cluster_id")
-    )
+    return best.select("_id", "_vec", "_n", (-F.col("m.negc")).alias("cluster_id"))
 
 
 def knn_ivf(
@@ -167,19 +298,19 @@ def knn_ivf(
     (single-probe). The scale path for ANN when LSH bucket skew is a concern —
     cluster sizes are balanced by the quantizer, and the candidate join is a
     cluster-equi-join co-partitioned on cluster_id."""
-    assigned = assign_ivf_cluster(df, id_col, vec_col, n_centroids)
-    queries = assigned.where(F.col("_id").isin(query_ids)).select(
-        F.col("_id").alias("query_id"), F.col("_vec").alias("qvec"), "cluster_id"
+    aw = assign_ivf_cluster(df, id_col, vec_col, n_centroids)
+    queries = aw.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"),
+        F.col("_vec").alias("qvec"),
+        F.col("_n").alias("qn"),
+        "cluster_id",
     )
-    cands = assigned.join(broadcast(queries), "cluster_id").where(
+    cands = aw.join(broadcast(queries), "cluster_id").where(
         F.col("_id") != F.col("query_id")
     )
-    sim = F.round(cosine(F.col("qvec"), F.col("_vec")), round_digits)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cands.select("query_id", F.col("_id").alias("neighbor_id"), sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+    sim = F.round(_dot(F.col("qvec"), F.col("_vec")) / (F.col("qn") * F.col("_n")), round_digits)
+    return _topk(
+        cands.select("query_id", F.col("_id").alias("neighbor_id"), sim.alias("sim")), k
     )
 
 
@@ -195,25 +326,21 @@ def knn_lsh(
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     At scale this turns the cross product into a bucket-equi-join; recall is
-    tunable via ``n_planes`` (fewer planes -> bigger buckets -> higher recall).
-    """
-    with_bucket = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    tunable via ``n_planes`` (fewer planes -> bigger buckets -> higher
+    recall). Norms precomputed; two-phase top-k (no global window)."""
+    with_bucket = with_norm(df, id_col, vec_col).withColumn(
+        "bucket", hyperplane_bucket(F.col("_vec"), n_planes)
     )
     queries = with_bucket.where(F.col("_id").isin(query_ids)).select(
         F.col("_id").alias("query_id"),
         F.col("_vec").alias("qvec"),
+        F.col("_n").alias("qn"),
         F.col("bucket"),
     )
     cands = with_bucket.join(broadcast(queries), "bucket").where(
         F.col("_id") != F.col("query_id")
     )
-    sim = F.round(cosine(F.col("qvec"), F.col("_vec")), round_digits)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cands.select("query_id", F.col("_id").alias("neighbor_id"), sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+    sim = F.round(_dot(F.col("qvec"), F.col("_vec")) / (F.col("qn") * F.col("_n")), round_digits)
+    return _topk(
+        cands.select("query_id", F.col("_id").alias("neighbor_id"), sim.alias("sim")), k
     )

@@ -168,8 +168,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard pairs
+# Exact n-gram Jaccard pairs + composed fuzzy dedup
 # ---------------------------------------------------------------------------
+
+
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, shs) — each doc's distinct n-word shingles as a 60-bit hash
+    array, computed once and reusable for candidate generation AND exact
+    verification (``array_intersect`` on two docs' arrays)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: token_hash64(s)
+        ).alias("shs"),
+    )
+
+
+def _verify_jaccard(
+    cands: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs: join each side's
+    shingle array by id (shuffle ∝ candidates, never all-pairs) and compute
+    |A∩B| / |A∪B| with ``array_intersect`` — no shingle self-join."""
+    da = docs.select(F.col("_id").alias("id_a"), F.col("shs").alias("_sa"))
+    db = docs.select(F.col("_id").alias("id_b"), F.col("shs").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
+    union = (F.size("_sa") + F.size("_sb")).cast("double") - inter
+    return (
+        cands.join(da, "id_a")
+        .join(db, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -178,39 +208,55 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct n-word shingles: (id_a, id_b, jaccard).
 
-    Shingle-join form: intersection counts from a join on the shingle hash,
-    set sizes from a narrow per-doc aggregate. Quadratic in shingle-bucket
-    size — pair only within LSH bands at full scale."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).select("_id", token_hash64(F.col("shingle")).alias("sh"))
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-
-    inter = (
+    Candidate pairs come from a self-join on the shingle hash; the Jaccard
+    value is then computed exactly from the two docs' full shingle arrays,
+    so ``df_cap`` (drop shingles whose DOCUMENT FREQUENCY exceeds the cap
+    from candidate generation only) does not distort surviving pairs'
+    values. Without a cap, a stop-shingle appearing in M docs creates an
+    M²-row join bucket — the classic dedup scale-killer; the cap bounds any
+    bucket at df_cap². The hot-shingle set (df > cap) is tiny by definition
+    and removed with a broadcast anti-join. A pair is missed only if ALL its
+    shared shingles are hotter than the cap — pick cap >> 1/threshold·median
+    doc size, or use :func:`fuzzy_dup_pairs` for banded candidates."""
+    docs = shingle_arrays(df, id_col, text_col, n)
+    sh = docs.select("_id", F.explode("shs").alias("sh"))
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    cands = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cands, docs, threshold)
+
+
+def fuzzy_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """The composed dedup pipeline: MinHash banded-LSH candidate pairs
+    (sub-quadratic, see :func:`minhash_dup_pairs`) verified by EXACT n-gram
+    Jaccard — the end-to-end near-dup operator to run at full scale.
+    Returns (id_a, id_b, jaccard) for verified pairs >= threshold."""
+    cands = minhash_dup_pairs(df, id_col, text_col, k=k, band_rows=band_rows)
+    docs = shingle_arrays(df, id_col, text_col, n)
+    return _verify_jaccard(cands, docs, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,31 @@ def test_knn_broadcasts_query_side(spark):
     assert "Broadcast" in plan, plan
 
 
+def test_knn_has_no_global_window(spark):
+    """Top-k is two-phase (partial + merge aggregates) — a per-query
+    row_number window would funnel each query's candidates into one task."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in (
+        simsearch.knn_bruteforce(emb, "vec_id", "embedding", [0, 1], k=3),
+        simsearch.knn_lsh(emb, "vec_id", "embedding", [0, 1], k=3),
+        simsearch.knn_ivf(emb, "vec_id", "embedding", [0, 1], k=3),
+    ):
+        plan = plan_of(df)
+        assert "Window" not in plan, plan
+
+
+def test_near_dup_bucket_cap_filter_is_broadcast(spark):
+    """The bucket-size cap filter must join via broadcast (the ok-bucket list
+    is <= n_tables * 2^n_planes rows), never a shuffled join."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(
+        simsearch.near_dup_candidates(
+            emb, "vec_id", "embedding", n_planes=4, n_tables=2, bucket_cap=100
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_per_doc_operators_have_no_shuffle(spark, docs):
     """simhash / quality / fingerprint are narrow: no Exchange in the plan."""
     for df in (

@@ -1,0 +1,89 @@
+"""Composed dedup pipeline + ANN scale-path behavior.
+
+- fuzzy_dup_pairs (MinHash band candidates -> exact Jaccard verify) must
+  agree with the exact shingle-join operator on the fixture corpus: every
+  verified pair carries the exact Jaccard value, and nothing above threshold
+  is missed here (banding recall is 100% on this corpus).
+- the shingle document-frequency cap must not change results when no shingle
+  is hotter than the cap (value exactness is by construction — the cap only
+  prunes candidate generation).
+- the LSH bucket cap must actually drop adversarial hot buckets, and the
+  overflow report must surface what was dropped (no silent truncation).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval import simsearch, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _pairs(df):
+    return {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 8)
+        for r in df.collect()
+    }
+
+
+def test_fuzzy_dup_pairs_matches_exact(spark, docs):
+    exact = _pairs(textops.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2))
+    fuzzy = _pairs(textops.fuzzy_dup_pairs(docs, "doc_id", "text", n=3, threshold=0.2))
+    # banded candidates never invent pairs, and verified values are exact
+    for pair, j in fuzzy.items():
+        assert pair in exact and exact[pair] == j
+    # on this corpus the bands catch every >=0.2 pair (recall 1.0)
+    assert fuzzy == exact
+
+
+def test_df_cap_preserves_pairs_below_cap(spark, docs):
+    uncapped = _pairs(textops.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2))
+    capped = _pairs(
+        textops.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2, df_cap=100)
+    )
+    assert capped == uncapped
+
+
+def test_df_cap_zero_drops_everything(spark, docs):
+    # cap=0 removes every shingle from candidate generation -> no pairs
+    got = textops.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, df_cap=0
+    ).count()
+    assert got == 0
+
+
+def test_bucket_cap_drops_hot_bucket(spark):
+    # 20 identical vectors: one bucket per table holds all of them
+    vecs = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    capped = simsearch.near_dup_pairs(
+        df, "vec_id", "embedding", 0.5, n_planes=4, n_tables=2, bucket_cap=5
+    )
+    assert capped.count() == 0
+    overflow = simsearch.bucket_overflow(
+        df, "embedding", n_planes=4, n_tables=2, bucket_cap=5
+    ).collect()
+    assert overflow and all(r["n_vectors"] == 20 for r in overflow)
+    # without the cap the pairs are all there
+    uncapped = simsearch.near_dup_pairs(
+        df, "vec_id", "embedding", 0.5, n_planes=4, n_tables=2
+    )
+    assert uncapped.count() == 20 * 19 // 2
+
+
+def test_topk_ties_break_by_neighbor_id(spark):
+    # three identical corpus vectors -> equal sims; ranks must follow id asc
+    vecs = [(i, [1.0, 1.0]) for i in range(4)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = (
+        simsearch.knn_bruteforce(df, "vec_id", "embedding", [0], k=3)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in got] == [1, 2, 3]
+    assert [r["rank"] for r in got] == [1, 2, 3]
