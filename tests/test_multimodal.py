@@ -56,6 +56,36 @@ def test_decode_features_matches_numpy(media):
         assert sum(row["hist"]) == pytest.approx(1.0)
 
 
+def test_real_codec_branch_used_when_importable(monkeypatch):
+    """decode_payload must USE a real codec when one imports (the stub is
+    only the fallback) — exercised with a fake PIL injected into
+    sys.modules."""
+    import sys
+    import types
+
+    class FakeImg:
+        def __init__(self, data):
+            self._a = np.frombuffer(data, dtype=np.uint8) + 1
+
+        def __array__(self, *args, **kwargs):
+            return self._a
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda bio: FakeImg(bio.read())
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    out = multimodal.decode_payload(b"\x00\x01\x02", "image")
+    assert out.tolist() == [1, 2, 3]  # the fake codec's +1, not the raw bytes
+
+
+def test_stub_fallback_without_codec():
+    assert not multimodal._codec_available()
+    assert multimodal.decode_payload(b"\x05\x06", "audio").tolist() == [5, 6]
+
+
 def test_frame_sample_every_k(media):
     frames = multimodal.frame_sample(media, every_k=5).collect()
     metas = {r["doc_id"]: r["n_frames"] for r in media.where("media_type='video'").collect()}
