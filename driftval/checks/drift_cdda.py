@@ -51,6 +51,30 @@ def _java_div(num, den):
     )
 
 
+def _mass_degrees(joined: DataFrame, keys: list[str], m: int) -> DataFrame:
+    """(keys..., change_degree) from per-value rows (keys..., attr, fc, sc) —
+    the rough-set lower/upper masses, Java-IEEE division, and the mean over
+    ``m`` attributes, all as DataFrame aggregations (steps 4-5 of the module
+    docstring)."""
+    both = (F.col("fc") > 0) & (F.col("sc") > 0)
+    masses = joined.groupBy(*keys, "attr").agg(
+        F.sum(F.when(both, F.col("fc")).otherwise(0)).alias("first_upper"),
+        F.sum(F.when((F.col("fc") > 0) & (F.col("sc") == 0), F.col("fc")).otherwise(0)).alias("first_lower"),
+        F.sum(F.when(both, F.col("sc")).otherwise(0)).alias("second_upper"),
+        F.sum(F.when((F.col("sc") > 0) & (F.col("fc") == 0), F.col("sc")).otherwise(0)).alias("second_lower"),
+    )
+    per_attr = masses.select(
+        *keys,
+        (
+            _java_div(F.col("first_lower").cast("double"), F.col("first_upper").cast("double"))
+            + _java_div(F.col("second_lower").cast("double"), F.col("second_upper").cast("double"))
+        ).alias("attr_degree"),
+    )
+    return per_attr.groupBy(*keys).agg(
+        (F.sum("attr_degree") / F.lit(2.0 * m)).alias("change_degree")
+    )
+
+
 def change_degrees(
     df: DataFrame,
     categorical_cols: list[str],
@@ -101,25 +125,91 @@ def change_degrees(
             F.coalesce("second_cnt", F.lit(0)).alias("sc"),
         )
     )
+    return _mass_degrees(joined, ["pair_id"], m)
 
-    both = (F.col("fc") > 0) & (F.col("sc") > 0)
-    masses = joined.groupBy("pair_id", "attr").agg(
-        F.sum(F.when(both, F.col("fc")).otherwise(0)).alias("first_upper"),
-        F.sum(F.when((F.col("fc") > 0) & (F.col("sc") == 0), F.col("fc")).otherwise(0)).alias("first_lower"),
-        F.sum(F.when(both, F.col("sc")).otherwise(0)).alias("second_upper"),
-        F.sum(F.when((F.col("sc") > 0) & (F.col("fc") == 0), F.col("sc")).otherwise(0)).alias("second_lower"),
-    )
 
-    per_attr = masses.select(
-        "pair_id",
-        (
-            _java_div(F.col("first_lower").cast("double"), F.col("first_upper").cast("double"))
-            + _java_div(F.col("second_lower").cast("double"), F.col("second_upper").cast("double"))
-        ).alias("attr_degree"),
+BOUNDARY_SEP = "\x00"
+
+
+def intra_pair_degrees(counts: DataFrame, m: int) -> DataFrame:
+    """Distributed consecutive-pair degrees WITHIN each table partition from
+    a pre-aggregated count frame ``(partition_value, block_id, attr, value,
+    cnt)`` -> ``(partition_value, pair_id, change_degree)``.
+
+    This is the suite's V10 heavy lifting: the O(blocks × attrs × values)
+    count frame never reaches the driver — only O(pairs) degrees do."""
+    maxb = counts.groupBy("partition_value").agg(F.max("block_id").alias("_mx"))
+    first = counts.select(
+        "partition_value",
+        (F.col("block_id") + 1).alias("pair_id"),
+        "attr",
+        "value",
+        F.col("cnt").alias("first_cnt"),
     )
-    return per_attr.groupBy("pair_id").agg(
-        (F.sum("attr_degree") / F.lit(2.0 * m)).alias("change_degree")
+    second = counts.select(
+        "partition_value",
+        F.col("block_id").alias("pair_id"),
+        "attr",
+        "value",
+        F.col("cnt").alias("second_cnt"),
     )
+    joined = (
+        first.join(second, ["partition_value", "pair_id", "attr", "value"], "full_outer")
+        .join(F.broadcast(maxb), "partition_value")
+        .where((F.col("pair_id") >= 1) & (F.col("pair_id") <= F.col("_mx")))
+        .select(
+            "partition_value",
+            "pair_id",
+            "attr",
+            F.coalesce("first_cnt", F.lit(0)).alias("fc"),
+            F.coalesce("second_cnt", F.lit(0)).alias("sc"),
+        )
+    )
+    return _mass_degrees(joined, ["partition_value", "pair_id"], m)
+
+
+def boundary_pair_degrees(
+    counts: DataFrame, boundaries: list[tuple[str, str]], m: int
+) -> DataFrame:
+    """Distributed degrees across partition seams: for each (a, b) in
+    ``boundaries``, the degree between a's LAST block and b's FIRST block ->
+    ``(pair_key, change_degree)`` with ``pair_key = a + BOUNDARY_SEP + b``.
+
+    The suite linearizes ``baseline partitions ++ pending partition`` per
+    pending partition; only these O(#baseline + #pending) seam pairs need
+    cross-partition counts, so the mapping table is broadcast and counts stay
+    distributed. A pair whose side has no blocks at all yields a degree as if
+    that side were an empty block — callers must only look up seams both of
+    whose partitions actually produced blocks (extra entries are unused)."""
+    spark = counts.sparkSession
+    if not boundaries:
+        return spark.createDataFrame([], "pair_key string, change_degree double")
+    fmap = spark.createDataFrame(
+        [(a, a + BOUNDARY_SEP + b) for a, b in boundaries],
+        "partition_value string, pair_key string",
+    )
+    smap = spark.createDataFrame(
+        [(b, a + BOUNDARY_SEP + b) for a, b in boundaries],
+        "partition_value string, pair_key string",
+    )
+    maxb = counts.groupBy("partition_value").agg(F.max("block_id").alias("_mx"))
+    last = counts.join(F.broadcast(maxb), "partition_value").where(
+        F.col("block_id") == F.col("_mx")
+    )
+    first_blocks = counts.where(F.col("block_id") == 0)
+    f_side = last.join(F.broadcast(fmap), "partition_value").select(
+        "pair_key", "attr", "value", F.col("cnt").alias("first_cnt")
+    )
+    s_side = first_blocks.join(F.broadcast(smap), "partition_value").select(
+        "pair_key", "attr", "value", F.col("cnt").alias("second_cnt")
+    )
+    joined = f_side.join(s_side, ["pair_key", "attr", "value"], "full_outer").select(
+        "pair_key",
+        "attr",
+        F.coalesce("first_cnt", F.lit(0)).alias("fc"),
+        F.coalesce("second_cnt", F.lit(0)).alias("sc"),
+    )
+    return _mass_degrees(joined, ["pair_key"], m)
 
 
 def change_degree_from_counts(

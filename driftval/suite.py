@@ -178,51 +178,55 @@ def _blockwise_frame(
 
 
 def _blockwise_decisions(
-    combined: pd.DataFrame,
-    attr_cols: list[str],
+    summaries: pd.DataFrame,
+    intra_degrees: pd.DataFrame,
+    boundary_degrees: pd.DataFrame,
     cfg: SuiteConfig,
     pending_current: list[str],
 ) -> pd.DataFrame:
-    """V9 (CDCStream) + V10 (CDDA) verdict rows from the collected blockwise
-    frame. Decisions replay per pending partition over ``baseline blocks ++
-    partition blocks`` (driver math over an O(blocks × attrs × values) frame).
-    """
-    summaries = combined[combined["kind"] == "s"][
-        ["partition_value", "block_id", "cnt", "summary"]
-    ].rename(columns={"cnt": "n_rows"})
-    counts = combined[combined["kind"] == "c"][
-        ["partition_value", "block_id", "attr", "value", "cnt"]
-    ]
-
-    # --- driver-side assembly over tiny frames ---
+    """V9 (CDCStream) + V10 (CDDA) verdict rows. Both decision loops replay
+    per pending partition over ``baseline blocks ++ partition blocks``;
+    CDCStream's sequential loop consumes the collected O(blocks) summary
+    frame, and CDDA's consumes O(pairs) change degrees that were computed
+    DISTRIBUTEDLY (:func:`driftval.checks.drift_cdda.intra_pair_degrees` +
+    ``boundary_pair_degrees`` over the seams) — the O(blocks × attrs ×
+    values) count frame never reaches the driver."""
     summaries = summaries.sort_values(["partition_value", "block_id"])
+    intra = {
+        (p, int(i)): float(d)
+        for p, i, d in zip(
+            intra_degrees["partition_value"],
+            intra_degrees["pair_id"],
+            intra_degrees["change_degree"],
+        )
+    }
+    seams = {
+        k: float(d)
+        for k, d in zip(
+            boundary_degrees["pair_key"], boundary_degrees["change_degree"]
+        )
+    }
 
     def blocks_of(part: str) -> pd.DataFrame:
         return summaries[summaries["partition_value"] == part]
 
-    def counts_of(part: str) -> dict[int, dict[str, dict[str, int]]]:
-        sub = counts[counts["partition_value"] == part]
-        out: dict[int, dict[str, dict[str, int]]] = {}
-        for b, attr, value, cnt in zip(sub["block_id"], sub["attr"], sub["value"], sub["cnt"]):
-            out.setdefault(int(b), {}).setdefault(attr, {})[value] = int(cnt)
-        return out
-
     base_parts = sorted(p for p in cfg.baseline_partitions if p in set(summaries["partition_value"]))
     base_blocks = pd.concat([blocks_of(p) for p in base_parts]) if base_parts else summaries.iloc[0:0]
-    base_counts: list[dict] = []
-    for p in base_parts:
-        cp = counts_of(p)
-        base_counts.extend(cp[b] for b in sorted(cp))
 
     rows: list[dict] = []
     for part in pending_current:
         pb = blocks_of(part)
         if pb.empty:
             continue
-        # CDCStream: concatenated stream = baseline blocks ++ this partition's
+        # the concatenated stream = baseline blocks ++ this partition's
         stream = pd.concat([base_blocks, pb]).reset_index(drop=True)
-        stream["block_id"] = range(len(stream))  # linearized order
-        res = drift_cdcstream.decide(stream, cfg.drift_coefficient)
+        parts_seq = list(stream["partition_value"])
+        blocks_seq = [int(b) for b in stream["block_id"]]
+
+        # CDCStream over linearized block ids
+        res = drift_cdcstream.decide(
+            stream.assign(block_id=range(len(stream))), cfg.drift_coefficient
+        )
         n_base_blocks = len(base_blocks)
         own_drifts = [
             (i, b) for i, b in enumerate(res.drift_block_ids) if b >= n_base_blocks
@@ -241,21 +245,25 @@ def _blockwise_decisions(
             }
         )
 
-        # CDDA: consecutive pairs over the same concatenated stream
-        cp = counts_of(part)
-        part_counts = [cp[b] for b in sorted(cp)]
-        all_counts = base_counts + part_counts
+        # CDDA: look up each consecutive pair's precomputed degree
+        degrees: list[float] = []
+        for i in range(1, len(stream)):
+            if parts_seq[i] == parts_seq[i - 1]:
+                degrees.append(intra[(parts_seq[i], blocks_seq[i])])
+            else:
+                degrees.append(
+                    seams[parts_seq[i - 1] + drift_cdda.BOUNDARY_SEP + parts_seq[i]]
+                )
         sizes = list(stream["n_rows"])
-        degrees, cum = [], [0]
+        cum = [0]
         for s in sizes:
             cum.append(cum[-1] + int(s))
         drift_pairs = []
         cdda_seg = (None, None)
         last_count = 0
         max_deg = 0.0
-        for i in range(1, len(all_counts)):
-            d = drift_cdda.change_degree_from_counts(all_counts[i - 1], all_counts[i], attr_cols)
-            degrees.append(d)
+        for i in range(1, len(stream)):
+            d = degrees[i - 1]
             if d >= cfg.min_change_degree:
                 if i >= n_base_blocks:  # second block of the pair is ours
                     drift_pairs.append(i)
@@ -472,31 +480,65 @@ def run_suite(
     feats, attr_cols = drift_features(derived, cfg)
     drift_scope = cfg.baseline_partitions + pending_current
     lineage_df = partition_lineage(derived_pending, pcol, sha_col=SHA_COL)
-    blockwise_df = combos_df = None
+    blockwise_df = combos_df = summaries_df = counts_df = intra_df = None
     if pending_current:
-        blockwise_df = _blockwise_frame(feats, attr_cols, cfg, drift_scope)
+        # ONE grouped-map pass emits DILCA summaries (kind 's') AND CDDA value
+        # counts (kind 'c'); persisted because summaries are collected while
+        # the counts stay distributed for the degree jobs below.
+        blockwise_df = _blockwise_frame(feats, attr_cols, cfg, drift_scope).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        summaries_df = blockwise_df.where(F.col("kind") == "s").select(
+            "partition_value", "block_id", F.col("cnt").alias("n_rows"), "summary"
+        )
+        counts_df = blockwise_df.where(F.col("kind") == "c").select(
+            "partition_value", "block_id", "attr", "value", "cnt"
+        )
+        intra_df = drift_cdda.intra_pair_degrees(counts_df, len(attr_cols))
+        # Seam candidates are built OPTIMISTICALLY (every ordered baseline
+        # pair + every baseline->pending seam — O(k_b² + k_b·k_p) tiny map
+        # rows) so the degree job runs in the parallel collect batch instead
+        # of waiting for the summaries collect to reveal which partitions
+        # actually produced blocks; the decision replay looks up only the
+        # seams its linearized stream really crosses, so extra entries are
+        # simply unused.
+        sorted_base = sorted(set(cfg.baseline_partitions))
+        seam_cands = [
+            (a, b) for i, a in enumerate(sorted_base) for b in sorted_base[i + 1 :]
+        ] + [(b, p) for b in sorted_base for p in pending_current]
+        boundary_df = drift_cdda.boundary_pair_degrees(
+            counts_df, seam_cands, len(attr_cols)
+        )
         combos_df = (
             feats.where(F.col("partition_value").isin(drift_scope))
             .groupBy("partition_value", *attr_cols)
             .agg(F.count(F.lit(1)).alias("_w"))
         )
 
-    with _timed("parallel-collect"), ThreadPoolExecutor(max_workers=4) as ex:
+    with _timed("parallel-collect"), ThreadPoolExecutor(max_workers=6) as ex:
         fut_verdicts = ex.submit(verdicts.toPandas)
         fut_lineage = ex.submit(lineage_df.toPandas)
-        fut_block = ex.submit(blockwise_df.toPandas) if blockwise_df is not None else None
+        fut_summ = ex.submit(summaries_df.toPandas) if summaries_df is not None else None
+        fut_intra = ex.submit(intra_df.toPandas) if intra_df is not None else None
+        fut_bound = ex.submit(boundary_df.toPandas) if summaries_df is not None else None
         fut_combos = ex.submit(combos_df.toPandas) if combos_df is not None else None
         verdicts_pdf = fut_verdicts.result()
         lineage = fut_lineage.result()
-        blockwise_pdf = fut_block.result() if fut_block else None
+        summaries_pdf = fut_summ.result() if fut_summ else None
+        intra_pdf = fut_intra.result() if fut_intra else None
+        boundary_pdf = fut_bound.result() if fut_bound else None
         combos_pdf = fut_combos.result() if fut_combos else None
 
     verdicts_pdf["segment_start"] = pd.array([None] * len(verdicts_pdf), dtype="Int64")
     verdicts_pdf["segment_end"] = pd.array([None] * len(verdicts_pdf), dtype="Int64")
 
-    # V9/V10 — blockwise drift decisions (driver math over the tiny frame).
-    if blockwise_pdf is not None:
-        bw = _blockwise_decisions(blockwise_pdf, attr_cols, cfg, pending_current)
+    # V9/V10 — blockwise drift decisions: pure driver math over O(blocks)
+    # summaries + O(pairs) distributed degrees.
+    if summaries_pdf is not None:
+        blockwise_df.unpersist()
+        bw = _blockwise_decisions(
+            summaries_pdf, intra_pdf, boundary_pdf, cfg, pending_current
+        )
         if not bw.empty:
             bw["segment_start"] = bw["segment_start"].astype("Int64")
             bw["segment_end"] = bw["segment_end"].astype("Int64")
