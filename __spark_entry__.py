@@ -24,7 +24,8 @@ from driftval.checks import drift_cdcstream, drift_cdda
 from driftval.checks.histogram import drift_stats, histogram, length_bin
 from driftval.checks.referential import orphan_rows
 from driftval.checks.stats import TypeConformance, stats_verdicts
-from driftval.checks.uniqueness import duplicate_keys
+from driftval.checks.uniqueness import duplicate_keys, uniqueness_violations
+from driftval.suite import NULL_TOKEN, conformance_violation_rows
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -298,6 +299,41 @@ def q_media_decode_features(spark, sf_dir):
     )
 
 
+def q_krimp_combo_histogram(spark, sf_dir):
+    """V11's distributed input layer: the (partition × attr-combo) weighted
+    histogram the Krimp codetable builder consumes (the suite's combos frame,
+    here with the suite's feature expressions over documents) — hash-checked
+    so the non-SQL codetable math runs over a verified input."""
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        F.col("source").alias("partition_value"),
+        F.coalesce(F.col("lang"), F.lit(NULL_TOKEN)).alias("f_lang"),
+        F.coalesce(length_bin(F.col("n_chars")).cast("string"), F.lit(NULL_TOKEN)).alias(
+            "f_len_bin"
+        ),
+    )
+    return feats.groupBy("partition_value", "f_lang", "f_len_bin").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+
+
+def q_violation_rows_lang(spark, sf_dir):
+    """North rule: verdicts PLUS violation ROWS — the suite's V4 extractor
+    (pushed-down filter) over documents, flagging langs outside an allowed
+    set; output shape matches the suite's violations dataset."""
+    d = _t(spark, sf_dir, "documents")
+    c = TypeConformance("lang", allowed=("en", "de", "fr", "es"))
+    return conformance_violation_rows(d, "source", ["doc_id"], c)
+
+
+def q_violation_rows_uniqueness(spark, sf_dir):
+    """V5 violation rows: every lineitem row participating in a duplicated
+    l_orderkey (the salted two-phase extractor, output ∝ violations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = uniqueness_violations(li.select("l_orderkey", "l_linenumber"), ["l_orderkey"])
+    return v.select("l_orderkey", "l_linenumber")
+
+
 # --- reference drift operators over the events stream -----------------------
 
 EVENT_BLOCK = 500
@@ -375,6 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdda_change_degrees": q_cdda_change_degrees,
         "cdda_equivalence_counts": q_cdda_equivalence_counts,
         "cdcstream_block_summaries": q_cdcstream_block_summaries,
+        "krimp_combo_histogram": q_krimp_combo_histogram,
+        "violation_rows_lang": q_violation_rows_lang,
+        "violation_rows_uniqueness": q_violation_rows_uniqueness,
     }
 
 
@@ -815,6 +854,25 @@ WITH v AS (
   FROM cands
 )
 SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= 5
+""",
+        "krimp_combo_histogram": """
+SELECT source AS partition_value,
+       COALESCE(lang, '<null>') AS f_lang,
+       COALESCE((floor(log2(n_chars::DOUBLE + 1.0))::BIGINT)::VARCHAR, '<null>') AS f_len_bin,
+       count(*)::BIGINT AS w
+FROM documents GROUP BY 1, 2, 3
+""",
+        "violation_rows_lang": """
+SELECT source AS partition_value, doc_id, lang AS detail,
+       'type_conformance:lang' AS check_name
+FROM documents
+WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr', 'es')
+""",
+        "violation_rows_uniqueness": """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) > 1
+)
 """,
         "cdda_equivalence_counts": f"""
 SELECT b AS block_id, attr, value, count(*)::BIGINT AS cnt

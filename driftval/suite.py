@@ -288,6 +288,21 @@ def _blockwise_decisions(
     return pd.DataFrame(rows)
 
 
+def conformance_violation_rows(
+    df: DataFrame, partition_col: str, key_cols: list[str], constraint: TypeConformance
+) -> DataFrame:
+    """V4 offending-row extraction: a pushed-down filter returning
+    ``(partition_value, key_cols..., detail, check_name)`` — output is
+    proportional to violations, never table size."""
+    pv = F.col(partition_col).cast("string").alias("partition_value")
+    return df.where(constraint.violation_predicate()).select(
+        pv,
+        *key_cols,
+        F.col(constraint.column).cast("string").alias("detail"),
+        F.lit(constraint.name).alias("check_name"),
+    )
+
+
 def _write_violation_rows(
     files: DataFrame,
     derived_pending: DataFrame,
@@ -318,10 +333,7 @@ def _write_violation_rows(
         for c in _derived_default_constraints(cfg):
             if isinstance(c, TypeConformance):
                 frames.append(
-                    shape(
-                        derived_pending.where(c.violation_predicate()),
-                        c.name, F.col(c.column),
-                    )
+                    conformance_violation_rows(derived_pending, pcol, key_cols, c)
                 )
 
     dup_rows = uniqueness_violations(

@@ -1,0 +1,55 @@
+"""Catalog-table branch of read_files_table (SURVEY.md §7 step 9).
+
+No Iceberg runtime jar ships in this sandbox, so the catalog branch is
+exercised with Spark's built-in session catalog (``saveAsTable`` on an
+external parquet table) — ``spark.read.table`` plus partition-column
+semantics are identical for an Iceberg catalog table; only the catalog
+implementation differs.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval.sources import read_files_table
+
+
+@pytest.fixture()
+def cat_table(spark, tmp_path):
+    name = "driftval_cat_smoke"
+    (
+        spark.range(0, 40)
+        .withColumn("part_date", F.concat(F.lit("2026-01-0"), (F.col("id") % 2 + 1).cast("string")))
+        .withColumn("content", F.concat(F.lit("c"), F.col("id").cast("string")))
+        .write.partitionBy("part_date")
+        .option("path", str(tmp_path / "tbl"))
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_table_branch_reads_catalog(spark, cat_table):
+    got = read_files_table(spark, table=cat_table)
+    assert got.count() == 40
+    assert set(got.columns) == {"id", "part_date", "content"}
+
+
+def test_table_branch_partition_pruning(spark, cat_table):
+    df = read_files_table(spark, table=cat_table).where(F.col("part_date") == "2026-01-01")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2026-01-01" in plan, plan
+    assert df.count() == 20
+
+
+def test_exactly_one_source_required(spark):
+    with pytest.raises(ValueError):
+        read_files_table(spark)
+    with pytest.raises(ValueError):
+        read_files_table(spark, path="/x", table="y")
