@@ -7,10 +7,11 @@ digits of md5 as a BIGINT, folded into 31-bit space for overflow-free affine
 hashing on both engines.
 
 Scale notes: per-doc operators are narrow (no shuffle). MinHash-LSH produces
-candidate pairs via a band-bucket self-join — the classic sub-quadratic path;
-the shingle-join Jaccard operator is exact and reserved for within-bucket
-verification or small corpora (quadratic in bucket size, never run it on the
-full 100 TB corpus without banding first).
+candidate pairs via a band-bucket self-join — the classic sub-quadratic path.
+Exact Jaccard is candidate-join + per-pair ``array_intersect`` verification;
+its shingle self-join takes a document-frequency cap (stop-shingles are the
+quadratic killer), and :func:`fuzzy_dup_pairs` composes band candidates with
+exact verification — the operator to run on the full 100 TB corpus.
 """
 
 from __future__ import annotations

@@ -113,6 +113,28 @@ def worker(master: str, files_path: str, manifest_path: str) -> None:
     spark.stop()
 
 
+def _multiproc_section() -> str:
+    """Executor-isolated results (scripts/bench_scaling_multiproc.py), if a
+    run has been recorded — the direct evidence behind the own-memory-bus
+    claim above."""
+    path = os.path.join(REPO, "BENCH", "scaling_multiproc.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        r = json.load(f)
+    lo, hi = r["runs"][0], r["runs"][-1]
+    return f"""### Executor-isolated measurement (independent JVM per worker)
+
+`scripts/bench_scaling_multiproc.py` runs the same suite as {lo['n_workers']}
+vs {hi['n_workers']} INDEPENDENT `local[{lo['cores_per_worker']}]` JVM
+subprocesses over disjoint partition shares of one parquet table (each worker
+resumes from a checkpoint covering the baseline partitions — the V13 path):
+{lo['files_per_sec']:,.0f} files/sec at {lo['total_cores']} cores vs
+{hi['files_per_sec']:,.0f} at {hi['total_cores']} — speedup
+**{r['speedup']:.2f}×**, per-core efficiency **{r['efficiency']:.2f}**.
+Details + caveats: `BENCH/MULTIPROC.md`."""
+
+
 def main() -> None:
     from driftval.genfiles import files_table_spark
     from driftval.session import build_session
@@ -212,6 +234,8 @@ Reference comparison: the reference publishes no numbers (BASELINE.md); its
 workload is a single-threaded Java loop over ~494k rows. Our N-core run
 validates {lo['files_per_sec']:,.0f} files/sec through a strictly larger check
 suite.
+
+{_multiproc_section()}
 
 Raw JSON: `BENCH/scaling.json`.
 """)

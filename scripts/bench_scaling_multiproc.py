@@ -1,0 +1,288 @@
+#!/usr/bin/env python
+"""Executor-isolated scaling evidence (round-1 verdict follow-up #6).
+
+The in-process run (scripts/bench_scaling.py) showed the suite capping at
+~1.5x from 4x LOCAL threads because all threads share one JVM heap, one
+memory bus, and one scheduler — while the compute probe scaled 3.3x. The
+claim to back: on a real cluster, N vs 4N EXECUTORS scale because each
+executor is an isolated process with its own heap/GC/page-cache working set.
+
+This harness simulates executors faithfully inside one box: K independent
+`local[3]` JVM subprocesses, each validating a DISJOINT share of the work
+partitions of the SAME parquet table (the suite's per-partition resume model
+makes shares independent by construction — each worker resumes from a
+checkpoint that already covers the baseline partitions, exactly the V13
+path). A file barrier aligns the timed pass across workers after per-JVM
+warm-up.
+
+  N  = 2 workers x local[3] = 6 cores
+  4N = 8 workers x local[3] = 24 cores
+
+Baseline partitions are generated SMALL (they are re-derived by every worker
+— inherent duplication of the drift-vs-baseline semantics, kept to ~3% of
+rows so it cannot mask the scaling signal; reported either way).
+
+Usage:
+    python scripts/bench_scaling_multiproc.py           # writes BENCH/scaling_multiproc.json + BENCH/MULTIPROC.md
+    DRIFTVAL_MP_ROWS_PER_PART=50000 ... (smoke)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROWS_PP = int(os.environ.get("DRIFTVAL_MP_ROWS_PER_PART", "200000"))
+BASE_ROWS_PP = int(os.environ.get("DRIFTVAL_MP_BASE_ROWS_PER_PART", "25000"))
+BLOCK_SIZE = int(os.environ.get("DRIFTVAL_MP_BLOCK_SIZE", "2500"))
+CORES_PER_WORKER = int(os.environ.get("DRIFTVAL_MP_CORES", "3"))
+REPS = int(os.environ.get("DRIFTVAL_MP_REPS", "2"))
+WARM = os.environ.get("DRIFTVAL_MP_WARM", "1") == "1"  # 0: skip warm-up (smoke only)
+CONFIGS = [int(x) for x in os.environ.get("DRIFTVAL_MP_CONFIGS", "2,8").split(",")]
+DEBUG = os.environ.get("DRIFTVAL_MP_DEBUG", "0") == "1"  # keep worker stderr
+N_WORK_PARTS = 16
+
+BASELINES = ["2026-01-01", "2026-01-02"]
+WORK_PARTS = [f"2026-02-{d:02d}" for d in range(1, N_WORK_PARTS + 1)]
+RUN_ID = "scale-mp"
+
+
+def _cfg():
+    from driftval.suite import SuiteConfig
+
+    return SuiteConfig(baseline_partitions=BASELINES, block_size=BLOCK_SIZE)
+
+
+def worker(master: str, files_path: str, ckpt_template: str, rep_dir: str,
+           worker_id: str, share_csv: str) -> None:
+    from pyspark.sql import functions as F
+
+    from driftval.genfiles import dim_tables_spark
+    from driftval.session import build_session
+    from driftval.suite import run_suite
+
+    share = share_csv.split(",")
+    cores = int(master.split("[")[1].rstrip("]"))
+    # Size the JVM like a real executor of this width: without
+    # ActiveProcessorCount each of K concurrent JVMs sizes GC/JIT/netty pools
+    # for the WHOLE box (K x 32 threads thrash); without the memory cap K
+    # workers would inherit the single-JVM 48g default.
+    spark = build_session(
+        f"driftval-mp-{worker_id}", master=master, shuffle_partitions=2 * cores,
+        extra_conf={
+            # FIXED heap (-Xms == -Xmx): with a growable heap, G1's
+            # commit/uncommit page churn across K concurrent JVMs contends in
+            # the kernel page allocator of this VM — measured 50-70% system
+            # CPU time and a 5-10x wall blowup; a fixed heap never uncommits
+            # (real executors are sized this way too). AlwaysPreTouch is
+            # deliberately NOT used: K JVMs pre-touching at once recreate the
+            # same page-fault storm at startup (measured 8x3 cores at 74%
+            # sys, 0% usr for minutes).
+            "spark.driver.memory": os.environ.get("DRIFTVAL_MP_WORKER_MEM", "4g"),
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ActiveProcessorCount={cores} "
+                f"-Xms{os.environ.get('DRIFTVAL_MP_WORKER_MEM', '4g')}"
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scope = share + BASELINES
+    files = spark.read.parquet(files_path).where(F.col("part_date").isin(scope))
+    dim_repos, dim_commits = dim_tables_spark(files)
+    dim_repos, dim_commits = dim_repos.cache(), dim_commits.cache()
+    _ = dim_repos.count(), dim_commits.count()
+    n_files = files.where(F.col("part_date").isin(share)).count()
+
+    # one warm-up pass (JIT/codegen), then REPS timed passes, all in THIS
+    # JVM (like a long-lived executor); a file barrier aligns each pass
+    # across workers.
+    if WARM:
+        ckpt = os.path.join(rep_dir, f"ckpt-warm-{worker_id}")
+        shutil.copytree(ckpt_template, ckpt)
+        run_suite(spark, files, _cfg(), ckpt, run_id=RUN_ID,
+                  dim_repos=dim_repos, dim_commits=dim_commits).count()
+
+    secs, n_verdicts = [], 0
+    for rep in range(REPS):
+        ckpt = os.path.join(rep_dir, f"ckpt-{rep}-{worker_id}")
+        shutil.copytree(ckpt_template, ckpt)
+        open(os.path.join(rep_dir, f"ready-{rep}-{worker_id}"), "w").close()
+        go = os.path.join(rep_dir, f"go-{rep}")
+        while not os.path.exists(go):
+            time.sleep(0.05)
+        t0 = time.monotonic()
+        n_verdicts = run_suite(spark, files, _cfg(), ckpt, run_id=RUN_ID,
+                               dim_repos=dim_repos, dim_commits=dim_commits).count()
+        secs.append(round(time.monotonic() - t0, 3))
+        open(os.path.join(rep_dir, f"done-{rep}-{worker_id}"), "w").close()
+    print(json.dumps({
+        "worker_id": worker_id, "secs": secs,
+        "files": n_files, "n_verdicts": n_verdicts,
+    }))
+    spark.stop()
+
+
+def _run_config(n_workers: int, files_path: str, ckpt_template: str,
+                workdir: str) -> dict:
+    shares = [WORK_PARTS[i::n_workers] for i in range(n_workers)]
+    master = f"local[{CORES_PER_WORKER}]"
+    print(f"[mp] config {n_workers}w: spawning", file=sys.stderr, flush=True)
+    rep_dir = os.path.join(workdir, f"rep-{n_workers}w")
+    shutil.rmtree(rep_dir, ignore_errors=True)
+    os.makedirs(rep_dir)
+    errs = [
+        open(f"/tmp/mp-worker-{n_workers}w-{i}.err", "w") if DEBUG
+        else subprocess.DEVNULL
+        for i in range(n_workers)
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", master,
+             files_path, ckpt_template, rep_dir, str(i), ",".join(shares[i])],
+            stdout=subprocess.PIPE, stderr=errs[i], text=True, cwd=REPO,
+        )
+        for i in range(n_workers)
+    ]
+
+    def wait_all(names: list[str]) -> None:
+        # names[i] belongs to worker i; a worker that already wrote its file
+        # may legitimately have exited (final rep), so only a dead worker
+        # WITHOUT its barrier file is an error.
+        while not all(os.path.exists(os.path.join(rep_dir, n)) for n in names):
+            for i, p in enumerate(procs):
+                if p.poll() is not None and not os.path.exists(
+                    os.path.join(rep_dir, names[i])
+                ):
+                    raise RuntimeError(f"worker {i} died before barrier {names[i]}")
+            time.sleep(0.1)
+
+    walls = []
+    for rep in range(REPS):
+        wait_all([f"ready-{rep}-{i}" for i in range(n_workers)])
+        t0 = time.monotonic()
+        open(os.path.join(rep_dir, f"go-{rep}"), "w").close()
+        wait_all([f"done-{rep}-{i}" for i in range(n_workers)])
+        wall = round(time.monotonic() - t0, 3)
+        print(f"[mp] config {n_workers}w rep {rep}: wall {wall}s", file=sys.stderr, flush=True)
+        walls.append(wall)
+    outs = [json.loads([l for l in p.communicate()[0].splitlines()
+                        if l.startswith("{")][-1]) for p in procs]
+    shutil.rmtree(rep_dir, ignore_errors=True)
+    total_files = sum(w["files"] for w in outs)
+    best = min(walls)
+    return {
+        "n_workers": n_workers, "cores_per_worker": CORES_PER_WORKER,
+        "total_cores": n_workers * CORES_PER_WORKER,
+        "wall_sec_min": best, "all_walls_sec": walls,
+        "files": total_files, "files_per_sec": round(total_files / best, 1),
+        "workers": outs,
+    }
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from driftval.genfiles import files_table_spark
+    from driftval.session import build_session
+    from driftval.suite import run_suite
+
+    # DRIFTVAL_MP_DATA_DIR: reuse a pre-generated dataset across invocations
+    # (generation of millions of rows dominates short runs otherwise).
+    data_dir = os.environ.get("DRIFTVAL_MP_DATA_DIR")
+    keep_data = data_dir is not None
+    workdir = data_dir or tempfile.mkdtemp(prefix="driftval-mp-")
+    os.makedirs(workdir, exist_ok=True)
+    files_path = os.path.join(workdir, "files")
+    ckpt_template = os.path.join(workdir, "ckpt-template")
+    try:
+        if not os.path.exists(ckpt_template):
+            spark = build_session("driftval-mp-gen", master="local[32]", shuffle_partitions=32)
+            spark.sparkContext.setLogLevel("ERROR")
+            base = files_table_spark(spark, BASE_ROWS_PP, partitions=BASELINES)
+            work = files_table_spark(spark, ROWS_PP, partitions=WORK_PARTS)
+            base.unionByName(work).write.mode("overwrite").partitionBy("part_date").parquet(files_path)
+
+            # pre-checkpoint the baseline partitions once; every worker
+            # resumes from a copy of this store (V13 in anger), so its
+            # pending set is exactly its share.
+            from driftval.genfiles import dim_tables_spark
+
+            bfiles = spark.read.parquet(files_path).where(F.col("part_date").isin(BASELINES))
+            dr, dc = dim_tables_spark(bfiles)
+            run_suite(spark, bfiles, _cfg(), ckpt_template, run_id=RUN_ID,
+                      dim_repos=dr, dim_commits=dc).count()
+            spark.stop()
+
+        runs = []
+        for n_workers in CONFIGS:
+            runs.append(_run_config(n_workers, files_path, ckpt_template, workdir))
+            print(json.dumps(runs[-1]))
+        if len(runs) < 2:
+            return
+        lo, hi = runs[0], runs[-1]
+
+        speedup = hi["files_per_sec"] / lo["files_per_sec"]
+        core_ratio = hi["total_cores"] / lo["total_cores"]
+        report = {
+            "mode": "executor-isolated (independent JVM per worker, disjoint partition shares)",
+            "rows_per_work_partition": ROWS_PP,
+            "baseline_rows_per_partition": BASE_ROWS_PP,
+            "block_size": BLOCK_SIZE,
+            "runs": [lo, hi],
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / core_ratio, 3),
+        }
+        print(json.dumps(report))
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling_multiproc.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        _write_md(report, lo, hi)
+    finally:
+        if not keep_data:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _write_md(report: dict, lo: dict, hi: dict) -> None:
+    dup_pct = 100.0 * len(BASELINES) * BASE_ROWS_PP * hi["n_workers"] / (
+        N_WORK_PARTS * ROWS_PP
+    )
+    with open(os.path.join(REPO, "BENCH", "MULTIPROC.md"), "w") as f:
+        f.write(f"""# Executor-isolated scaling (N vs 4N worker processes)
+
+Each "executor" is an independent `local[{CORES_PER_WORKER}]` JVM subprocess
+validating a disjoint share of {N_WORK_PARTS} work partitions
+({ROWS_PP:,} rows each) of the same parquet table, resuming from a
+pre-built checkpoint that covers the {len(BASELINES)} small baseline
+partitions ({BASE_ROWS_PP:,} rows each) — the suite's V13 resume path makes
+shares independent by construction. A file barrier aligns the timed pass
+after per-JVM warm-up; wall = orchestrator time from barrier release to the
+last worker finishing; min of {REPS} reps.
+
+| config | workers × cores | total cores | wall (s), min | all walls | validated files/sec |
+|---|---|---|---|---|---|
+| N | {lo['n_workers']} × {lo['cores_per_worker']} | {lo['total_cores']} | {lo['wall_sec_min']} | {lo['all_walls_sec']} | {lo['files_per_sec']:,} |
+| 4N | {hi['n_workers']} × {hi['cores_per_worker']} | {hi['total_cores']} | {hi['wall_sec_min']} | {hi['all_walls_sec']} | {hi['files_per_sec']:,} |
+
+- speedup (4N vs N): **{report['speedup']:.2f}×**; per-core efficiency **{report['efficiency']:.2f}**
+- baseline re-derivation duplicated per worker (inherent to drift-vs-baseline
+  semantics when executors are independent apps): ≤ {dup_pct:.1f}% of work rows
+  at 4N — it biases AGAINST 4N, so the number above is conservative.
+
+Raw JSON: `BENCH/scaling_multiproc.json`.
+""")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(*sys.argv[2:8])
+    else:
+        main()
