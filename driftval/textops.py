@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -190,13 +191,30 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs: join each side's
     shingle array by id (shuffle ∝ candidates, never all-pairs) and compute
-    |A∩B| / |A∪B| with ``array_intersect`` — no shingle self-join."""
+    |A∩B| / |A∪B| with ``array_intersect`` — no shingle self-join.
+
+    A scalar size-ratio prefilter runs first: Jaccard ≤ min(|A|,|B|) /
+    max(|A|,|B|), so pairs with too-different set sizes are dropped before
+    any array crosses the shuffle (bound-exact — no qualifying pair lost)."""
+    sizes = docs.select("_id", F.size("shs").alias("_sz"))
+    za = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    zb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    pruned = (
+        cands.join(za, "id_a")
+        .join(zb, "id_b")
+        .where(
+            F.least("_sza", "_szb").cast("double")
+            / F.greatest("_sza", "_szb")
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
     da = docs.select(F.col("_id").alias("id_a"), F.col("shs").alias("_sa"))
     db = docs.select(F.col("_id").alias("id_b"), F.col("shs").alias("_sb"))
     inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
     union = (F.size("_sa") + F.size("_sb")).cast("double") - inter
     return (
-        cands.join(da, "id_a")
+        pruned.join(da, "id_a")
         .join(db, "id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
@@ -223,21 +241,56 @@ def ngram_jaccard_pairs(
     and removed with a broadcast anti-join. A pair is missed only if ALL its
     shared shingles are hotter than the cap — pick cap >> 1/threshold·median
     doc size, or use :func:`fuzzy_dup_pairs` for banded candidates."""
-    docs = shingle_arrays(df, id_col, text_col, n)
-    sh = docs.select("_id", F.explode("shs").alias("sh"))
+    # The shingle build (tokenize + per-position join + md5) is the single
+    # most expensive narrow map here and is consumed by MANY subtrees
+    # (hot-set, both self-join sides, per-doc stats, verification) — persist
+    # it once instead of recomputing per subtree (measured ~6 rebuilds
+    # without this).
+    docs = shingle_arrays(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    all_sh = docs.select("_id", F.explode("shs").alias("sh"))
+    sh = all_sh
     if df_cap is not None:
         hot = (
-            sh.groupBy("sh")
+            all_sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > df_cap)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    cands = (
+        sh = all_sh.join(F.broadcast(hot), "sh", "left_anti")
+    # Count-based pruning BEFORE any array is shuffled: the self-join gives
+    # the capped intersection count per pair; with per-doc totals and per-doc
+    # hot-shingle counts, (capped_inter + min(hot_a, hot_b)) is an upper
+    # bound on the true intersection, hence an upper bound on Jaccard —
+    # pairs that cannot reach the threshold never reach the array join
+    # (ub >= exact, so no qualifying pair is lost).
+    inter_c = (
         sh.alias("a")
         .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_ic"))
+    )
+    stats = docs.select(
+        "_id",
+        F.size("shs").alias("_sz"),
+    )
+    if df_cap is not None:
+        kept_per_doc = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_kept"))
+        stats = stats.join(kept_per_doc, "_id", "left").select(
+            "_id", "_sz", (F.col("_sz") - F.coalesce("_kept", F.lit(0))).alias("_hot")
+        )
+    else:
+        stats = stats.withColumn("_hot", F.lit(0))
+    sa = stats.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), F.col("_hot").alias("_ha"))
+    sb = stats.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), F.col("_hot").alias("_hb"))
+    ub_inter = F.col("_ic") + F.least("_ha", "_hb")
+    ub_j = ub_inter / (F.col("_sza") + F.col("_szb") - ub_inter)
+    cands = (
+        inter_c.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(ub_j >= threshold)
+        .select("id_a", "id_b")
     )
     return _verify_jaccard(cands, docs, threshold)
 
@@ -256,7 +309,9 @@ def fuzzy_dup_pairs(
     Jaccard — the end-to-end near-dup operator to run at full scale.
     Returns (id_a, id_b, jaccard) for verified pairs >= threshold."""
     cands = minhash_dup_pairs(df, id_col, text_col, k=k, band_rows=band_rows)
-    docs = shingle_arrays(df, id_col, text_col, n)
+    docs = shingle_arrays(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return _verify_jaccard(cands, docs, threshold)
 
 
