@@ -105,6 +105,10 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
 
+    # One untimed small warm-up pass per fresh JVM (codegen/JIT compile of
+    # the suite's ~40 plans — standard practice; BENCH/BASELINE.md reps do
+    # the same), then the timed pass at full size.
+    run_suite_bench(spark, max(500, rows_pp // 10), block_size)
     suite = run_suite_bench(spark, rows_pp, block_size)
     qtimes["suite_e2e"] = suite["suite_sec"]
 

@@ -34,9 +34,22 @@ def build_session(
         "spark.sql.shuffle.partitions": str(shuffle_partitions or int(cpus)),
         # Keep parquet scans wide enough to parallelize on local[32] fixtures.
         "spark.sql.files.maxPartitionBytes": "64m",
-        # local mode: driver == executor — size it for 32 concurrent tasks
-        # (8g measured 2.5x run-to-run variance from GC pressure at 1M rows).
+        # local mode: driver == executor. FIXED PRE-TOUCHED heap: without
+        # -Xms, G1 repeatedly commits/uncommits heap regions as usage swings,
+        # and on this VM those kernel page operations burst to 50-70% system
+        # CPU (usr ~1%) mid-query — the dominant source of the 2-3x
+        # run-to-run bench variance previously attributed to the shared
+        # host. AlwaysPreTouch moves the one-time page fault-in to session
+        # build (untimed) instead of the first heavy job; 16g keeps that
+        # startup cost a few seconds while comfortably fitting the 4M-file
+        # bench suite. (Concurrent-JVM harnesses pass their own sizing — see
+        # scripts/bench_scaling_multiproc.py.)
         "spark.driver.memory": os.environ.get("DRIFTVAL_DRIVER_MEM", "48g"),
+        "spark.driver.extraJavaOptions": (
+            "-Xms"
+            + os.environ.get("DRIFTVAL_DRIVER_XMS", "24g")
+            + " -XX:+AlwaysPreTouch"
+        ),
         "spark.ui.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
     }
