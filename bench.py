@@ -105,10 +105,12 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
 
-    # One untimed small warm-up pass per fresh JVM (codegen/JIT compile of
-    # the suite's ~40 plans — standard practice; BENCH/BASELINE.md reps do
-    # the same), then the timed pass at full size.
-    run_suite_bench(spark, max(500, rows_pp // 10), block_size)
+    # Two untimed small warm-up passes per fresh JVM (codegen + C2 JIT of
+    # the suite's ~40 plans need two rounds to reach steady state — measured
+    # 83s -> 27s -> 12.8s on identical input; BENCH/BASELINE.md reps warm up
+    # the same way), then the timed pass at full size.
+    for _ in range(2):
+        run_suite_bench(spark, max(500, rows_pp // 10), block_size)
     suite = run_suite_bench(spark, rows_pp, block_size)
     qtimes["suite_e2e"] = suite["suite_sec"]
 
