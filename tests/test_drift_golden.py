@@ -135,3 +135,56 @@ def test_partial_final_block_included(spark, stream_df):
     sdf = spark.createDataFrame(stream_df)
     got = block_summaries(sdf, ATTRS, BLOCK).toPandas()
     assert got["n_rows"].iloc[got["block_id"].idxmax()] == 37
+
+
+def test_suite_pair_degrees_match_driver_oracle(spark):
+    """ADVICE r2: the fused distributed degree job must equal the driver-side
+    change_degree_from_counts over the same blocks — intra pairs AND seams,
+    including an inf-degree disjoint pair and one-sided values."""
+    from driftval.checks import drift_cdda
+
+    attrs = ["a0", "a1"]
+    # (partition, block, attr -> {value: cnt}); pA block1 is disjoint from
+    # block0 on a0 (inf component), pB has a single block (seam-only side).
+    blocks = {
+        ("pA", 0): {"a0": {"x": 5, "y": 3}, "a1": {"u": 8}},
+        ("pA", 1): {"a0": {"z": 4, "w": 2}, "a1": {"u": 5, "v": 1}},
+        ("pA", 2): {"a0": {"x": 1, "z": 6}, "a1": {"v": 7}},
+        ("pB", 0): {"a0": {"x": 2, "q": 2}, "a1": {"u": 1, "w": 3}},
+    }
+    rows = [
+        (part, block, attr, value, cnt)
+        for (part, block), attr_map in blocks.items()
+        for attr, vals in attr_map.items()
+        for value, cnt in vals.items()
+    ]
+    counts = spark.createDataFrame(
+        rows, "partition_value string, block_id long, attr string, value string, cnt long"
+    )
+    seams = [("pA", "pB"), ("pB", "pA")]
+    got = {
+        r.pair_key: r.change_degree
+        for r in drift_cdda.suite_pair_degrees(counts, seams, len(attrs)).collect()
+    }
+
+    want = {
+        drift_cdda.intra_key("pA", 1): drift_cdda.change_degree_from_counts(
+            blocks[("pA", 0)], blocks[("pA", 1)], attrs
+        ),
+        drift_cdda.intra_key("pA", 2): drift_cdda.change_degree_from_counts(
+            blocks[("pA", 1)], blocks[("pA", 2)], attrs
+        ),
+        drift_cdda.seam_key("pA", "pB"): drift_cdda.change_degree_from_counts(
+            blocks[("pA", 2)], blocks[("pB", 0)], attrs
+        ),
+        drift_cdda.seam_key("pB", "pA"): drift_cdda.change_degree_from_counts(
+            blocks[("pB", 0)], blocks[("pA", 0)], attrs
+        ),
+    }
+    for key, expected in want.items():
+        assert got[key] == pytest.approx(expected, rel=1e-12), key
+    # the only extra rows are the never-looked-up degenerate last+1 pairs
+    extra = set(got) - set(want)
+    assert extra == {
+        drift_cdda.intra_key("pA", 3), drift_cdda.intra_key("pB", 1)
+    }
