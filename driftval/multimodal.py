@@ -62,11 +62,16 @@ def _codec_available() -> bool:
         return False
 
 
-def _real_decode(payload: bytes, media_type: str) -> np.ndarray:
-    """Real codec hook: decodes the payload with PIL when it is importable
-    (image path; wire soundfile/ffmpeg for audio/video the same way). On a
-    cluster with codecs installed this branch is taken automatically — the
-    stub is only the fallback."""
+# Probed ONCE per interpreter (module import happens once per executor
+# worker), not per Arrow batch — a failed import per batch is measurable
+# (ADVICE r2). Tests monkeypatch this flag directly.
+_CODEC = _codec_available()
+
+
+def _real_decode(payload: bytes) -> np.ndarray:
+    """Real codec hook: decodes an IMAGE payload with PIL. On a cluster with
+    codecs installed this branch is taken automatically — the stub is only
+    the fallback."""
     import io
 
     import PIL.Image
@@ -82,10 +87,19 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
-    """Decode one payload to a flat uint8 signal: the real codec if one is
-    importable, else the declared stub."""
-    if _codec_available():
-        return _real_decode(payload, media_type)
+    """Decode one payload to a flat uint8 signal.
+
+    The real codec applies only to media types it can actually decode
+    (PIL -> image); audio/video (no codec shipped here) and payloads PIL
+    cannot parse fall back to the declared stub instead of crashing the
+    pipeline — a present-but-inapplicable codec must never break the run
+    (ADVICE r2: the fixture payloads are UTF-8 text bytes, which
+    PIL.Image.open rejects)."""
+    if _CODEC and media_type == "image":
+        try:
+            return _real_decode(payload)
+        except Exception:  # UnidentifiedImageError etc. — not a PIL image
+            return _fake_decode(payload)
     return _fake_decode(payload)
 
 
@@ -129,9 +143,8 @@ def decode_features(media: DataFrame, hist_bins: int = 16) -> DataFrame:
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        use_codec = _codec_available()
         for pdf in it:
-            if use_codec:
+            if _CODEC:
                 stats = []
                 for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
                     arr = decode_payload(bytes(payload), mtype)

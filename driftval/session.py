@@ -40,9 +40,9 @@ def build_session(
         # CPU (usr ~1%) mid-query — the dominant source of the 2-3x
         # run-to-run bench variance previously attributed to the shared
         # host. AlwaysPreTouch moves the one-time page fault-in to session
-        # build (untimed) instead of the first heavy job; 16g keeps that
-        # startup cost a few seconds while comfortably fitting the 4M-file
-        # bench suite. (Concurrent-JVM harnesses pass their own sizing — see
+        # build (untimed) instead of the first heavy job; the 24g default
+        # floor keeps that startup cost a few seconds while comfortably
+        # fitting the 4M-file bench suite. (Concurrent-JVM harnesses pass their own sizing — see
         # scripts/bench_scaling_multiproc.py.)
         "spark.driver.memory": os.environ.get("DRIFTVAL_DRIVER_MEM", "48g"),
         "spark.driver.extraJavaOptions": (

@@ -187,8 +187,13 @@ def near_dup_candidates(
             .where(F.col("_bn") <= bucket_cap)
             .select("tbl", "bucket")
         )
-        # ≤ n_tables·2^n_planes rows — broadcast, never a shuffled join
-        buckets = buckets.join(broadcast(ok), ["tbl", "bucket"])
+        # ok-list is ≤ n_tables·2^n_planes rows: force broadcast only while
+        # that bound is actually small (at scale the advice is n_planes ≈
+        # log2(N), where 2^n_planes would OOM a forced broadcast — there,
+        # let AQE pick the strategy from the runtime size). ADVICE r2.
+        if n_planes <= 20:
+            ok = broadcast(ok)
+        buckets = buckets.join(ok, ["tbl", "bucket"])
     return (
         buckets.alias("a")
         .join(
@@ -255,23 +260,111 @@ def near_dup_pairs(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    train_limit: int = 4096,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) for the IVF coarse quantizer, trained on a
+    bounded deterministic sample — the standard IVF practice (train on
+    ~O(100·k) points, assign the full corpus): ``train_limit`` lowest-id
+    vectors via a map-side partial take-ordered, so training cost is
+    independent of corpus size. Init = the first ``n_centroids`` sample
+    vectors (the round-2 stand-in). Each iteration assigns the sample to its
+    max-cosine centroid (broadcast join + map-side argmax — same plan shape
+    as :func:`assign_ivf_cluster`) and recomputes centroids as normalized
+    per-dimension means; only k×d centroid values ever reach the driver.
+    Empty clusters keep their previous centroid. Returns
+    ``[(cluster_id, centroid_vec)]`` for :func:`assign_ivf_cluster`."""
+    spark = df.sparkSession
+    wb = with_norm(df, id_col, vec_col).where(F.col("_n") > 0)
+    sample = (
+        wb.select(
+            "_id", F.transform("_vec", lambda x: x.cast("double") / F.col("_n")).alias("_u")
+        )
+        .orderBy("_id")
+        .limit(train_limit)
+        .persist()
+    )
+    cents = [
+        (i, list(r["_u"]))
+        for i, r in enumerate(sample.orderBy("_id").limit(n_centroids).collect())
+    ]
+    for _ in range(max(0, n_iters)):
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents],
+            "cluster_id int, centroid array<double>",
+        ).withColumn("_cn", _norm(F.col("centroid")))
+        csim = F.round(
+            _dot(F.col("_u"), F.col("centroid")) / F.col("_cn"), 9
+        )  # |_u| == 1
+        best = (
+            sample.join(broadcast(cdf))
+            .select("_id", "_u", F.col("cluster_id"), csim.alias("csim"))
+            .groupBy("_id")
+            .agg(
+                F.max(F.struct(F.col("csim").alias("s"), (-F.col("cluster_id")).alias("negc"))).alias("m"),
+                F.first("_u").alias("_u"),
+            )
+            .select((-F.col("m.negc")).alias("cluster_id"), "_u")
+        )
+        sums = (
+            best.select("cluster_id", F.posexplode("_u").alias("pos", "v"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = float(r["s"])
+        new_cents = []
+        for cid, old in cents:
+            dims = by_cluster.get(cid)
+            if not dims:
+                new_cents.append((cid, old))
+                continue
+            vec = [dims[p] for p in range(len(old))]
+            nrm = sum(x * x for x in vec) ** 0.5
+            new_cents.append((cid, [x / nrm for x in vec] if nrm > 0 else old))
+        cents = new_cents
+    sample.unpersist()
+    return cents
+
+
 def assign_ivf_cluster(
-    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid by
-    cosine. Centroids here are the first ``n_centroids`` vectors by id — a
-    deterministic stand-in for k-means training (swap in trained centroids on
-    a real pipeline; the assignment/search plumbing is identical). The
-    centroid table is broadcast with precomputed norms; the argmax is a
+    cosine. With ``centroids=None`` the centroids are the first
+    ``n_centroids`` vectors by id — a deterministic stand-in that keeps the
+    DuckDB oracle twin expressible; pass :func:`train_ivf_centroids` output
+    for a trained quantizer (identical assignment plumbing). The centroid
+    table is broadcast with precomputed norms; the argmax is a
     map-side-partial ``max(struct)`` aggregate (ties -> lowest cluster_id),
     not a window — the exchange carries one row per vector."""
     wb = with_norm(df, id_col, vec_col)
-    centroids = wb.where(F.col("_id") < n_centroids).select(
-        F.col("_id").alias("cluster_id"),
-        F.col("_vec").alias("centroid"),
-        F.col("_n").alias("_cn"),
-    )
-    scored = wb.join(broadcast(centroids))
+    if centroids is None:
+        cent_df = wb.where(F.col("_id") < n_centroids).select(
+            F.col("_id").alias("cluster_id"),
+            F.col("_vec").alias("centroid"),
+            F.col("_n").alias("_cn"),
+        )
+    else:
+        cent_df = (
+            df.sparkSession.createDataFrame(
+                list(centroids), "cluster_id int, centroid array<double>"
+            )
+            .withColumn("_cn", _norm(F.col("centroid")))
+            .select(F.col("cluster_id").cast("long").alias("cluster_id"), "centroid", "_cn")
+        )
+    scored = wb.join(broadcast(cent_df))
     csim = F.round(_dot(F.col("_vec"), F.col("centroid")) / (F.col("_n") * F.col("_cn")), 6)
     best = (
         scored.select("_id", "_vec", "_n", "cluster_id", csim.alias("csim"))
@@ -293,12 +386,21 @@ def knn_ivf(
     k: int = 5,
     n_centroids: int = 8,
     round_digits: int = 6,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via IVF: search only the query's coarse cluster
     (single-probe). The scale path for ANN when LSH bucket skew is a concern —
     cluster sizes are balanced by the quantizer, and the candidate join is a
-    cluster-equi-join co-partitioned on cluster_id."""
-    aw = assign_ivf_cluster(df, id_col, vec_col, n_centroids)
+    cluster-equi-join co-partitioned on cluster_id. ``train_iters=0``
+    (default) uses the deterministic first-N stand-in quantizer (oracle-twin
+    expressible); ``train_iters>0`` runs that many Lloyd iterations first
+    (:func:`train_ivf_centroids`)."""
+    centroids = (
+        train_ivf_centroids(df, id_col, vec_col, n_centroids, n_iters=train_iters)
+        if train_iters > 0
+        else None
+    )
+    aw = assign_ivf_cluster(df, id_col, vec_col, n_centroids, centroids=centroids)
     queries = aw.where(F.col("_id").isin(query_ids)).select(
         F.col("_id").alias("query_id"),
         F.col("_vec").alias("qvec"),

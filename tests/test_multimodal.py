@@ -76,9 +76,42 @@ def test_real_codec_branch_used_when_importable(monkeypatch):
     pil_mod.Image = image_mod
     monkeypatch.setitem(sys.modules, "PIL", pil_mod)
     monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    # the probe runs once at import (per executor), so tests flip the flag
+    monkeypatch.setattr(multimodal, "_CODEC", True)
 
     out = multimodal.decode_payload(b"\x00\x01\x02", "image")
     assert out.tolist() == [1, 2, 3]  # the fake codec's +1, not the raw bytes
+
+    # ADVICE r2: the codec must apply ONLY to media types it can decode —
+    # audio/video take the stub even when PIL is importable
+    assert multimodal.decode_payload(b"\x00\x01\x02", "audio").tolist() == [0, 1, 2]
+    assert multimodal.decode_payload(b"\x00\x01\x02", "video").tolist() == [0, 1, 2]
+
+
+def test_unparseable_image_falls_back_to_stub(monkeypatch):
+    """ADVICE r2: a present-but-inapplicable codec (payload PIL rejects, e.g.
+    this repo's UTF-8 fixture payloads) must fall back to the stub, not crash
+    the pipeline."""
+    import sys
+    import types
+
+    class Unidentified(Exception):
+        pass
+
+    def refuse(bio):
+        raise Unidentified("cannot identify image file")
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = refuse
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    monkeypatch.setattr(multimodal, "_CODEC", True)
+
+    assert multimodal.decode_payload(b"not an image", "image").tolist() == list(
+        b"not an image"
+    )
 
 
 def test_stub_fallback_without_codec():
