@@ -203,6 +203,7 @@ def _blockwise_decisions(
     base_blocks = pd.concat([blocks_of(p) for p in base_parts]) if base_parts else summaries.iloc[0:0]
 
     rows: list[dict] = []
+    seg_rows: list[dict] = []
     for part in pending_current:
         pb = blocks_of(part)
         if pb.empty:
@@ -221,6 +222,17 @@ def _blockwise_decisions(
             (i, b) for i, b in enumerate(res.drift_block_ids) if b >= n_base_blocks
         ]
         seg = res.segments[own_drifts[0][0]] if own_drifts else (None, None)
+        # the verdict row keeps the FIRST own segment (fixed checkpoint
+        # schema); the FULL segment list goes to the violations dataset
+        seg_rows.extend(
+            {
+                "partition_value": part,
+                "check_name": "drift:cdcstream:segment",
+                "segment_start": res.segments[i][0],
+                "segment_end": res.segments[i][1],
+            }
+            for i, _ in own_drifts
+        )
         rows.append(
             {
                 "partition_value": part,
@@ -258,6 +270,14 @@ def _blockwise_decisions(
                     drift_pairs.append(i)
                     if cdda_seg == (None, None):
                         cdda_seg = (last_count, cum[i])
+                    seg_rows.append(
+                        {
+                            "partition_value": part,
+                            "check_name": "drift:cdda:segment",
+                            "segment_start": last_count,
+                            "segment_end": cum[i],
+                        }
+                    )
                 last_count = cum[i] + 1
         own_deg = degrees[n_base_blocks - 1 :] if n_base_blocks else degrees
         if own_deg:
@@ -274,7 +294,7 @@ def _blockwise_decisions(
                 "segment_end": cdda_seg[1],
             }
         )
-    return pd.DataFrame(rows)
+    return pd.DataFrame(rows), pd.DataFrame(seg_rows)
 
 
 def conformance_violation_rows(
@@ -537,11 +557,34 @@ def run_suite(
     # summaries + O(pairs) distributed degrees.
     if summaries_pdf is not None:
         blockwise_df.unpersist()
-        bw = _blockwise_decisions(summaries_pdf, degrees_pdf, cfg, pending_current)
+        bw, seg_pdf = _blockwise_decisions(
+            summaries_pdf, degrees_pdf, cfg, pending_current
+        )
         if not bw.empty:
             bw["segment_start"] = bw["segment_start"].astype("Int64")
             bw["segment_end"] = bw["segment_end"].astype("Int64")
             verdicts_pdf = pd.concat([verdicts_pdf, bw], ignore_index=True)
+        # north rule: the checkpoint verdict keeps the FIRST own segment;
+        # the COMPLETE per-partition drift segment list is appended to the
+        # violations dataset (one tiny driver-built frame — O(drifts) rows).
+        if violations_path is not None and not seg_pdf.empty:
+            seg_out = pd.DataFrame(
+                {
+                    "partition_value": seg_pdf["partition_value"],
+                    **{c: pd.array([None] * len(seg_pdf), dtype="string") for c in cfg.key_cols},
+                    "detail": seg_pdf["segment_start"].astype(str)
+                    + "-"
+                    + seg_pdf["segment_end"].astype(str),
+                    "check_name": seg_pdf["check_name"],
+                    "run_id": run_id,
+                }
+            )
+            (
+                spark.createDataFrame(seg_out)
+                .write.mode("append")
+                .partitionBy("run_id", "check_name")
+                .parquet(violations_path)
+            )
 
     # V11 — Krimp codetable drift (driver math over the combo histogram).
     if combos_pdf is not None:

@@ -186,3 +186,53 @@ def test_violation_rows_match_plants(spark, files_sdf, files_pdf, dims, cfg, tmp
     rr = by_check["referential:(repo)"]
     assert set(rr["partition_value"]) == {"2026-01-08"}
     assert set(rr["repo"]) == set(ghosts["repo"])
+
+
+def test_all_drift_segments_written_to_violations(spark, tmp_path_factory):
+    """VERDICT r2 #8: the checkpoint verdict keeps only the FIRST own drift
+    segment (fixed schema); the violations dataset must carry the COMPLETE
+    segment list. Plant: constant drift attributes everywhere -> CDCStream
+    drifts on every post-warm-up block (std=0, diff=0, ``>=`` test), so the
+    pending partition owns multiple segments."""
+    base = tmp_path_factory.mktemp("segs")
+    parts = {"2026-01-01": 100, "2026-01-02": 100, "2026-01-03": 150}
+    rows = []
+    n = 0
+    for part, cnt in parts.items():
+        for _ in range(cnt):
+            rows.append(
+                (part, f"org/repo{n % 7}", "src/main.py", f"{n:040x}", "python", "x" * 100)
+            )
+            n += 1
+    pdf = pd.DataFrame(
+        rows, columns=["part_date", "repo", "path", "commit", "lang", "content"]
+    )
+    files = spark.createDataFrame(pdf)
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01", "2026-01-02"], block_size=50
+    )
+    verdicts = run_suite(
+        spark, files, cfg, str(base / "ckpt"), run_id="rs",
+        violations_path=str(base / "violations"),
+    ).toPandas()
+
+    cdc = verdicts[
+        (verdicts["check_name"] == "drift:cdcstream")
+        & (verdicts["partition_value"] == "2026-01-03")
+    ].iloc[0]
+    assert not cdc["passed"] and cdc["violation_count"] >= 2
+
+    v = spark.read.parquet(str(base / "violations")).toPandas()
+    segs = v[
+        (v["check_name"] == "drift:cdcstream:segment")
+        & (v["partition_value"] == "2026-01-03")
+    ]
+    # complete list: one segment per own drift, first matches the verdict row
+    assert len(segs) == cdc["violation_count"]
+    bounds = sorted(
+        tuple(int(x) for x in d.split("-")) for d in segs["detail"]
+    )
+    assert bounds[0] == (cdc["segment_start"], cdc["segment_end"])
+    # segments are ordered and non-overlapping
+    for (s1, e1), (s2, e2) in zip(bounds, bounds[1:]):
+        assert e1 < s2
