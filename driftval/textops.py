@@ -245,6 +245,7 @@ def minhash_dup_pairs(
     k: int = 8,
     band_rows: int = 2,
     band_cap: int | None = None,
+    group_candidates: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of ``band_rows`` consecutive
     min-hashes. Returns distinct (id_a, id_b) with id_a < id_b.
@@ -256,14 +257,17 @@ def minhash_dup_pairs(
     (identical texts share every band), but an M-doc exact-dup cluster costs
     O(M) instead of an M²-row join bucket. With a cap, buckets holding more
     than ``band_cap`` distinct groups are dropped from candidate generation
-    (never silently: see :func:`minhash_band_overflow`)."""
+    (never silently: see :func:`minhash_band_overflow`). ``group_candidates``
+    accepts a precomputed (ideally persisted) :func:`minhash_group_pairs`
+    frame so a session running both the pair list and the verified fuzzy
+    pipeline does the signature + band work once."""
     members = _md5_members(df, id_col, text_col)
-    cross = _expand_group_pairs(
-        minhash_group_pairs(df, id_col, text_col, k, band_rows, band_cap).select(
-            "ga", "ra", "gb", "rb"
-        ),
-        members,
+    gp = (
+        group_candidates
+        if group_candidates is not None
+        else minhash_group_pairs(df, id_col, text_col, k, band_rows, band_cap)
     )
+    cross = _expand_group_pairs(gp.select("ga", "ra", "gb", "rb"), members)
     return cross.unionByName(_intra_group_pairs(members))
 
 
