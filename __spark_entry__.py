@@ -183,6 +183,13 @@ def _shared_group_candidates(spark, sf_dir):
     return gp
 
 
+def q_minhash_group_pairs(spark, sf_dir):
+    """Exact-dup-collapsed LSH candidates: (group md5, representative id)
+    pairs whose group signatures share a band — the sub-quadratic core that
+    minhash_dup_pairs / fuzzy_dup_pairs expand (driftval/textops.py)."""
+    return _shared_group_candidates(spark, sf_dir)
+
+
 def q_minhash_dup_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return textops.minhash_dup_pairs(
@@ -291,6 +298,17 @@ def q_knn_ivf(spark, sf_dir):
     """IVF single-probe ANN with a deterministic coarse quantizer."""
     e = _t(spark, sf_dir, "embeddings")
     return simsearch.knn_ivf(e, "vec_id", "embedding", KNN_QUERY_IDS, k=5, n_centroids=8)
+
+
+def q_knn_ivf_trained(spark, sf_dir):
+    """IVF ANN with a spherical-k-means-TRAINED quantizer (2 Lloyd
+    iterations over a bounded lowest-id sample — deterministic, but
+    iterative, so no single-query SQL twin exists; the untrained knn_ivf
+    entry hash-checks the shared assignment/search plumbing)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.knn_ivf(
+        e, "vec_id", "embedding", KNN_QUERY_IDS, k=5, n_centroids=8, train_iters=2
+    )
 
 
 # --- multimodal columns (binary payload + typed metadata) -------------------
@@ -418,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_xor": q_lineage_xor,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_group_pairs": q_minhash_group_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -435,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_trained": q_knn_ivf_trained,
         "cdda_change_degrees": q_cdda_change_degrees,
         "cdda_equivalence_counts": q_cdda_equivalence_counts,
         "cdcstream_block_summaries": q_cdcstream_block_summaries,
@@ -614,6 +634,22 @@ SELECT (SELECT count(DISTINCT md5(text))::BIGINT FROM documents) AS distinct_tex
        (SELECT count(*)::BIGINT FROM (SELECT md5(text) m, count(*) c FROM documents GROUP BY 1 HAVING count(*) > 1)) AS dup_groups
 """,
         "minhash_signatures": _minhash_sql(),
+        "minhash_group_pairs": f"""
+WITH sig AS ({_minhash_sql()}),
+g AS (
+  SELECT md5(text) AS _g, min(doc_id) AS _id FROM documents GROUP BY 1
+), rsig AS (
+  SELECT g._g, g._id, s.h0, s.h1, s.h2, s.h3, s.h4, s.h5, s.h6, s.h7
+  FROM g JOIN sig s ON s.doc_id = g._id
+), bands AS (
+  SELECT _g, _id, '0:' || h0 || ':' || h1 AS band_key FROM rsig
+  UNION ALL SELECT _g, _id, '1:' || h2 || ':' || h3 FROM rsig
+  UNION ALL SELECT _g, _id, '2:' || h4 || ':' || h5 FROM rsig
+  UNION ALL SELECT _g, _id, '3:' || h6 || ':' || h7 FROM rsig
+)
+SELECT DISTINCT l._g AS ga, l._id AS ra, r._g AS gb, r._id AS rb
+FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
+""",
         "minhash_dup_pairs": f"""
 WITH sig AS ({_minhash_sql()}),
 bands AS (
