@@ -208,9 +208,11 @@ NGRAM_DF_CAP = 100
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-word-shingle Jaccard >= 0.2 pairs (low threshold so the
-    synthetic corpus yields rows). Shingles in more than NGRAM_DF_CAP docs
-    are dropped from candidate generation (boilerplate/stop-shingles — the
-    quadratic-join killer); values stay exact for surviving pairs."""
+    synthetic corpus yields rows). Shingles in more than NGRAM_DF_CAP
+    DISTINCT TEXTS are dropped from candidate generation (boilerplate/
+    stop-shingles — the quadratic-join killer); exact duplicates are
+    collapsed before the shingle join; values stay exact for surviving
+    pairs."""
     d = _t(spark, sf_dir, "documents")
     p = textops.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.2, df_cap=NGRAM_DF_CAP
@@ -511,15 +513,23 @@ SELECT doc_id, ({terms})::BIGINT AS simhash FROM hashed
 """
 
 
-_SHINGLES = """
+_SHINGLES_TMPL = """
   SELECT doc_id, list_distinct(
     list_filter(
       list_transform(toks, (x, i) -> CASE WHEN i + 2 <= len(toks)
         THEN array_to_string(list_slice(toks, i, i + 2), ' ') END),
       s -> s IS NOT NULL)
   ) AS shingles
-  FROM (SELECT doc_id, {tok} AS toks FROM documents)
-""".format(tok=_TOK)
+  FROM (SELECT doc_id, {tok} AS toks FROM {src})
+"""
+_SHINGLES = _SHINGLES_TMPL.format(tok=_TOK, src="documents")
+# shingles over exact-dup-group representatives (min doc_id per md5(text))
+_SHINGLES_REPS = _SHINGLES_TMPL.format(
+    tok=_TOK,
+    src="(SELECT d.doc_id, d.text FROM documents d "
+    "JOIN (SELECT min(doc_id) AS _rid FROM documents GROUP BY md5(text)) r "
+    "ON d.doc_id = r._rid)",
+)
 
 
 _DRIFT_SQL_TMPL = """
@@ -663,10 +673,14 @@ FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
 """,
         "simhash": _simhash_sql(16),
         "ngram_jaccard_pairs": f"""
-WITH d AS (
+WITH g AS (
+  SELECT md5(text) AS _g, min(doc_id) AS _id FROM documents GROUP BY 1
+), members AS (
+  SELECT md5(text) AS _g, doc_id AS _id FROM documents
+), d AS (
   SELECT doc_id AS _id, list_transform(shingles, s -> {_H64.replace('(t)', '(s)')}) AS shs,
          len(shingles)::BIGINT AS sz
-  FROM ({_SHINGLES})
+  FROM ({_SHINGLES_REPS})
 ), sh AS (
   SELECT _id, unnest(shs) AS sh FROM d
 ), hot AS (
@@ -676,13 +690,26 @@ WITH d AS (
 ), cand AS (
   SELECT DISTINCT a._id AS id_a, b._id AS id_b
   FROM kept a JOIN kept b ON a.sh = b.sh AND a._id < b._id
+), verified AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(da.shs, db.shs))::DOUBLE /
+               (da.sz + db.sz - len(list_intersect(da.shs, db.shs))), 8) AS jaccard
+  FROM cand JOIN d da ON da._id = id_a JOIN d db ON db._id = id_b
+  WHERE len(list_intersect(da.shs, db.shs))::DOUBLE /
+        (da.sz + db.sz - len(list_intersect(da.shs, db.shs))) >= 0.2
+), expanded AS (
+  SELECT least(ma._id, mb._id) AS id_a, greatest(ma._id, mb._id) AS id_b, v.jaccard
+  FROM verified v
+  JOIN g ra ON v.id_a = ra._id JOIN g rb ON v.id_b = rb._id
+  JOIN members ma ON ma._g = ra._g JOIN members mb ON mb._g = rb._g
+), nonempty AS (
+  SELECT g._g FROM g JOIN d ON d._id = g._id WHERE d.sz > 0
+), intra AS (
+  SELECT x._id AS id_a, y._id AS id_b, 1.0::DOUBLE AS jaccard
+  FROM members x JOIN members y ON x._g = y._g AND x._id < y._id
+  WHERE x._g IN (SELECT _g FROM nonempty)
 )
-SELECT id_a, id_b,
-       round(len(list_intersect(da.shs, db.shs))::DOUBLE /
-             (da.sz + db.sz - len(list_intersect(da.shs, db.shs))), 8) AS jaccard
-FROM cand JOIN d da ON da._id = id_a JOIN d db ON db._id = id_b
-WHERE len(list_intersect(da.shs, db.shs))::DOUBLE /
-      (da.sz + db.sz - len(list_intersect(da.shs, db.shs))) >= 0.2
+SELECT * FROM expanded UNION ALL SELECT * FROM intra
 """,
         "fuzzy_dup_pairs": f"""
 WITH sig AS ({_minhash_sql()}),

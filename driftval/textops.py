@@ -140,6 +140,42 @@ def _md5_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _rep_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_g, _id, _text): one representative row (min id) per exact-duplicate
+    group. ``first(text)`` is deterministic here — every row in a group has
+    the identical text by construction of the md5 key; min/first are
+    partial-aggregatable, so the map side collapses local duplicates before
+    any text crosses the shuffle."""
+    return (
+        df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("_g"),
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+        )
+        .groupBy("_g")
+        .agg(F.min("_id").alias("_id"), F.first("_text").alias("_text"))
+    )
+
+
+def _expand_verified_groups(
+    gp: DataFrame, members: DataFrame, reps: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """Expand verified GROUP pairs ``(ga, gb, jaccard)`` to all member doc
+    pairs, plus the intra-group pairs (exact duplicates: Jaccard 1.0) for
+    groups with a non-empty shingle set — mirroring the 0/0 -> dropped
+    semantics of per-pair verification."""
+    cross = _expand_group_pairs(gp, members)
+    nonempty_groups = (
+        reps.select("_id", "_g")
+        .join(docs.where(F.size("shs") > 0).select("_id"), "_id")
+        .select("_g")
+    )
+    intra = _intra_group_pairs(members.join(nonempty_groups, "_g")).withColumn(
+        "jaccard", F.lit(1.0)
+    )
+    return cross.unionByName(intra).select("id_a", "id_b", "jaccard")
+
+
 def minhash_band_overflow(
     df: DataFrame,
     id_col: str,
@@ -377,16 +413,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct n-word shingles: (id_a, id_b, jaccard).
 
+    Exact duplicates are collapsed FIRST (one representative per md5(text)
+    group): shingles are built once per distinct text, the candidate
+    self-join and the ``df_cap`` frequency counts run at group granularity
+    (df = number of DISTINCT TEXTS containing the shingle), and verified
+    representative pairs are expanded back to member pairs, with intra-group
+    pairs emitted as Jaccard 1.0 directly. Two scale effects: an M-doc
+    identical cluster no longer multiplies every shingle bucket by M, and —
+    unlike the round-2 doc-level cap — a big exact-dup cluster can no longer
+    push its own shingles past the cap and silently lose its pairs.
+
     Candidate pairs come from a self-join on the shingle hash; the Jaccard
-    value is then computed exactly from the two docs' full shingle arrays,
-    so ``df_cap`` (drop shingles whose DOCUMENT FREQUENCY exceeds the cap
-    from candidate generation only) does not distort surviving pairs'
-    values. Without a cap, a stop-shingle appearing in M docs creates an
-    M²-row join bucket — the classic dedup scale-killer; the cap bounds any
-    bucket at df_cap². The hot-shingle set (df > cap) is tiny by definition
-    and removed with a broadcast anti-join. A pair is missed only if ALL its
-    shared shingles are hotter than the cap — pick cap >> 1/threshold·median
-    doc size, or use :func:`fuzzy_dup_pairs` for banded candidates."""
+    value is then computed exactly from the two representatives' full
+    shingle arrays, so ``df_cap`` (candidate generation only) does not
+    distort surviving pairs' values. Without a cap, a stop-shingle appearing
+    in M distinct texts creates an M²-row join bucket — the classic dedup
+    scale-killer; the cap bounds any bucket at df_cap². The hot-shingle set
+    (df > cap) is tiny by definition and removed with a broadcast anti-join.
+    A cross-group pair is missed only if ALL its shared shingles are hotter
+    than the cap — pick cap >> 1/threshold·median doc size, or use
+    :func:`fuzzy_dup_pairs` for banded candidates."""
+    members = _md5_members(df, id_col, text_col)
+    reps = _rep_docs(df, id_col, text_col)
     # The shingle build (tokenize + per-position join + md5) is the single
     # most expensive narrow map here and is consumed by MANY subtrees
     # (hot-set, both self-join sides, per-doc stats, verification) — persist
@@ -395,7 +443,7 @@ def ngram_jaccard_pairs(
     # entries after the terminal action; with ``caches=None`` the cached
     # partitions live until context-cleaner GC (fine for one-shot jobs,
     # leaky for repeated calls in a long session — ADVICE r2).
-    docs = shingle_arrays(df, id_col, text_col, n).persist(
+    docs = shingle_arrays(reps, "_id", "_text", n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     if caches is not None:
@@ -443,7 +491,11 @@ def ngram_jaccard_pairs(
         .where(ub_j >= threshold)
         .select("id_a", "id_b")
     )
-    return _verify_jaccard(cands, docs, threshold)
+    rep_pairs = _verify_jaccard(cands, docs, threshold)
+    ga = reps.select(F.col("_id").alias("id_a"), F.col("_g").alias("ga"))
+    gb = reps.select(F.col("_id").alias("id_b"), F.col("_g").alias("gb"))
+    gp = rep_pairs.join(ga, "id_a").join(gb, "id_b").select("ga", "gb", "jaccard")
+    return _expand_verified_groups(gp, members, reps, docs)
 
 
 def fuzzy_dup_pairs(
@@ -474,12 +526,15 @@ def fuzzy_dup_pairs(
     candidate list and the verified pairs builds signatures + bands once;
     ``caches`` works as in :func:`ngram_jaccard_pairs`."""
     members = _md5_members(df, id_col, text_col)
+    reps = _rep_docs(df, id_col, text_col)
     gp = (
         group_candidates
         if group_candidates is not None
         else minhash_group_pairs(df, id_col, text_col, k, band_rows, band_cap)
     )
-    docs = shingle_arrays(df, id_col, text_col, n).persist(
+    # shingles are built for REPRESENTATIVES only — verification happens once
+    # per distinct text, never per duplicate
+    docs = shingle_arrays(reps, "_id", "_text", n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     if caches is not None:
@@ -488,14 +543,9 @@ def fuzzy_dup_pairs(
         F.col("ra").alias("id_a"), F.col("rb").alias("id_b"), "ga", "gb"
     )
     verified_reps = _verify_jaccard(rep_cands, docs, threshold)
-    cross = _expand_group_pairs(
-        verified_reps.select("ga", "gb", "jaccard"), members
+    return _expand_verified_groups(
+        verified_reps.select("ga", "gb", "jaccard"), members, reps, docs
     )
-    nonempty = docs.where(F.size("shs") > 0).select("_id")
-    intra = _intra_group_pairs(members.join(nonempty, "_id")).withColumn(
-        "jaccard", F.lit(1.0)
-    )
-    return cross.unionByName(intra).select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------

@@ -116,3 +116,31 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     plan = plan_of(df.where(F.col("p") == "1").select("id"))
     # partition filter handled at scan (metadata), not a post-scan Filter
     assert "PartitionFilters" in plan and "isnotnull(p" in plan, plan
+
+
+def test_suite_degrees_have_no_full_outer_join(spark):
+    """The fused degree job rephrases the per-pair full-outer count join as
+    union + single groupBy — a FullOuter SMJ reappearing here means the
+    round-2 two-job shape crept back."""
+    from driftval.checks import drift_cdda
+
+    counts = spark.createDataFrame(
+        [("p1", 0, "a0", "x", 5), ("p1", 1, "a0", "y", 5), ("p2", 0, "a0", "x", 5)],
+        "partition_value string, block_id long, attr string, value string, cnt long",
+    )
+    plan = plan_of(drift_cdda.suite_pair_degrees(counts, [("p1", "p2")], 1))
+    assert "FullOuter" not in plan, plan
+    assert "partial" in plan, plan  # map-side partial aggregation
+
+
+def test_minhash_band_join_runs_on_collapsed_groups(spark, docs):
+    """The band self-join input must be the md5-group aggregate (one row per
+    distinct text), never raw per-doc rows — the collapse is the defense
+    against M^2 exact-dup buckets."""
+    plan = plan_of(textops.minhash_group_pairs(docs, "doc_id", "text"))
+    # group collapse present: partial min aggregates feed the join sides
+    assert "partial_min" in plan, plan
+    # and no raw text column survives into the join-side exchanges
+    exchange_sections = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_sections, plan
+    assert all("text#" not in l for l in exchange_sections), exchange_sections

@@ -201,3 +201,18 @@ def test_knn_ivf_trained_still_ranks_correctly(spark):
     # neighbors come from the B direction cluster only
     assert all(r["neighbor_id"] >= 8 for r in got)
     assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_ngram_collapse_keeps_exact_dup_pairs_under_cap(spark):
+    """Round-3 fix: with the doc-level df cap, an exact-dup cluster bigger
+    than the cap pushed ALL its shingles past the cap and silently lost its
+    own pairs. Group-level df (distinct texts) keeps them — and emits them
+    without any shingle join at all."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(100)]
+    rows += [(100 + i, f"totally different words here number{i} end") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textops.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5, df_cap=10
+    )
+    ones = got.where((F.col("jaccard") == 1.0) & (F.col("id_b") < 100))
+    assert ones.count() == 100 * 99 // 2
