@@ -231,6 +231,18 @@ def q_fuzzy_dup_pairs(spark, sf_dir):
     return p.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected components over the verified fuzzy near-dup pairs:
+    (doc_id, component_id) with the min-id representative — the keep/drop
+    list a dedup pipeline consumes (keep doc_id == component_id)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = textops.fuzzy_dup_pairs(
+        d, "doc_id", "text", n=3, threshold=0.2,
+        group_candidates=_shared_group_candidates(spark, sf_dir),
+    )
+    return textops.dup_components(pairs)
+
+
 def q_doc_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return textops.doc_quality(d, "doc_id", "text")
@@ -443,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
+        "dedup_components": q_dedup_components,
         "doc_quality": q_doc_quality,
         "langid": q_langid,
         "token_counts": q_token_counts,
@@ -530,6 +543,33 @@ _SHINGLES_REPS = _SHINGLES_TMPL.format(
     "JOIN (SELECT min(doc_id) AS _rid FROM documents GROUP BY md5(text)) r "
     "ON d.doc_id = r._rid)",
 )
+
+
+def _fuzzy_sql() -> str:
+    """The fuzzy_dup_pairs DuckDB twin as a reusable fragment (also the
+    pair source for the dedup_components recursive-CTE twin)."""
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS (
+  SELECT doc_id AS _id, '0:' || h0 || ':' || h1 AS band_key FROM sig
+  UNION ALL SELECT doc_id, '1:' || h2 || ':' || h3 FROM sig
+  UNION ALL SELECT doc_id, '2:' || h4 || ':' || h5 FROM sig
+  UNION ALL SELECT doc_id, '3:' || h6 || ':' || h7 FROM sig
+), cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
+), d AS (
+  SELECT doc_id AS _id, list_transform(shingles, s -> {_H64.replace('(t)', '(s)')}) AS shs,
+         len(shingles)::BIGINT AS sz
+  FROM ({_SHINGLES})
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(da.shs, db.shs))::DOUBLE /
+             (da.sz + db.sz - len(list_intersect(da.shs, db.shs))), 8) AS jaccard
+FROM cand JOIN d da ON da._id = id_a JOIN d db ON db._id = id_b
+WHERE len(list_intersect(da.shs, db.shs))::DOUBLE /
+      (da.sz + db.sz - len(list_intersect(da.shs, db.shs))) >= 0.2
+"""
 
 
 _DRIFT_SQL_TMPL = """
@@ -711,27 +751,18 @@ WITH g AS (
 )
 SELECT * FROM expanded UNION ALL SELECT * FROM intra
 """,
-        "fuzzy_dup_pairs": f"""
-WITH sig AS ({_minhash_sql()}),
-bands AS (
-  SELECT doc_id AS _id, '0:' || h0 || ':' || h1 AS band_key FROM sig
-  UNION ALL SELECT doc_id, '1:' || h2 || ':' || h3 FROM sig
-  UNION ALL SELECT doc_id, '2:' || h4 || ':' || h5 FROM sig
-  UNION ALL SELECT doc_id, '3:' || h6 || ':' || h7 FROM sig
-), cand AS (
-  SELECT DISTINCT l._id AS id_a, r._id AS id_b
-  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
-), d AS (
-  SELECT doc_id AS _id, list_transform(shingles, s -> {_H64.replace('(t)', '(s)')}) AS shs,
-         len(shingles)::BIGINT AS sz
-  FROM ({_SHINGLES})
+        "fuzzy_dup_pairs": _fuzzy_sql(),
+        "dedup_components": f"""
+WITH RECURSIVE pairs AS ({_fuzzy_sql()}),
+und AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), r AS (
+  SELECT id_a AS node, id_b AS reach FROM und
+  UNION
+  SELECT r.node, u.id_b FROM r JOIN und u ON r.reach = u.id_a
 )
-SELECT id_a, id_b,
-       round(len(list_intersect(da.shs, db.shs))::DOUBLE /
-             (da.sz + db.sz - len(list_intersect(da.shs, db.shs))), 8) AS jaccard
-FROM cand JOIN d da ON da._id = id_a JOIN d db ON db._id = id_b
-WHERE len(list_intersect(da.shs, db.shs))::DOUBLE /
-      (da.sz + db.sz - len(list_intersect(da.shs, db.shs))) >= 0.2
+SELECT node AS doc_id, least(node, min(reach))::BIGINT AS component_id
+FROM r GROUP BY node
 """,
         "doc_quality": f"""
 WITH t AS (

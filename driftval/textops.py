@@ -548,6 +548,78 @@ def fuzzy_dup_pairs(
     )
 
 
+def dup_components(
+    pairs: DataFrame, max_iters: int = 15, caches: list[DataFrame] | None = None
+) -> DataFrame:
+    """Connected components over near-dup pairs: ``(doc_id, component_id)``
+    with component_id = the min doc id of the component — the keep/drop
+    decision a dedup pipeline actually consumes (keep ``doc_id ==
+    component_id``, drop the rest). Only docs appearing in ``pairs`` are
+    returned (everything else is trivially its own component).
+
+    Iterative min-label propagation, the standard DataFrame CC pattern:
+    each round every node takes ``min(own label, neighbors' labels)`` (one
+    equi-join + map-side-partial min aggregate over O(edges)), stopping when
+    a round changes nothing. Rounds needed = graph diameter; near-dup
+    components are near-cliques (diameter 1-3), so this converges in a few
+    rounds at any corpus size — ``max_iters`` is the adversarial-chain
+    backstop (a pathological L-link path needs L rounds; the cap bounds
+    cost, leaving such a chain split into correct-but-finer components).
+    Each round's labels are persisted and the previous round released, so
+    lineage and cache stay O(1) deep; the FINAL label frame backs the
+    returned plan and stays cached — pass ``caches`` to release it after
+    the terminal action (as in :func:`ngram_jaccard_pairs`)."""
+    edges = pairs.select("id_a", "id_b")
+    und = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        und.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cur_cached = labels
+    for _ in range(max_iters):
+        nb_min = (
+            und.join(
+                labels.select(F.col("node").alias("id_b"), "comp"), "id_b"
+            )
+            .groupBy("id_a")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node"] == nb_min["id_a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias("comp"),
+                (F.coalesce("nb_comp", F.col("comp")) < F.col("comp")).alias("_chg"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        cur_cached.unpersist()  # the previous round's PERSISTED frame
+        cur_cached = new_labels
+        labels = new_labels.select("node", "comp")
+        if changed == 0:
+            break
+    und.unpersist()
+    if caches is not None:
+        caches.append(cur_cached)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
+def dedup_keep_list(pairs: DataFrame) -> DataFrame:
+    """(doc_id, keep) over docs involved in near-dup pairs: keep = the doc is
+    its component's min-id representative."""
+    comps = dup_components(pairs)
+    return comps.select(
+        "doc_id", (F.col("doc_id") == F.col("component_id")).alias("keep")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text quality / language id / fingerprints
 # ---------------------------------------------------------------------------

@@ -216,3 +216,29 @@ def test_ngram_collapse_keeps_exact_dup_pairs_under_cap(spark):
     )
     ones = got.where((F.col("jaccard") == 1.0) & (F.col("id_b") < 100))
     assert ones.count() == 100 * 99 // 2
+
+
+def test_dup_components_and_keep_list(spark):
+    """Min-label components over near-dup pairs: a 4-node chain (needs
+    multiple propagation rounds), a 2-clique, and a triangle component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r["doc_id"]: r["component_id"]
+        for r in textops.dup_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+    keep = {r["doc_id"]: r["keep"] for r in textops.dedup_keep_list(pairs).collect()}
+    assert keep == {
+        1: True, 2: False, 3: False, 4: False,
+        5: True, 6: False, 10: True, 11: False, 12: False,
+    }
+    # caches param releases the final persisted label frame
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    caches = []
+    textops.dup_components(pairs, caches=caches).count()
+    for c in caches:
+        c.unpersist()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
