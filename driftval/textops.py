@@ -569,7 +569,10 @@ def dup_components(
     lineage and cache stay O(1) deep; the FINAL label frame backs the
     returned plan and stays cached — pass ``caches`` to release it after
     the terminal action (as in :func:`ngram_jaccard_pairs`)."""
-    edges = pairs.select("id_a", "id_b")
+    # persist the EDGE frame (not just the union): the reversed branch of the
+    # union otherwise re-evaluates the whole upstream pair pipeline — for
+    # near-dup input that is the full LSH + verify chain, twice in one job
+    edges = pairs.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
     und = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -604,6 +607,7 @@ def dup_components(
         if changed == 0:
             break
     und.unpersist()
+    edges.unpersist()
     if caches is not None:
         caches.append(cur_cached)
     return labels.select(
