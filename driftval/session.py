@@ -52,6 +52,11 @@ def build_session(
         ),
         "spark.ui.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
+        # partition values are STRINGS by contract (the suite casts the
+        # partition column to string everywhere; violation/checkpoint
+        # datasets partition by partition_value) — date/int inference on
+        # partition directories would round-trip them into other types
+        "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     }
     # Shuffle/spill scratch on tmpfs when available: a single VM disk
     # serializes every concurrent shuffle writer (measured: shuffle-heavy

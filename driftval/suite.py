@@ -370,12 +370,16 @@ def _write_violation_rows(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    # partitioned by (run_id, check_name, partition_value) so the dynamic
+    # overwrite touches exactly the table partitions THIS pass processed:
+    # a resumed run re-extracts (idempotently overwrites) its own pending
+    # partitions' rows and cannot clobber the killed attempt's completed ones
     (
         out.withColumn("run_id", F.lit(run_id))
-        .repartition("check_name")
+        .repartition("check_name", "partition_value")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("run_id", "check_name")
+        .partitionBy("run_id", "check_name", "partition_value")
         .parquet(violations_path)
     )
 
@@ -579,10 +583,16 @@ def run_suite(
                     "run_id": run_id,
                 }
             )
+            # dynamic partition overwrite (not append), same leaf layout as
+            # _write_violation_rows: a run killed between this write and the
+            # checkpoint write re-processes the partition on resume, and the
+            # per-(run, check, table-partition) overwrite keeps the dataset
+            # idempotent under that retry without touching completed ones
             (
                 spark.createDataFrame(seg_out)
-                .write.mode("append")
-                .partitionBy("run_id", "check_name")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("run_id", "check_name", "partition_value")
                 .parquet(violations_path)
             )
 

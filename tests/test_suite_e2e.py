@@ -236,3 +236,37 @@ def test_all_drift_segments_written_to_violations(spark, tmp_path_factory):
     # segments are ordered and non-overlapping
     for (s1, e1), (s2, e2) in zip(bounds, bounds[1:]):
         assert e1 < s2
+
+
+def test_violation_rows_survive_kill_resume(spark, files_sdf, files_pdf, dims, cfg, tmp_path_factory):
+    """A killed run's already-extracted violation rows must survive the
+    resume (the violations dataset is partitioned per (run, check, table
+    partition), so the resumed pass overwrites only ITS pending partitions):
+    after partial(limit=7) + resume, the plants from partitions 7 (dups,
+    written by the first attempt) and 8 (bad commits + ghosts, written by
+    the second) must both be present, identical to a single uninterrupted
+    run."""
+    base = tmp_path_factory.mktemp("viol_resume")
+    vpath = str(base / "violations")
+    ckpt = str(base / "ckpt")
+    run_suite(
+        spark, files_sdf, cfg, ckpt, run_id="rk",
+        dim_repos=dims[0], dim_commits=dims[1],
+        violations_path=vpath, partition_limit=7,
+    )
+    first = spark.read.parquet(vpath).toPandas()
+    assert "2026-01-07" in set(first["partition_value"])  # dups extracted
+    assert "2026-01-08" not in set(first["partition_value"])  # not yet done
+    run_suite(
+        spark, files_sdf, cfg, ckpt, run_id="rk",
+        dim_repos=dims[0], dim_commits=dims[1],
+        violations_path=vpath,
+    )
+    v = spark.read.parquet(vpath).toPandas()
+    by_check = {c: sub for c, sub in v.groupby("check_name")}
+    dup_keys = files_pdf.groupby(["repo", "path", "commit"]).size()
+    assert len(by_check["unique:(repo,path,commit)"]) == int(dup_keys[dup_keys > 1].sum())
+    bad_commits = files_pdf[~files_pdf["commit"].str.fullmatch("[0-9a-f]{40}", na=False)]
+    assert len(by_check["type_conformance:commit"]) == len(bad_commits)
+    ghosts = files_pdf[files_pdf["repo"].str.startswith("ghost/")]
+    assert set(by_check["referential:(repo)"]["repo"]) == set(ghosts["repo"])
