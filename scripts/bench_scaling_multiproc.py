@@ -255,7 +255,15 @@ def _write_md(report: dict, lo: dict, hi: dict) -> None:
     dup_pct = 100.0 * len(BASELINES) * BASE_ROWS_PP * hi["n_workers"] / (
         N_WORK_PARTS * ROWS_PP
     )
-    with open(os.path.join(REPO, "BENCH", "MULTIPROC.md"), "w") as f:
+    # MULTIPROC.md is hand-curated (it compares MULTIPLE share sizes and
+    # carries the scaling decomposition); don't clobber it — park the
+    # single-run template next to it instead.
+    target = os.path.join(REPO, "BENCH", "MULTIPROC.md")
+    if os.path.exists(target):
+        with open(target) as f:
+            if "hand-curated" in f.read():
+                target = os.path.join(REPO, "BENCH", "MULTIPROC_LATEST.md")
+    with open(target, "w") as f:
         f.write(f"""# Executor-isolated scaling (N vs 4N worker processes)
 
 Each "executor" is an independent `local[{CORES_PER_WORKER}]` JVM subprocess
