@@ -223,24 +223,35 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 def q_fuzzy_dup_pairs(spark, sf_dir):
     """Composed dedup: MinHash banded-LSH candidates verified by exact
     3-shingle Jaccard — the full-scale near-dup pipeline end-to-end."""
-    d = _t(spark, sf_dir, "documents")
-    p = textops.fuzzy_dup_pairs(
-        d, "doc_id", "text", n=3, threshold=0.2,
-        group_candidates=_shared_group_candidates(spark, sf_dir),
-    )
+    p = _shared_fuzzy_pairs(spark, sf_dir)
     return p.select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+
+
+# Verified fuzzy pairs shared the same way as the group candidates: the
+# components query consumes exactly the pair frame the fuzzy query emits.
+_FZ_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shared_fuzzy_pairs(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    key = (id(spark), sf_dir)
+    fz = _FZ_CACHE.get(key)
+    if fz is None:
+        d = _t(spark, sf_dir, "documents")
+        fz = textops.fuzzy_dup_pairs(
+            d, "doc_id", "text", n=3, threshold=0.2,
+            group_candidates=_shared_group_candidates(spark, sf_dir),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _FZ_CACHE[key] = fz
+    return fz
 
 
 def q_dedup_components(spark, sf_dir):
     """Connected components over the verified fuzzy near-dup pairs:
     (doc_id, component_id) with the min-id representative — the keep/drop
     list a dedup pipeline consumes (keep doc_id == component_id)."""
-    d = _t(spark, sf_dir, "documents")
-    pairs = textops.fuzzy_dup_pairs(
-        d, "doc_id", "text", n=3, threshold=0.2,
-        group_candidates=_shared_group_candidates(spark, sf_dir),
-    )
-    return textops.dup_components(pairs)
+    return textops.dup_components(_shared_fuzzy_pairs(spark, sf_dir))
 
 
 def q_doc_quality(spark, sf_dir):

@@ -225,11 +225,19 @@ def test_dup_components_and_keep_list(spark):
         [(1, 2), (2, 3), (3, 4), (5, 6), (10, 11), (11, 12), (10, 12)],
         "id_a long, id_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+    # driver path (graph below the threshold -> union-find)
     comps = {
         r["doc_id"]: r["component_id"]
         for r in textops.dup_components(pairs).collect()
     }
-    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+    assert comps == want
+    # distributed path (threshold forced to 0 -> min-label propagation)
+    dist = {
+        r["doc_id"]: r["component_id"]
+        for r in textops.dup_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == want
     keep = {r["doc_id"]: r["keep"] for r in textops.dedup_keep_list(pairs).collect()}
     assert keep == {
         1: True, 2: False, 3: False, 4: False,
