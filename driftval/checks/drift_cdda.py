@@ -145,7 +145,7 @@ def seam_key(a: str, b: str) -> str:
 def suite_pair_degrees(
     counts: DataFrame, boundaries: list[tuple[str, str]], m: int
 ) -> DataFrame:
-    """ONE distributed job covering BOTH intra-partition consecutive pairs and
+    r"""ONE distributed job covering BOTH intra-partition consecutive pairs and
     partition seams: ``(pair_key, change_degree)``.
 
     Intra keys are :func:`intra_key`\ (partition_value, pair_id); seam keys

@@ -1,0 +1,376 @@
+"""Structured Streaming drift detection and constraint checks.
+
+The reference IS a streaming program — one thread pulling an ordered CSV
+stream and deciding drift block-by-block (CDCStream/DriftDetector.java:46-116,
+CDDA/DriftDetector.java:45-76). This module re-expresses that loop on Spark
+Structured Streaming, reusing the SAME golden-tested kernels as the batch
+path (driftval.checks.dilca_np / drift_cdcstream / drift_cdda) so the
+streaming and batch answers are bit-comparable:
+
+1. :func:`read_chunk_stream` — ``spark.readStream`` over a directory of
+   parquet chunk files. The file source dequeues unread files in
+   modification-time order, so a producer that appends chunk files with
+   increasing mtimes delivers the reference's strict stream order; each
+   chunk carries the global 0-based ``seq`` (S5 ``countSoFar`` parity).
+2. CDCStream — the decision loop is inherently sequential driver state
+   (mean/std over the summary history), so the streaming form is
+   ``foreachBatch``: per micro-batch the per-block DILCA summaries are
+   computed DISTRIBUTEDLY with the same grouped-map kernel as the batch
+   path; only the O(#blocks) summary rows and the <block_size incomplete
+   tail cross to the driver, where :class:`IncrementalCDCDecider` replays
+   the reference loop one summary at a time. At 100 TB the heavy work
+   (Arrow-batched DILCA over every complete block) stays on executors;
+   driver state is O(history) floats.
+3. CDDA — has NO sequential history (each consecutive block pair is
+   independent, the comparison baseline is always the previous block), so
+   it maps exactly onto ``applyInPandasWithState``: per stream key the
+   state is the previous block's per-attribute value counts plus the
+   incomplete tail; each completed block emits one ``change_degree`` row.
+   State size is O(attr domain + block_size), independent of stream length.
+4. :func:`window_constraints` — event-time tumbling-window constraint
+   verdicts (count / null-rate / min-max) with a watermark so late data is
+   bounded; the same builder works on a batch frame (no watermark), which
+   is how the DuckDB oracle twin checks it.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from driftval.checks.dilca_np import block_summary_np
+from driftval.checks.drift_cdcstream import (
+    CDCStreamResult,
+    _DecisionState,
+    block_summaries,
+)
+from driftval.checks.drift_cdda import change_degree_from_counts
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+def read_chunk_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File-source stream over a directory of parquet chunks.
+
+    ``maxFilesPerTrigger=1`` makes every chunk file its own micro-batch
+    (the closest Structured-Streaming analogue of the reference's pull
+    loop); the file source processes unread files oldest-mtime-first, so
+    chunk files written in stream order arrive in stream order.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# CDCStream — incremental decision state + foreachBatch runner
+# ---------------------------------------------------------------------------
+
+
+class IncrementalCDCDecider:
+    """The reference decision loop (L1-L8), one summary at a time.
+
+    Behaviourally identical to :func:`driftval.checks.drift_cdcstream.decide`
+    fed the same ``(block_id, n_rows, summary)`` sequence — pushing block b
+    uses exactly the reference's ``currentCount`` (records consumed before
+    b was read, CDCStream/DriftDetector.java:67), warm-up of two summaries,
+    population std, and the ``>=`` drift test; :meth:`finish` is the EOF
+    flush. Equality with the batch ``decide`` is pinned by
+    tests/test_streaming.py::test_incremental_decider_matches_batch.
+    """
+
+    def __init__(self, drift_coefficient: float = 3.0):
+        self._st = _DecisionState(drift_coefficient)
+        self.segments: list[tuple[int, int]] = []
+        self.drift_block_ids: list[int] = []
+        self._n_seen = 0
+        self._consumed = 0
+        self._last_count = 0
+        self._rows: list[tuple[int, int, float]] = []
+
+    def push(self, block_id: int, n_rows: int, summary: float) -> None:
+        if self._n_seen >= 2:
+            current_count = self._consumed
+            self._st.refresh()
+            if self._st.is_drift(summary):
+                self.segments.append((self._last_count, current_count))
+                self.drift_block_ids.append(int(block_id))
+                self._last_count = current_count + 1
+                self._st.history.clear()
+        self._st.history.append(float(summary))
+        self._consumed += int(n_rows)
+        self._n_seen += 1
+        self._rows.append((int(block_id), int(n_rows), float(summary)))
+
+    def finish(self) -> CDCStreamResult:
+        summaries = pd.DataFrame(
+            self._rows, columns=["block_id", "n_rows", "summary"]
+        )
+        if self._n_seen < 2:  # head() throws during warm-up; EOF flush 0-0
+            return CDCStreamResult([(0, 0)], [], summaries)
+        if self._consumed >= self._last_count:
+            self.segments.append((self._last_count, self._consumed))
+        return CDCStreamResult(self.segments, self.drift_block_ids, summaries)
+
+
+class CDCStreamRunner:
+    """``foreachBatch`` handler: distributed DILCA per complete block, the
+    sequential decision on the driver, an O(block_size) tail carried between
+    micro-batches.
+
+    Requires gapless, in-order ``seq`` delivery across micro-batches (the
+    reference consumes a strictly ordered stream); a gap or reordering
+    raises rather than silently mis-blocking.
+    """
+
+    def __init__(
+        self,
+        attrs: list[str],
+        block_size: int,
+        drift_coefficient: float = 3.0,
+        seq_col: str = "seq",
+    ):
+        self.attrs = list(attrs)
+        self.block_size = int(block_size)
+        self.seq_col = seq_col
+        self.decider = IncrementalCDCDecider(drift_coefficient)
+        self._tail_pdf: pd.DataFrame | None = None
+        self._next_seq = 0  # first global seq not yet delivered
+        self._blocks_done = 0
+        self.batches_seen = 0
+
+    def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sel = batch_df.select(
+            F.col(self.seq_col).cast("long").alias("seq"), *self.attrs
+        )
+        n, lo, hi = sel.agg(
+            F.count(F.lit(1)), F.min("seq"), F.max("seq")
+        ).first()
+        if not n:
+            return
+        self.batches_seen += 1
+        if lo != self._next_seq or hi - lo + 1 != n:
+            raise ValueError(
+                f"out-of-order or gapped stream delivery: expected seq "
+                f"{self._next_seq}, got [{lo}, {hi}] with {n} rows"
+            )
+        self._next_seq = hi + 1
+
+        frame = sel
+        if self._tail_pdf is not None and len(self._tail_pdf):
+            frame = spark.createDataFrame(
+                self._tail_pdf, schema=sel.schema
+            ).unionByName(sel)
+
+        boundary = ((hi + 1) // self.block_size) * self.block_size
+        if boundary > self._blocks_done * self.block_size:
+            # every COMPLETE block in [blocks_done*bs, boundary): the same
+            # grouped-map Arrow kernel as the batch path, one task per block
+            summ = block_summaries(
+                frame.where(F.col("seq") < boundary),
+                self.attrs,
+                self.block_size,
+                seq_col="seq",
+            ).toPandas()
+            for r in summ.sort_values("block_id").itertuples(index=False):
+                self.decider.push(r.block_id, r.n_rows, r.summary)
+            self._blocks_done = boundary // self.block_size
+            frame = frame.where(F.col("seq") >= boundary)
+        self._tail_pdf = frame.toPandas()  # < block_size rows by construction
+
+    def finalize(self) -> CDCStreamResult:
+        """EOF flush: the partial final block becomes a block (S3 parity)."""
+        if self._tail_pdf is not None and len(self._tail_pdf):
+            pdf = self._tail_pdf.sort_values("seq")
+            self.decider.push(
+                self._blocks_done, len(pdf), block_summary_np(pdf, self.attrs)
+            )
+            self._blocks_done += 1
+            self._tail_pdf = None
+        return self.decider.finish()
+
+
+def run_cdcstream_stream(
+    stream_df: DataFrame,
+    attrs: list[str],
+    block_size: int,
+    checkpoint_dir: str,
+    drift_coefficient: float = 3.0,
+    seq_col: str = "seq",
+) -> CDCStreamResult:
+    """Drain an available-now stream through :class:`CDCStreamRunner` and
+    return the reference-parity drift result (segments + drift block ids)."""
+    runner = CDCStreamRunner(attrs, block_size, drift_coefficient, seq_col)
+    query = (
+        stream_df.writeStream.foreachBatch(runner.on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return runner.finalize()
+
+
+# ---------------------------------------------------------------------------
+# CDDA — stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def cdda_streaming(
+    stream_df: DataFrame,
+    attrs: list[str],
+    block_size: int,
+    key_col: str = "stream_id",
+    threshold: float = 0.2,
+    seq_col: str = "seq",
+    eof_col: str | None = None,
+) -> DataFrame:
+    """Streaming CDDA: per-key state = previous block's value counts + tail.
+
+    Emits one ``(key, pair_id, change_degree, is_drift)`` row per completed
+    consecutive block pair, where ``pair_id`` is the block_id of the SECOND
+    block (batch :func:`driftval.checks.drift_cdda.change_degrees` parity).
+    ``eof_col`` (boolean) marks end-of-stream rows: the streaming analogue
+    of the reference's ``NoSuchElementException`` — on EOF the incomplete
+    tail is flushed as a partial final block (CDDA/DriftDetector.java:56-69
+    keeps exactly two blocks alive; here only counts + tail live in state).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    attrs = list(attrs)
+    cols = [key_col, seq_col, *attrs] + ([eof_col] if eof_col else [])
+    bs = int(block_size)
+
+    def process(key, pdf_iter, state):
+        if state.exists:
+            blocks_done, prev_json, tail_json = state.get
+            prev = json.loads(prev_json) if prev_json else None
+            tail = json.loads(tail_json)
+        else:
+            blocks_done, prev, tail = 0, None, []
+
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=cols)
+        )
+        eof = bool(batch[eof_col].fillna(False).any()) if eof_col else False
+        if eof_col and len(batch):
+            batch = batch[~batch[eof_col].fillna(False).astype(bool)]
+
+        rows = tail + [
+            [int(r[0])] + [None if pd.isna(v) else str(v) for v in r[1:]]
+            for r in batch[[seq_col, *attrs]].itertuples(index=False, name=None)
+        ]
+        rows.sort(key=lambda r: r[0])
+        base = blocks_done * bs
+        if [r[0] for r in rows] != list(range(base, base + len(rows))):
+            raise ValueError(
+                f"key {key}: gapped/reordered seq delivery (expected "
+                f"contiguous from {base}, tail {len(tail)})"
+            )
+
+        out: list[tuple] = []
+        i = 0
+        while len(rows) - i >= bs or (eof and i < len(rows)):
+            chunk = rows[i : i + min(bs, len(rows) - i)]
+            i += len(chunk)
+            # per-attr value counts; nulls bucket under a sentinel (the
+            # suite's drift attrs are non-null by construction)
+            counts: dict[str, dict[str, int]] = {}
+            for j, a in enumerate(attrs):
+                c: dict[str, int] = {}
+                for r in chunk:
+                    v = "␀" if r[1 + j] is None else r[1 + j]
+                    c[v] = c.get(v, 0) + 1
+                counts[a] = c
+            if prev is not None:
+                deg = change_degree_from_counts(prev, counts, attrs)
+                out.append((key[0], blocks_done, float(deg), bool(deg >= threshold)))
+            prev = counts
+            blocks_done += 1
+
+        state.update(
+            (int(blocks_done), json.dumps(prev) if prev is not None else None,
+             json.dumps(rows[i:]))
+        )
+        yield pd.DataFrame(
+            out, columns=[key_col, "pair_id", "change_degree", "is_drift"]
+        )
+
+    return (
+        stream_df.select(*cols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            process,
+            outputStructType=(
+                f"{key_col} string, pair_id long, change_degree double, "
+                "is_drift boolean"
+            ),
+            stateStructType="blocks_done long, prev_counts string, tail string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed constraint verdicts with watermark (late-data bounded)
+# ---------------------------------------------------------------------------
+
+
+def window_constraints(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+    max_null_rate: float = 0.5,
+) -> DataFrame:
+    """Per event-time tumbling window: count, null-rate verdict, min/max.
+
+    Works on a stream (pass ``watermark`` to bound state/late data) AND on a
+    batch frame (``watermark=None``) — the batch form is the oracle twin.
+    ``win_start`` is emitted as a formatted wall-clock string so the result
+    is timezone-representation-independent for hash comparison.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    null_rate = F.col("n_null") / F.col("n_rows")
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_duration).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col(value_col).isNull(), 1).otherwise(0)
+            ).alias("n_null"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n_rows",
+            "n_null",
+            null_rate.alias("null_rate"),
+            "vmin",
+            "vmax",
+            (null_rate <= F.lit(float(max_null_rate))).alias("passed"),
+        )
+    )

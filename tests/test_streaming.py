@@ -1,0 +1,283 @@
+"""Streaming ↔ batch parity for driftval.streaming.
+
+The reference is a single-threaded stream consumer; the batch path already
+replays its loop golden-exactly (tests/test_drift_golden.py). These tests pin
+the Structured-Streaming forms to the BATCH results on the same data, which
+transitively pins them to the reference:
+
+- IncrementalCDCDecider (one summary at a time) == drift_cdcstream.decide
+  (whole series at once), including warm-up, reset, and EOF flush.
+- CDCStreamRunner over a chunked file stream == cdcstream_check over the
+  concatenated frame, with chunk boundaries NOT aligned to block boundaries
+  (exercises the carried tail).
+- cdda_streaming (applyInPandasWithState) == drift_cdda.change_degrees /
+  decide on the same rows, including the EOF partial-block flush.
+- window_constraints on a stream == the same builder on the batch frame.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from driftval import streaming
+from driftval.checks import drift_cdcstream, drift_cdda
+
+
+def _planted_rows(n_rows: int, drift_at: int, seed: int = 7):
+    """Categorical rows with a distribution change at row ``drift_at``."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_rows):
+        if i < drift_at:
+            a = rng.choice(["x", "y"], p=[0.9, 0.1])
+            b = rng.choice(["p", "q", "r"], p=[0.8, 0.1, 0.1])
+        else:
+            a = rng.choice(["x", "y", "z"], p=[0.1, 0.1, 0.8])
+            b = rng.choice(["p", "q", "r"], p=[0.1, 0.8, 0.1])
+        rows.append((i, str(a), str(b)))
+    return rows
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("a", StringType()),
+        StructField("b", StringType()),
+    ]
+)
+
+
+def _write_chunks(spark, rows, sizes, path):
+    """One parquet file per chunk, mtimes strictly increasing so the file
+    source dequeues them in stream order."""
+    os.makedirs(path, exist_ok=True)
+    start = 0
+    t0 = time.time() - len(sizes) - 5
+    for k, sz in enumerate(sizes):
+        chunk = rows[start : start + sz]
+        start += sz
+        pdf = pd.DataFrame(chunk, columns=["seq", "a", "b"])
+        sub = os.path.join(path, f"part-{k:05d}")
+        spark.createDataFrame(pdf, schema=CHUNK_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        for f in os.listdir(sub):
+            fp = os.path.join(sub, f)
+            os.utime(fp, (t0 + k, t0 + k))
+    assert start == len(rows)
+    return [os.path.join(path, f"part-{k:05d}") for k in range(len(sizes))]
+
+
+def test_incremental_decider_matches_batch():
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.normal(0.30, 0.005, 12), [0.9], rng.normal(0.32, 0.005, 9), [0.05]]
+    )
+    sizes = rng.integers(40, 60, size=len(vals))
+    summ = pd.DataFrame(
+        {
+            "block_id": np.arange(len(vals)),
+            "n_rows": sizes.astype("int64"),
+            "summary": vals,
+        }
+    )
+    batch = drift_cdcstream.decide(summ, drift_coefficient=3.0)
+
+    dec = streaming.IncrementalCDCDecider(drift_coefficient=3.0)
+    for r in summ.itertuples(index=False):
+        dec.push(r.block_id, r.n_rows, r.summary)
+    inc = dec.finish()
+
+    assert inc.segments == batch.segments
+    assert inc.drift_block_ids == batch.drift_block_ids
+    # warm-up edge: a single-block stream flushes 0-0 like the batch path
+    one = streaming.IncrementalCDCDecider()
+    one.push(0, 17, 0.5)
+    assert one.finish().segments == drift_cdcstream.decide(
+        summ.head(1), 3.0
+    ).segments == [(0, 0)]
+
+
+def test_cdcstream_runner_matches_batch(spark, tmp_path):
+    rows = _planted_rows(n_rows=230, drift_at=120)
+    # chunk sizes deliberately misaligned with block_size=50: tail carry,
+    # multi-block chunks, and a partial final block all occur
+    chunk_dirs = _write_chunks(spark, rows, [70, 30, 55, 45, 30], str(tmp_path / "in"))
+
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["seq", "a", "b"]), schema=CHUNK_SCHEMA
+    )
+    batch = drift_cdcstream.cdcstream_check(
+        batch_df, ["a", "b"], block_size=50, drift_coefficient=1.5
+    )
+
+    runner = streaming.CDCStreamRunner(["a", "b"], block_size=50, drift_coefficient=1.5)
+    for d in chunk_dirs:  # one on_batch per chunk = one micro-batch per file
+        runner.on_batch(spark.read.schema(CHUNK_SCHEMA).parquet(d), 0)
+    got = runner.finalize()
+
+    assert got.segments == batch.segments
+    assert got.drift_block_ids == batch.drift_block_ids
+    s_b = batch.summaries.sort_values("block_id").reset_index(drop=True)
+    s_g = got.summaries.sort_values("block_id").reset_index(drop=True)
+    assert list(s_g["n_rows"]) == list(s_b["n_rows"])
+    assert np.allclose(s_g["summary"], s_b["summary"], atol=1e-12)
+    assert batch.drift_block_ids, "fixture must actually plant a drift"
+
+
+def test_run_cdcstream_stream_end_to_end(spark, tmp_path):
+    """The readStream → foreachBatch wiring (availableNow) gives the same
+    answer as the batch detector on the concatenated rows."""
+    rows = _planted_rows(n_rows=180, drift_at=100, seed=11)
+    src = str(tmp_path / "src")
+    _write_chunks(spark, rows, [60, 60, 60], src)
+
+    stream_df = streaming.read_chunk_stream(
+        spark, src + "/part-*", CHUNK_SCHEMA, max_files_per_trigger=1
+    )
+    got = streaming.run_cdcstream_stream(
+        stream_df,
+        ["a", "b"],
+        block_size=40,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        drift_coefficient=1.5,
+    )
+    batch = drift_cdcstream.cdcstream_check(
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["seq", "a", "b"]), schema=CHUNK_SCHEMA
+        ),
+        ["a", "b"],
+        block_size=40,
+        drift_coefficient=1.5,
+    )
+    assert got.segments == batch.segments
+    assert got.drift_block_ids == batch.drift_block_ids
+
+
+def test_cdcstream_runner_rejects_gaps(spark):
+    runner = streaming.CDCStreamRunner(["a", "b"], block_size=10)
+    pdf = pd.DataFrame({"seq": [5, 6, 7], "a": ["x"] * 3, "b": ["p"] * 3})
+    with pytest.raises(ValueError, match="out-of-order or gapped"):
+        runner.on_batch(spark.createDataFrame(pdf, schema=CHUNK_SCHEMA), 0)
+
+
+def test_cdda_streaming_matches_batch(spark, tmp_path):
+    rows = _planted_rows(n_rows=230, drift_at=120, seed=5)
+    bs = 50
+
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["seq", "a", "b"]), schema=CHUNK_SCHEMA
+    )
+    batch_deg = (
+        drift_cdda.change_degrees(batch_df, ["a", "b"], bs)
+        .toPandas()
+        .sort_values("pair_id")
+        .reset_index(drop=True)
+    )
+
+    stream_schema = StructType(
+        [StructField("stream_id", StringType())]
+        + CHUNK_SCHEMA.fields
+        + [StructField("eof", BooleanType())]
+    )
+    src = str(tmp_path / "cdda-src")
+    srows = [("s1", seq, a, b, False) for seq, a, b in rows] + [
+        ("s1", len(rows), None, None, True)  # EOF marker row
+    ]
+    os.makedirs(src, exist_ok=True)
+    sizes = [80, 80, len(srows) - 160]
+    start = 0
+    t0 = time.time() - 10
+    for k, sz in enumerate(sizes):
+        pdf = pd.DataFrame(
+            srows[start : start + sz], columns=["stream_id", "seq", "a", "b", "eof"]
+        )
+        start += sz
+        sub = os.path.join(src, f"part-{k:05d}")
+        spark.createDataFrame(pdf, schema=stream_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (t0 + k, t0 + k))
+
+    stream_df = streaming.read_chunk_stream(
+        spark, src + "/part-*", stream_schema, max_files_per_trigger=1
+    )
+    out = streaming.cdda_streaming(
+        stream_df, ["a", "b"], bs, key_col="stream_id", threshold=0.2, eof_col="eof"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdda_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cdda-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("cdda_stream_out")
+        .toPandas()
+        .sort_values("pair_id")
+        .reset_index(drop=True)
+    )
+
+    assert list(got["pair_id"]) == list(batch_deg["pair_id"])
+    assert np.allclose(got["change_degree"], batch_deg["change_degree"], atol=1e-12)
+    assert list(got["is_drift"]) == [d >= 0.2 for d in batch_deg["change_degree"]]
+    # 230 rows / block 50 → 4 full blocks + EOF-flushed partial 5th → 4 pairs
+    assert len(got) == 4
+
+
+def test_window_constraints_stream_matches_batch(spark, tmp_path):
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "ts": [ts0 + pd.Timedelta(minutes=7 * i) for i in range(40)],
+            "value": [float(i) if i % 5 else None for i in range(40)],
+        }
+    )
+    schema = "ts timestamp, value double"
+    batch_df = spark.createDataFrame(pdf, schema=schema)
+    batch = (
+        streaming.window_constraints(batch_df, "ts", "value", "1 hour")
+        .orderBy("win_start")
+        .toPandas()
+    )
+
+    src = str(tmp_path / "wc-src")
+    os.makedirs(src, exist_ok=True)
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src + "/part-00000")
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(src + "/part-*")
+    out = streaming.window_constraints(
+        stream_df, "ts", "value", "1 hour", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wc_stream_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wc-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("wc_stream_out").orderBy("win_start").toPandas()
+
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+    # sanity vs hand math: every 5th value is null → null_rate > 0 somewhere
+    assert (batch["n_null"].sum()) == 8
+    assert batch["passed"].all()
