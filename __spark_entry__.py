@@ -447,6 +447,17 @@ def q_cdcstream_block_summaries(spark, sf_dir):
     return drift_cdcstream.block_summaries(feats, ["a0", "a1", "a2"], EVENT_BLOCK)
 
 
+def q_window_constraints_events(spark, sf_dir):
+    """Event-time tumbling-window constraint verdicts (count / null-rate /
+    min-max per 1h window). Batch form of driftval.streaming.window_constraints
+    — the SAME builder runs on a readStream frame with a watermark
+    (stream==batch equality pinned in tests/test_streaming.py)."""
+    from driftval import streaming
+
+    e = _t(spark, sf_dir, "events")
+    return streaming.window_constraints(e, "ts", "value", "1 hour")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats_documents": q_colstats_documents,
@@ -484,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdda_change_degrees": q_cdda_change_degrees,
         "cdda_equivalence_counts": q_cdda_equivalence_counts,
         "cdcstream_block_summaries": q_cdcstream_block_summaries,
+        "window_constraints_events": q_window_constraints_events,
         "krimp_combo_histogram": q_krimp_combo_histogram,
         "violation_rows_lang": q_violation_rows_lang,
         "violation_rows_uniqueness": q_violation_rows_uniqueness,
@@ -1009,6 +1021,16 @@ WHERE l_orderkey IN (
         "cdda_equivalence_counts": f"""
 SELECT b AS block_id, attr, value, count(*)::BIGINT AS cnt
 FROM ({cdda_melt}) GROUP BY 1, 2, 3
+""",
+        "window_constraints_events": """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS null_rate,
+       min(value) AS vmin,
+       max(value) AS vmax,
+       (sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) <= 0.5 AS passed
+FROM events GROUP BY 1
 """,
         "cdda_change_degrees": f"""
 WITH counts AS (
