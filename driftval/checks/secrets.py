@@ -1,0 +1,96 @@
+"""Secret / credential scanning over code content (V4-family check).
+
+A constraint engine for source-code tables (BASELINE.json: repos of
+``(repo, path, commit, lang, content)``) needs leaked-credential detection as
+a first-class conformance check: a partition that contains live credentials
+must FAIL validation and emit the offending rows, exactly like a type or
+uniqueness violation.
+
+Patterns are the standard high-precision public signatures (the same family
+every published scanner keys on — AWS access-key ids, GitHub PATs, Slack
+tokens, PEM private-key headers). All matching is JVM-side
+``regexp_count`` — no Python in the row path — and every pattern is
+RE2/Java-regex-portable so the DuckDB oracle twin (`regexp_extract_all`)
+counts identically.
+
+Scale shape: one narrow map over content (k small anchored regexes fused in
+one projection), then an optional per-partition aggregate. No shuffle except
+the final tiny verdict groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# name -> (regex portable to Java regex AND RE2/DuckDB)
+DEFAULT_PATTERNS: dict[str, str] = {
+    "aws_access_key_id": r"AKIA[0-9A-Z]{16}",
+    "github_pat": r"ghp_[A-Za-z0-9]{36}",
+    "slack_token": r"xox[baprs]-[A-Za-z0-9][A-Za-z0-9-]{8,}",
+    "private_key_block": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+}
+
+
+def secret_matches(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Violation rows: ``(*id_cols, secret_type, n_matches)`` for every row
+    whose ``text_col`` matches a pattern at least once (``n_matches >= 1``).
+
+    One projection computes all pattern counts, then a ``stack`` melts them
+    to long form — the filter on ``n_matches >= 1`` keeps the output at
+    true-hit size (tiny in healthy corpora) before anything shuffles.
+    """
+    pats = patterns or DEFAULT_PATTERNS
+    names = sorted(pats)
+    counted = df.select(
+        *id_cols,
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pats[n])).alias(f"_c_{i}")
+            for i, n in enumerate(names)
+        ],
+    )
+    pairs = ", ".join(f"'{n}', _c_{i}" for i, n in enumerate(names))
+    return (
+        counted.select(
+            *id_cols,
+            F.expr(f"stack({len(names)}, {pairs}) as (secret_type, n_matches)"),
+        )
+        .where(F.col("n_matches") >= 1)
+        .withColumn("n_matches", F.col("n_matches").cast("long"))
+    )
+
+
+def secret_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-partition verdict: ``(partition_value, check_name, passed,
+    violation_count, match_count)`` — one row per partition per pattern that
+    fired, plus pass rows come from the caller's partition list (a partition
+    with zero matches simply has no row here; the suite treats absence as
+    pass, mirroring the referential check's empty-orphans contract)."""
+    hits = secret_matches(df, [partition_col], text_col, patterns)
+    return (
+        hits.groupBy(
+            F.col(partition_col).cast("string").alias("partition_value"),
+            "secret_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("violation_count"),
+            F.sum("n_matches").alias("match_count"),
+        )
+        .select(
+            "partition_value",
+            F.concat(F.lit("secrets:"), F.col("secret_type")).alias("check_name"),
+            F.lit(False).alias("passed"),
+            "violation_count",
+            "match_count",
+        )
+    )

@@ -1,0 +1,95 @@
+"""Deterministic hash-based sampling and weighted source mixing.
+
+Training-data pipelines need REPRODUCIBLE sampling: the same row must make
+the same keep/drop decision on every run, on every cluster size, and in the
+audit twin — so ``df.sample()`` (seeded per-partition RNG, layout-dependent)
+is out. Decisions here are a pure function of the row key: the first 15 hex
+digits of ``md5(key || salt)`` as a 60-bit integer, kept iff below
+``fraction * 2^60``. The identical expression runs in ANSI SQL
+(``('0x' || substr(md5(k || s), 1, 15))::BIGINT``), so the DuckDB oracle
+twin reproduces the exact row set — no tolerance, no statistics.
+
+Scale shape: a narrow map + filter per row — no shuffle, no state, pushes
+below any downstream exchange. Changing ``salt`` draws an independent
+sample; disjoint fraction windows (see :func:`hash_bucket`) give disjoint
+splits (train/validation/test) from one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 60  # 15 hex digits
+
+
+def hash60(key: Column, salt: str = "") -> Column:
+    """60-bit deterministic hash of ``key`` (+ constant salt), uniform on
+    [0, 2^60); bit-identical to the DuckDB expression above."""
+    base = key.cast("string")
+    if salt:
+        base = F.concat(base, F.lit(salt))
+    return F.conv(F.substring(F.md5(base.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def threshold_for(fraction: float) -> int:
+    """The integer keep-threshold for ``fraction`` — computed driver-side so
+    both engines compare against the same literal (no float rounding skew)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * HASH_SPACE)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff ``hash60(key, salt) < fraction * 2^60``.
+
+    Row-level reproducible: independent of partitioning, ordering, cluster
+    size, and Spark version. E[|out|] = fraction·|df| with binomial spread.
+    """
+    return df.where(hash60(F.col(key_col), salt) < F.lit(threshold_for(fraction)))
+
+
+def hash_bucket(
+    df: DataFrame, key_col: str, n_buckets: int, salt: str = ""
+) -> DataFrame:
+    """Stable split assignment: adds ``bucket`` ∈ [0, n_buckets) — disjoint,
+    exhaustive, reproducible (train/val/test splits from one column)."""
+    return df.withColumn(
+        "bucket", (hash60(F.col(key_col), salt) % F.lit(int(n_buckets))).cast("int")
+    )
+
+
+def weighted_source_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-source deterministic downsampling — the training-data "mixture
+    weights" operator: keep a row of source s iff its hash falls below
+    ``rates.get(s, default_rate) * 2^60``.
+
+    ``rates`` is driver-side config (a handful of named sources), folded
+    into a literal CASE chain — no join, still a narrow map+filter.
+    """
+    thresh: Column = F.lit(threshold_for(default_rate))
+    for src, rate in sorted(rates.items()):
+        thresh = (
+            F.when(F.col(source_col) == F.lit(src), F.lit(threshold_for(rate)))
+            .otherwise(thresh)
+        )
+    return df.where(hash60(F.col(key_col), salt) < thresh)
+
+
+def sample_sql_predicate(key_sql: str, fraction: float, salt: str = "") -> str:
+    """The DuckDB-side twin predicate for :func:`deterministic_sample`."""
+    k = f"({key_sql})::VARCHAR" + (f" || '{salt}'" if salt else "")
+    return (
+        f"(('0x' || substr(md5({k}), 1, 15))::BIGINT) < {threshold_for(fraction)}"
+    )
