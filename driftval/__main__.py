@@ -8,6 +8,8 @@ Subcommands:
   (CDCStream/DriftDetector.java:102-115, CDDA/DriftDetector.java:62-75;
   defaults = Main.java:26-40: blockSize 10000, driftCoefficient 3,
   minChangeDegree 0.1, no header).
+- ``stream``: CDCStream over an unbounded directory of parquet chunk files
+  via Structured Streaming (``driftval.streaming``) — same stdout contract.
 - ``suite``: the full validation suite over a partitioned source-code table,
   resumable from the checkpoint table.
 
@@ -67,6 +69,36 @@ def cmd_cdda(spark, args) -> int:
     return 0
 
 
+def cmd_stream(spark, args) -> int:
+    """CDCStream over an UNBOUNDED directory of parquet chunk files via
+    Structured Streaming (driftval.streaming) — same stdout contract as the
+    batch ``cdcstream`` subcommand; chunk files must carry a gapless global
+    ``seq`` column and arrive in mtime order."""
+    import tempfile
+
+    from driftval import streaming
+
+    batch = spark.read.parquet(args.input)
+    cols = [c for c in batch.columns if c != args.seq_col]
+    if args.columns:
+        cols = args.columns.split(",")
+    stream_df = streaming.read_chunk_stream(
+        spark, args.input, batch.schema, max_files_per_trigger=args.files_per_trigger
+    )
+    res = streaming.run_cdcstream_stream(
+        stream_df,
+        cols,
+        args.block_size,
+        args.stream_checkpoint or tempfile.mkdtemp(prefix="driftval-stream-ckpt-"),
+        args.drift_coefficient,
+        seq_col=args.seq_col,
+    )
+    for start, end in res.segments:
+        print(f"{start}-{end}")
+    print("Done.")
+    return 0
+
+
 def cmd_suite(spark, args) -> int:
     from driftval.suite import SuiteConfig, run_suite
 
@@ -108,6 +140,18 @@ def main(argv: list[str] | None = None) -> int:
     _add_stream_args(p)
     p.add_argument("--min-change-degree", type=float, default=0.1)
     p.set_defaults(fn=cmd_cdda)
+
+    p = sub.add_parser(
+        "stream", help="CDCStream over parquet chunk files via Structured Streaming"
+    )
+    p.add_argument("--input", required=True, help="directory/glob of parquet chunks")
+    p.add_argument("--block-size", type=int, default=10_000)
+    p.add_argument("--drift-coefficient", type=float, default=3.0)
+    p.add_argument("--columns", help="comma-separated attribute subset (default: all)")
+    p.add_argument("--seq-col", default="seq")
+    p.add_argument("--files-per-trigger", type=int, default=1)
+    p.add_argument("--stream-checkpoint", help="streaming checkpoint dir (default: temp)")
+    p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("suite", help="full validation suite over a partitioned table")
     src = p.add_mutually_exclusive_group(required=True)

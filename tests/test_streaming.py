@@ -243,6 +243,42 @@ def test_cdda_streaming_matches_batch(spark, tmp_path):
     assert len(got) == 4
 
 
+def test_cli_stream_subcommand(spark, tmp_path, capsys, monkeypatch):
+    """The `stream` subcommand prints the reference stdout contract and
+    agrees with the batch detector on the same rows."""
+    import driftval.__main__ as cli
+
+    rows = _planted_rows(n_rows=180, drift_at=100, seed=23)
+    src = str(tmp_path / "cli-src")
+    _write_chunks(spark, rows, [90, 90], src)
+    # reuse the session-scoped SparkSession instead of building a new one,
+    # and keep main()'s finally-stop from killing the shared fixture
+    monkeypatch.setattr(cli, "build_session", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    rc = cli.main(
+        [
+            "stream",
+            "--input", src + "/part-*",
+            "--block-size", "40",
+            "--drift-coefficient", "1.5",
+            "--columns", "a,b",
+            "--stream-checkpoint", str(tmp_path / "cli-ckpt"),
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    batch = drift_cdcstream.cdcstream_check(
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["seq", "a", "b"]), schema=CHUNK_SCHEMA
+        ),
+        ["a", "b"],
+        block_size=40,
+        drift_coefficient=1.5,
+    )
+    assert rc == 0
+    assert out == [f"{s}-{e}" for s, e in batch.segments] + ["Done."]
+
+
 def test_window_constraints_stream_matches_batch(spark, tmp_path):
     ts0 = pd.Timestamp("2024-01-01 00:00:00")
     pdf = pd.DataFrame(
