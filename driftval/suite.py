@@ -92,6 +92,10 @@ class SuiteConfig:
     kl_threshold: float = 0.25
     krimp_threshold: float = 0.05
     num_salts: int = 64
+    # V4-family credential scan over content (driftval.checks.secrets
+    # patterns). None = off (default; the scan rides the single derived
+    # content pass, so enabling it adds regexp work but NO extra table scan).
+    secret_patterns: dict[str, str] | None = None
 
     @staticmethod
     def default_constraints() -> list[StatsConstraint]:
@@ -117,12 +121,50 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
     ~100x smaller than the raw table (length + sha instead of the body), so
     ``content`` is scanned/decoded once and sha256 computed once per run."""
     extra = [c for c in {cfg.lang_col, cfg.path_col} if c not in cfg.key_cols]
+    secret_cols = []
+    if cfg.secret_patterns:
+        secret_cols = [
+            F.regexp_count(F.col(cfg.content_col), F.lit(cfg.secret_patterns[n]))
+            .cast("long")
+            .alias(f"_sec_{i}")
+            for i, n in enumerate(sorted(cfg.secret_patterns))
+        ]
     return files.select(
         F.col(cfg.partition_col),
         *[F.col(c) for c in cfg.key_cols],
         *[F.col(c) for c in extra],
         F.length(F.col(cfg.content_col)).cast("long").alias(LEN_COL),
         F.sha2(F.col(cfg.content_col), 256).alias(SHA_COL),
+        *secret_cols,
+    )
+
+
+def secret_suite_verdicts(
+    derived_pending: DataFrame, cfg: SuiteConfig
+) -> DataFrame:
+    """Per-partition credential-scan verdicts from the ``_sec_*`` counts the
+    derived pass already computed — one row per (partition, pattern),
+    INCLUDING passes (violation_count 0), so the pass/fail matrix stays
+    complete. metric = offending-row count; threshold 0 (any hit fails)."""
+    names = sorted(cfg.secret_patterns or {})
+    pv = F.col(cfg.partition_col).cast("string").alias("partition_value")
+    agg = derived_pending.groupBy(pv).agg(
+        *[
+            F.sum((F.col(f"_sec_{i}") >= 1).cast("long")).alias(f"_rows_{i}")
+            for i in range(len(names))
+        ]
+    )
+    pairs = ", ".join(f"'secrets:{n}', _rows_{i}" for i, n in enumerate(names))
+    return agg.select(
+        "partition_value",
+        F.expr(f"stack({len(names)}, {pairs}) as (check_name, _rows)"),
+    ).select(
+        "partition_value",
+        "check_name",
+        (F.col("_rows") == 0).alias("passed"),
+        F.col("_rows").cast("double").alias("metric"),
+        F.lit(0.0).alias("threshold"),
+        F.col("_rows").cast("long").alias("violation_count"),
     )
 
 
@@ -345,6 +387,18 @@ def _write_violation_rows(
                     conformance_violation_rows(derived_pending, pcol, key_cols, c)
                 )
 
+    if cfg.secret_patterns:
+        # offending rows per pattern, from the counts the derived pass
+        # already carries — a pushed-down filter, output ∝ true hits
+        for i, n in enumerate(sorted(cfg.secret_patterns)):
+            frames.append(
+                shape(
+                    derived_pending.where(F.col(f"_sec_{i}") >= 1),
+                    f"secrets:{n}",
+                    F.col(f"_sec_{i}"),
+                )
+            )
+
     dup_rows = uniqueness_violations(
         files.select(pcol, *key_cols), key_cols, cfg.num_salts
     ).where(F.col(pcol).cast("string").isin(pending))
@@ -433,6 +487,9 @@ def run_suite(
         frames: list[DataFrame] = [stats_verdicts(scoped_raw, pcol, cfg.stats_constraints)]
     else:
         frames = [stats_verdicts(derived_pending, pcol, _derived_default_constraints(cfg))]
+
+    if cfg.secret_patterns:
+        frames.append(secret_suite_verdicts(derived_pending, cfg))
 
     # V5 — duplicates are judged table-wide but attributed per partition;
     # key columns only (column pruning keeps content out of this shuffle).

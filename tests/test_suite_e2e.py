@@ -270,3 +270,55 @@ def test_violation_rows_survive_kill_resume(spark, files_sdf, files_pdf, dims, c
     assert len(by_check["type_conformance:commit"]) == len(bad_commits)
     ghosts = files_pdf[files_pdf["repo"].str.startswith("ghost/")]
     assert set(by_check["referential:(repo)"]["repo"]) == set(ghosts["repo"])
+
+
+def test_secret_scan_in_suite(spark, files_sdf, dims, tmp_path_factory):
+    """Config-gated credential scan: plant an AWS key in one partition's
+    content; that (partition, secrets:*) verdict fails with the right count,
+    every other partition passes, and the offending rows land in the
+    violations dataset."""
+    from driftval.checks.secrets import DEFAULT_PATTERNS
+
+    planted = files_sdf.withColumn(
+        "content",
+        F.when(
+            (F.col("part_date") == "2026-01-06") & (F.col("path").endswith("0.py")),
+            F.concat(F.col("content"), F.lit("\naws_key = 'AKIAPLANTEDSECRET0042'")),
+        ).otherwise(F.col("content")),
+    )
+    n_planted = planted.where(
+        F.col("content").contains("AKIAPLANTEDSECRET0042")
+    ).count()
+    assert n_planted > 0
+
+    cfg = SuiteConfig(
+        baseline_partitions=BASELINE,
+        block_size=300,
+        secret_patterns=DEFAULT_PATTERNS,
+    )
+    base = tmp_path_factory.mktemp("secret-suite")
+    v = run_suite(
+        spark, planted, cfg, str(base / "ckpt"), run_id="rs",
+        dim_repos=dims[0], dim_commits=dims[1],
+        violations_path=str(base / "viol"),
+    ).toPandas()
+
+    sec = v[v["check_name"].str.startswith("secrets:")]
+    # complete matrix: every partition x every pattern has a verdict row
+    n_parts = v["partition_value"].nunique()
+    assert len(sec) == n_parts * len(DEFAULT_PATTERNS)
+    aws = sec[sec["check_name"] == "secrets:aws_access_key_id"]
+    hit = aws[aws["partition_value"] == "2026-01-06"].iloc[0]
+    assert not hit.passed and hit.violation_count == n_planted
+    assert aws[aws["partition_value"] != "2026-01-06"]["passed"].all()
+    others = sec[sec["check_name"] != "secrets:aws_access_key_id"]
+    assert others["passed"].all()
+
+    rows = (
+        spark.read.parquet(str(base / "viol"))
+        .where(F.col("check_name") == "secrets:aws_access_key_id")
+        .toPandas()
+    )
+    assert len(rows) == n_planted
+    assert set(rows["partition_value"]) == {"2026-01-06"}
+    assert (rows["detail"] == "1").all()  # one match per planted row
