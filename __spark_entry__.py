@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from driftval import multimodal, sampling, simsearch, textops
+from driftval import multimodal, pii, sampling, simsearch, textops
 from driftval.blocks import with_block_id
 from driftval.checks import drift_cdcstream, drift_cdda
 from driftval.checks.histogram import drift_stats, histogram, length_bin
@@ -511,6 +511,51 @@ def q_secret_scan_documents(spark, sf_dir):
     )
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals. The synthetic corpus has
+    no newlines, so line structure is synthesized portably first (every
+    literal ' data ' becomes a newline — both engines replace left-to-right,
+    non-overlapping); the small vocabulary then yields genuine repeated
+    lines for the duplicate-line / top-line fractions to measure."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" data "), F.lit("\n")).alias("text"),
+    )
+    return textops.repetition_signals(d, "doc_id", "text")
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: every 50th doc plays the held-out eval set;
+    the rest of the corpus is scanned for 3-gram overlap against it (the
+    eval shingle-hash set is broadcast; flag at >= 2 shared shingles)."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return textops.eval_ngram_overlap(corpus, ev, "doc_id", "text", n=3, min_hits=2)
+
+
+def q_pii_redact_documents(spark, sf_dir):
+    """PII scrub: deterministic fake PII is planted in every 20th doc (the
+    corpus is synthetic and clean), then counted per class and redacted;
+    the oracle plants and rewrites identically, so redacted_md5 proves the
+    full rewritten body matches byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +15550001234 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii.pii_redact(aug, "doc_id", "text")
+
+
 def q_window_constraints_events(spark, sf_dir):
     """Event-time tumbling-window constraint verdicts (count / null-rate /
     min-max per 1h window). Batch form of driftval.streaming.window_constraints
@@ -564,6 +609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_bucket_split": q_hash_bucket_split,
         "source_mix_documents": q_source_mix_documents,
         "secret_scan_documents": q_secret_scan_documents,
+        "repetition_signals": q_repetition_signals,
+        "decontamination": q_decontamination,
+        "pii_redact_documents": q_pii_redact_documents,
         "krimp_combo_histogram": q_krimp_combo_histogram,
         "violation_rows_lang": q_violation_rows_lang,
         "violation_rows_uniqueness": q_violation_rows_uniqueness,
@@ -580,6 +628,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TOK = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+_PII = pii.PII_PATTERNS
 _H64 = "(('0x' || substr(md5(t),1,15))::BIGINT)"
 _H31 = f"({_H64} % 2147483647)"
 _P = 2_147_483_647
@@ -1127,6 +1176,76 @@ WITH aug AS (
 SELECT source, secret_type, count(*)::BIGINT AS n_docs,
        sum(n_matches)::BIGINT AS total_matches
 FROM counts WHERE n_matches >= 1 GROUP BY 1, 2
+""",
+        "repetition_signals": """
+WITH src AS (
+  SELECT doc_id, replace(text, ' data ', chr(10)) AS text FROM documents
+), lu AS (
+  SELECT doc_id, md5(u) AS u, count(*) AS c FROM (
+    SELECT doc_id, regexp_replace(x, '^\\s+|\\s+$', '', 'g') AS u
+    FROM src, unnest(string_split(text, chr(10))) AS s(x)
+  ) WHERE u <> '' GROUP BY 1, 2
+), pu AS (
+  SELECT doc_id, md5(u) AS u, count(*) AS c FROM (
+    SELECT doc_id, regexp_replace(x, '^\\s+|\\s+$', '', 'g') AS u
+    FROM src, unnest(string_split_regex(text, '\\n{2,}')) AS s(x)
+  ) WHERE u <> '' GROUP BY 1, 2
+), la AS (SELECT doc_id, sum(c) AS t, count(*) AS d, max(c) AS m FROM lu GROUP BY 1),
+pa AS (SELECT doc_id, sum(c) AS t, count(*) AS d, max(c) AS m FROM pu GROUP BY 1)
+SELECT ids.doc_id,
+  coalesce(la.t, 0)::BIGINT AS n_lines,
+  round(CASE WHEN coalesce(la.t, 0) > 0 THEN (la.t - la.d)::DOUBLE / la.t ELSE 0.0 END, 6)::DOUBLE AS dup_line_frac,
+  round(CASE WHEN coalesce(la.t, 0) > 0 THEN la.m::DOUBLE / la.t ELSE 0.0 END, 6)::DOUBLE AS top_line_frac,
+  coalesce(pa.t, 0)::BIGINT AS n_paras,
+  round(CASE WHEN coalesce(pa.t, 0) > 0 THEN (pa.t - pa.d)::DOUBLE / pa.t ELSE 0.0 END, 6)::DOUBLE AS dup_para_frac
+FROM (SELECT doc_id FROM documents) ids
+LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
+""",
+        "decontamination": f"""
+WITH sh AS (
+  SELECT doc_id, list_transform(shingles, s -> {_H64.replace('(t)', '(s)')}) AS shs
+  FROM ({_SHINGLES})
+), ev AS (
+  SELECT DISTINCT unnest(shs) AS h FROM sh WHERE doc_id % 50 = 0
+), corp AS (
+  SELECT doc_id, shs, len(shs)::BIGINT AS n_shingles FROM sh WHERE doc_id % 50 <> 0
+), hits AS (
+  SELECT c.doc_id, count(*) AS h
+  FROM (SELECT doc_id, unnest(shs) AS sh FROM corp) c JOIN ev ON c.sh = ev.h
+  GROUP BY 1
+)
+SELECT corp.doc_id, corp.n_shingles,
+  coalesce(hits.h, 0)::BIGINT AS n_contaminated,
+  round(CASE WHEN corp.n_shingles > 0
+             THEN coalesce(hits.h, 0)::DOUBLE / corp.n_shingles
+             ELSE 0.0 END, 6)::DOUBLE AS contamination_frac,
+  coalesce(hits.h, 0) >= 2 AS flagged
+FROM corp LEFT JOIN hits USING (doc_id)
+""",
+        "pii_redact_documents": f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR
+                   || '@example.com or +15550001234 at 10.0.0.'
+                   || (doc_id % 256)::VARCHAR
+              ELSE text END AS text
+  FROM documents
+), red AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII['email'][0]}', '{_PII['email'][1]}', 'g'),
+           '{_PII['ipv4'][0]}', '{_PII['ipv4'][1]}', 'g'),
+           '{_PII['phone_intl'][0]}', '{_PII['phone_intl'][1]}', 'g') AS r
+  FROM src
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII['email'][0]}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '{_PII['ipv4'][0]}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '{_PII['phone_intl'][0]}'))::BIGINT AS n_phone_intl,
+  length(r)::BIGINT AS redacted_len,
+  md5(r) AS redacted_md5
+FROM red
 """,
         "window_constraints_events": """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,

@@ -1,0 +1,112 @@
+"""PII detection and redaction over text/code content (JVM-only row path).
+
+A training-data pipeline scrubs personally identifiable information before a
+corpus ships; like :mod:`driftval.checks.secrets` (credentials), this is a
+first-class operator over the ``documents`` table: per-document match counts
+per PII class plus a deterministically redacted body.
+
+All matching/rewriting is JVM-side ``regexp_count`` / ``regexp_replace`` —
+no Python in the row path — and every pattern is written in the
+Java-regex ∩ RE2 common subset so the DuckDB oracle twin
+(``regexp_extract_all`` / ``regexp_replace(..., 'g')``) matches and rewrites
+identically. Redaction applies the classes in sorted-name order so the
+composed rewrite is deterministic and reproducible across engines.
+
+Scale shape: one narrow projection per document — a handful of fused regex
+ops inside whole-stage codegen, no shuffle, no explode. Output carries the
+md5 + length of the redacted body (16 bytes + 8 bytes) unless the caller
+asks for the full rewritten text, so the default plan never re-materializes
+document bodies downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# name -> (pattern, replacement). Patterns avoid lookaround/backrefs so Java
+# regex and RE2 (DuckDB) agree on every match boundary.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    "ipv4": (
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    "phone_intl": (
+        r"\+[0-9]{7,15}",
+        "<PHONE>",
+    ),
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, tuple[str, str]] | None = None,
+    keep_text: bool = False,
+) -> DataFrame:
+    """``(id, n_<class>..., redacted_len, redacted_md5[, redacted])``.
+
+    Counts are measured on the ORIGINAL text per class (order-independent);
+    the redacted body applies ``regexp_replace`` per class in sorted-name
+    order (email -> ipv4 -> phone_intl by default), so an address embedded
+    in an already-redacted span is never double-counted or double-rewritten.
+    """
+    pats = patterns or PII_PATTERNS
+    names = sorted(pats)
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pats[n][0])).cast("long").alias(f"n_{n}")
+        for n in names
+    ]
+    red = t
+    for n in names:
+        red = F.regexp_replace(red, pats[n][0], pats[n][1])
+    out = [
+        F.col(id_col),
+        *counts,
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    ]
+    if keep_text:
+        out.append(red.alias("redacted"))
+    return df.select(*out)
+
+
+def pii_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    text_col: str,
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per-(partition, class) verdict rows in the suite's pass/fail shape —
+    a partition fails a class when any row matches (threshold 0), mirroring
+    :func:`driftval.checks.secrets.secret_verdicts`."""
+    pats = patterns or PII_PATTERNS
+    names = sorted(pats)
+    pv = F.col(partition_col).cast("string").alias("partition_value")
+    t = F.col(text_col)
+    agg = df.groupBy(pv).agg(
+        *[
+            F.sum((F.regexp_count(t, F.lit(pats[n][0])) >= 1).cast("long")).alias(
+                f"_rows_{i}"
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    pairs = ", ".join(f"'pii:{n}', _rows_{i}" for i, n in enumerate(names))
+    return agg.select(
+        "partition_value",
+        F.expr(f"stack({len(names)}, {pairs}) as (check_name, _rows)"),
+    ).select(
+        "partition_value",
+        "check_name",
+        (F.col("_rows") == 0).alias("passed"),
+        F.col("_rows").cast("double").alias("metric"),
+        F.lit(0.0).alias("threshold"),
+        F.col("_rows").cast("long").alias("violation_count"),
+    )

@@ -744,3 +744,135 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         weighted, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate signals and eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate quality signals (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", appendix A1.1 — public methodology): per document, the
+    duplicate-line fraction, the share of lines taken by the single most
+    frequent line, and the duplicate-paragraph fraction. High values mark
+    boilerplate (license headers, navigation chrome, generated code) that a
+    training-data pipeline drops before dedup/training.
+
+    Units: a line = '\\n'-delimited, a paragraph = a maximal run split on 2+
+    consecutive newlines; both trimmed, empties dropped.
+
+    Plan shape: lines and paragraphs are exploded into ONE union frame keyed
+    by (id, kind, md5(unit)) — the shuffle carries a 16-byte digest per unit,
+    never document bodies — then two groupBys (unit multiplicity, per-doc
+    aggregate) and a left join back onto the id universe so unit-less docs
+    report 0.0 everywhere. At corpus scale every stage is a plain hash
+    aggregate on near-uniform keys.
+    """
+    t = F.col(text_col)
+
+    def _units(split_pat: str) -> Column:
+        # regex trim, not F.trim: units must shed \t and interior-boundary
+        # newlines (a paragraph ends with one), which trim() leaves in place
+        arr = F.transform(
+            F.split(t, split_pat),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        )
+        return F.filter(arr, lambda x: x != "")
+
+    def _exploded(split_pat: str, kind: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.lit(kind).alias("_kind"),
+            F.explode(_units(split_pat)).alias("_u"),
+        ).select(id_col, "_kind", F.md5(F.col("_u").cast("binary")).alias("_u"))
+
+    units = _exploded("\n", "l").unionByName(_exploded("\n{2,}", "p"))
+    mult = units.groupBy(id_col, "_kind", "_u").agg(F.count(F.lit(1)).alias("_c"))
+
+    def _k(kind: str, expr: Column) -> Column:
+        return F.when(F.col("_kind") == kind, expr)
+
+    agg = mult.groupBy(id_col).agg(
+        F.sum(_k("l", F.col("_c"))).alias("_lt"),
+        F.count(_k("l", F.lit(1))).alias("_ld"),
+        F.max(_k("l", F.col("_c"))).alias("_lm"),
+        F.sum(_k("p", F.col("_c"))).alias("_pt"),
+        F.count(_k("p", F.lit(1))).alias("_pd"),
+        F.max(_k("p", F.col("_c"))).alias("_pm"),
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        ).cast("double")
+
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_lt"), F.lit(0)).cast("long").alias("n_lines"),
+        _frac(F.coalesce(F.col("_lt") - F.col("_ld"), F.lit(0)), F.coalesce(F.col("_lt"), F.lit(0))).alias("dup_line_frac"),
+        _frac(F.coalesce(F.col("_lm"), F.lit(0)), F.coalesce(F.col("_lt"), F.lit(0))).alias("top_line_frac"),
+        F.coalesce(F.col("_pt"), F.lit(0)).cast("long").alias("n_paras"),
+        _frac(F.coalesce(F.col("_pt") - F.col("_pd"), F.lit(0)), F.coalesce(F.col("_pt"), F.lit(0))).alias("dup_para_frac"),
+    )
+
+
+def eval_ngram_overlap(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct n-word shingles also appear anywhere in ``evalset`` (the
+    standard n-gram-overlap test-set-leakage check, e.g. GPT-3 appendix C /
+    PaLM appendix — public methodology). A document with
+    ``n_contaminated >= min_hits`` is flagged for removal before training.
+
+    Plan shape: the eval side collapses to a DISTINCT shingle-hash set —
+    tiny relative to the corpus (benchmarks are MBs, corpora are TBs) — and
+    is broadcast; the corpus side explodes its per-doc distinct shingle
+    hashes and inner-joins that broadcast set, so the only shuffle is the
+    per-doc hit count on (id, 8-byte hash) rows. Zero-hit docs are restored
+    by a left join against the narrow per-doc shingle-count frame.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def _sh(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: token_hash64(s)
+            ).alias("_shs"),
+        )
+
+    eval_hashes = (
+        _sh(evalset).select(F.explode("_shs").alias("_sh")).distinct()
+    )
+    corpus_sh = _sh(corpus)
+    hits = (
+        corpus_sh.select(F.col(id_col), F.explode("_shs").alias("_sh"))
+        .join(broadcast(eval_hashes), "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        corpus_sh.select(F.col(id_col), F.size("_shs").cast("long").alias("n_shingles"))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).cast("double").alias("contamination_frac"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) >= min_hits).alias("flagged"),
+        )
+    )

@@ -144,3 +144,32 @@ def test_minhash_band_join_runs_on_collapsed_groups(spark, docs):
     exchange_sections = [l for l in plan.splitlines() if "Exchange" in l]
     assert exchange_sections, plan
     assert all("text#" not in l for l in exchange_sections), exchange_sections
+
+
+def test_decontamination_broadcasts_eval_side(spark, docs):
+    """The eval shingle-hash set must broadcast (benchmarks are tiny next to
+    the corpus); the per-doc hit count is the only real shuffle."""
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    plan = plan_of(
+        textops.eval_ngram_overlap(corpus, ev, "doc_id", "text", n=3)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_shuffle_carries_digests_not_bodies(spark, docs):
+    """The unit-multiplicity groupBy must shuffle md5 digests, never the text
+    column — the exchange keys are (doc_id, _kind, _u)."""
+    plan = plan_of(textops.repetition_signals(docs, "doc_id", "text"))
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert exchanges, plan
+    assert all("text" not in l for l in exchanges), exchanges
+
+
+def test_pii_redact_is_narrow(spark, docs):
+    """PII scrub is one codegen'd projection: no exchange anywhere."""
+    from driftval import pii
+
+    plan = plan_of(pii.pii_redact(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+    assert "codegen id" in plan, plan  # whole-stage codegen span

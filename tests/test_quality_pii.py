@@ -1,0 +1,106 @@
+"""Repetition signals, eval-set decontamination, and PII redaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval import pii, textops
+
+
+def _by_id(rows):
+    return {r["doc_id"]: r.asDict() for r in rows}
+
+
+def test_repetition_signals(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup" twice -> dup_line_frac 1/4, top_line_frac 2/4;
+            # 2 paragraphs, distinct -> dup_para_frac 0
+            (1, "dup\nunique one\n\ndup\nunique two"),
+            # 3 identical lines in one paragraph
+            (2, "same\nsame\nsame"),
+            # whitespace-only lines are dropped entirely
+            (3, "   \n\n  \n"),
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _by_id(textops.repetition_signals(docs, "doc_id", "text").collect())
+    assert out[1] == {
+        "doc_id": 1, "n_lines": 4, "dup_line_frac": 0.25, "top_line_frac": 0.5,
+        "n_paras": 2, "dup_para_frac": 0.0,
+    }
+    assert out[2]["n_lines"] == 3
+    assert out[2]["dup_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["top_line_frac"] == 1.0
+    assert out[2] == {**out[2], "n_paras": 1, "dup_para_frac": 0.0}
+    assert out[3] == {
+        "doc_id": 3, "n_lines": 0, "dup_line_frac": 0.0, "top_line_frac": 0.0,
+        "n_paras": 0, "dup_para_frac": 0.0,
+    }
+    assert out[4]["n_lines"] == 1 and out[4]["top_line_frac"] == 1.0
+
+
+def test_eval_ngram_overlap(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (2, "prefix words then the quick brown fox appears here"),  # partial
+            (3, "completely disjoint content with no shared phrases at all"),
+            (4, "xy"),  # too short for any 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = _by_id(
+        textops.eval_ngram_overlap(
+            corpus, eval_df, "doc_id", "text", n=3, min_hits=2
+        ).collect()
+    )
+    assert out[1]["n_shingles"] == 7
+    assert out[1]["n_contaminated"] == 7
+    assert out[1]["contamination_frac"] == 1.0 and out[1]["flagged"]
+    # doc 2 shares exactly "the quick brown" and "quick brown fox"
+    assert out[2]["n_contaminated"] == 2 and out[2]["flagged"]
+    assert out[3]["n_contaminated"] == 0 and not out[3]["flagged"]
+    assert out[4]["n_shingles"] == 0 and out[4]["contamination_frac"] == 0.0
+
+
+def test_pii_redact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@example.co.uk or call +4915512345678 now"),
+            (2, "server at 10.0.255.3 and 192.168.1.1; version 1.2 is not an ip"),
+            (3, "clean text, nothing to scrub"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _by_id(
+        pii.pii_redact(docs, "doc_id", "text", keep_text=True).collect()
+    )
+    assert out[1]["n_email"] == 1 and out[1]["n_phone_intl"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> or call <PHONE> now"
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_email"] == 0
+    assert out[2]["redacted"] == "server at <IP> and <IP>; version 1.2 is not an ip"
+    assert out[3]["redacted"] == "clean text, nothing to scrub"
+    assert out[3]["redacted_len"] == len("clean text, nothing to scrub")
+
+
+def test_pii_verdicts(spark):
+    docs = spark.createDataFrame(
+        [
+            ("p1", "contact admin@example.com"),
+            ("p1", "clean"),
+            ("p2", "clean too"),
+        ],
+        "part string, text string",
+    )
+    v = pii.pii_verdicts(docs, "part", "text").collect()
+    rows = {(r["partition_value"], r["check_name"]): r for r in v}
+    assert len(rows) == 2 * len(pii.PII_PATTERNS)
+    assert not rows[("p1", "pii:email")]["passed"]
+    assert rows[("p1", "pii:email")]["violation_count"] == 1
+    assert rows[("p2", "pii:email")]["passed"]
+    assert rows[("p1", "pii:ipv4")]["passed"]
