@@ -34,21 +34,33 @@ def build_session(
         "spark.sql.shuffle.partitions": str(shuffle_partitions or int(cpus)),
         # Keep parquet scans wide enough to parallelize on local[32] fixtures.
         "spark.sql.files.maxPartitionBytes": "64m",
-        # local mode: driver == executor. FIXED PRE-TOUCHED heap: without
-        # -Xms, G1 repeatedly commits/uncommits heap regions as usage swings,
-        # and on this VM those kernel page operations burst to 50-70% system
-        # CPU (usr ~1%) mid-query — the dominant source of the 2-3x
-        # run-to-run bench variance previously attributed to the shared
-        # host. AlwaysPreTouch moves the one-time page fault-in to session
-        # build (untimed) instead of the first heavy job; the 24g default
-        # floor keeps that startup cost a few seconds while comfortably
-        # fitting the 4M-file bench suite. (Concurrent-JVM harnesses pass their own sizing — see
-        # scripts/bench_scaling_multiproc.py.)
-        "spark.driver.memory": os.environ.get("DRIFTVAL_DRIVER_MEM", "48g"),
+        # local mode: driver == executor. FIXED MODEST heap (Xms == Xmx):
+        # two measured host pathologies drive this, in opposite directions.
+        # (a) Growable heap: G1 commits/uncommits regions as usage swings,
+        # and those kernel page ops burst to 50-70% system CPU mid-query —
+        # the fixed size removes commit/uncommit entirely. (b) This VM
+        # family re-faults memory from the hypervisor at ~100-450 MB/s and
+        # RECLAIMS freed pages (a repeat 24g pre-touch is as slow as the
+        # first), so every byte the heap GROWS into mid-run stalls the
+        # workload: the identical bench measured 423s with a 48g-max
+        # growable heap vs 151s fixed at 16g — GC'ing warm pages beats
+        # faulting cold ones. -XX:+AlwaysPreTouch is OPT-IN only
+        # (DRIFTVAL_PRETOUCH=1): it turned a 7s session build into 243s
+        # here; lazy first-touch pays only for pages actually used, in
+        # parallel across task threads. (Concurrent-JVM harnesses pass
+        # their own sizing — see scripts/bench_scaling_multiproc.py.)
+        "spark.driver.memory": os.environ.get("DRIFTVAL_DRIVER_MEM", "16g"),
         "spark.driver.extraJavaOptions": (
             "-Xms"
-            + os.environ.get("DRIFTVAL_DRIVER_XMS", "24g")
-            + " -XX:+AlwaysPreTouch"
+            + os.environ.get(
+                "DRIFTVAL_DRIVER_XMS",
+                os.environ.get("DRIFTVAL_DRIVER_MEM", "16g"),
+            )
+            + (
+                " -XX:+AlwaysPreTouch"
+                if os.environ.get("DRIFTVAL_PRETOUCH") == "1"
+                else ""
+            )
         ),
         "spark.ui.enabled": "false",
         "spark.sql.session.timeZone": "UTC",

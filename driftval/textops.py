@@ -44,17 +44,37 @@ def token_hash31(tok: Column) -> Column:
     return token_hash64(tok) % F.lit(MERSENNE_31)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the plan has fewer partitions than
+    cores — a tiny fixture table arrives as one parquet split, which would
+    run every downstream per-row expression single-threaded. At corpus scale
+    the scan already has >= cores splits and this is a no-op (no shuffle)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def word_shingles(text: Column, n: int) -> Column:
     """Distinct n-word shingles (space-joined), via indexed transform —
-    portable to DuckDB ``list_transform(arr, (x,i) -> ...)``."""
-    toks = tokens(text)
-    shingle = F.transform(
-        toks,
-        lambda x, i: F.when(
-            i + n <= F.size(toks), F.array_join(F.slice(toks, i + 1, n), " ")
-        ),
-    )
-    return F.array_distinct(F.filter(shingle, lambda s: s.isNotNull()))
+    portable to DuckDB ``list_transform(arr, (x,i) -> ...)``.
+
+    The token array is BOUND as a lambda variable (single-element-array
+    transform) before the per-index lambda references it: a plain Column
+    reference would inline the whole ``tokens()`` split subtree into every
+    element's ``size``/``slice`` call, re-splitting the text O(w) times per
+    doc (measured ~3x on the decontamination scan)."""
+
+    def _per(toks: Column) -> Column:
+        sh = F.transform(
+            toks,
+            lambda x, i: F.when(
+                i + n <= F.size(toks), F.array_join(F.slice(toks, i + 1, n), " ")
+            ),
+        )
+        return F.array_distinct(F.filter(sh, lambda s: s.isNotNull()))
+
+    return F.flatten(F.transform(F.array(tokens(text)), _per))
 
 
 # ---------------------------------------------------------------------------
@@ -834,10 +854,13 @@ def eval_ngram_overlap(
 
     Plan shape: the eval side collapses to a DISTINCT shingle-hash set —
     tiny relative to the corpus (benchmarks are MBs, corpora are TBs) — and
-    is broadcast; the corpus side explodes its per-doc distinct shingle
-    hashes and inner-joins that broadcast set, so the only shuffle is the
-    per-doc hit count on (id, 8-byte hash) rows. Zero-hit docs are restored
-    by a left join against the narrow per-doc shingle-count frame.
+    is broadcast; the corpus side computes shingles in ONE pass
+    (``explode_outer`` keeps shingle-less docs alive, so no join-back is
+    needed), broadcast-left-joins the eval set, and a single groupBy on the
+    (id, 8-byte hash) rows yields both the shingle count and the hit count.
+    The shingle projection is the expensive expression (n-gram slice+join
+    per token), so it runs AFTER ``_spread`` — at corpus scale the scan is
+    already parallel and no shuffle is added.
     """
     from pyspark.sql.functions import broadcast
 
@@ -850,29 +873,32 @@ def eval_ngram_overlap(
         )
 
     eval_hashes = (
-        _sh(evalset).select(F.explode("_shs").alias("_sh")).distinct()
+        _sh(evalset)
+        .select(F.explode("_shs").alias("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    corpus_sh = _sh(corpus)
-    hits = (
-        corpus_sh.select(F.col(id_col), F.explode("_shs").alias("_sh"))
-        .join(broadcast(eval_hashes), "_sh")
+    exploded = _sh(_spread(corpus.select(id_col, text_col))).select(
+        F.col(id_col), F.explode_outer("_shs").alias("_sh")
+    )
+    per_doc = (
+        exploded.join(broadcast(eval_hashes), "_sh", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_hits"))
-    )
-    return (
-        corpus_sh.select(F.col(id_col), F.size("_shs").cast("long").alias("n_shingles"))
-        .join(hits, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_shingles"),
-            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_contaminated"),
-            F.round(
-                F.when(
-                    F.col("n_shingles") > 0,
-                    F.coalesce(F.col("_hits"), F.lit(0)).cast("double") / F.col("n_shingles"),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).cast("double").alias("contamination_frac"),
-            (F.coalesce(F.col("_hits"), F.lit(0)) >= min_hits).alias("flagged"),
+        .agg(
+            F.count("_sh").alias("n_shingles"),
+            F.count("_hit").alias("_hits"),
         )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("_hits").cast("long").alias("n_contaminated"),
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("_hits").cast("double") / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).cast("double").alias("contamination_frac"),
+        (F.col("_hits") >= min_hits).alias("flagged"),
     )
