@@ -273,8 +273,10 @@ The north rule's two-cluster-size criterion (N vs 4N executors) is evidenced
 in this sandbox by the same job at two parallelism levels (driver
 instruction): `{lo['master']}` vs `{hi['master']}` on identical input
 ({lo['cores']} vs {hi['cores']} cores — exact 4x). Each level: fresh JVM, one
-untimed warm-up pass, then {len(lo['all_reps_sec'])} timed passes; wall = min (the host is
-a shared VM, so min is the noise-resistant estimator).
+untimed warm-up pass per harness run, then timed passes; wall = min over the
+{len(lo['all_reps_sec'])} recorded passes (pooled across harness runs on this
+host — it is a shared VM with bursty tenant load, so per-level min is the
+noise-resistant estimator of the job's actual cost).
 
 | parallelism | suite wall (s), min | all timed reps (s) | validated files/sec | compute probe (s) |
 |---|---|---|---|---|
