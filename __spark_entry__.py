@@ -254,6 +254,32 @@ def q_dedup_components(spark, sf_dir):
     return textops.dup_components(_shared_fuzzy_pairs(spark, sf_dir))
 
 
+def q_canonical_docs(spark, sf_dir):
+    """Composed dedup tail: per near-dup component, keep the HIGHEST-quality
+    member (ties -> smallest doc_id) instead of blind min-id — the survivor
+    list a training pipeline actually ships (fuzzy_dup_pairs ->
+    dup_components -> doc_quality -> max_by per component)."""
+    d = _t(spark, sf_dir, "documents")
+    comps = textops.dup_components(_shared_fuzzy_pairs(spark, sf_dir))
+    return textops.canonical_docs(comps, textops.doc_quality(d, "doc_id", "text"))
+
+
+def q_topk_ngrams(spark, sf_dir):
+    """Global top-20 3-word shingles by document frequency — the boilerplate
+    census behind the NGRAM_DF_CAP choice. TakeOrderedAndProject top-k, no
+    global sort."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.topk_ngrams(d, "doc_id", "text", n=3, k=20)
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Exact per-lang length percentiles (p25/p50/p75/p90/p99) — exactness
+    is O(distinct lengths) aggregation state, free on a bounded-domain
+    column at any row count."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.length_percentiles(d, "lang", "n_chars")
+
+
 def q_doc_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return textops.doc_quality(d, "doc_id", "text")
@@ -587,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "dedup_components": q_dedup_components,
+        "canonical_docs": q_canonical_docs,
+        "topk_ngrams": q_topk_ngrams,
+        "length_percentiles": q_length_percentiles,
         "doc_quality": q_doc_quality,
         "langid": q_langid,
         "token_counts": q_token_counts,
@@ -683,6 +712,38 @@ _SHINGLES_REPS = _SHINGLES_TMPL.format(
     "JOIN (SELECT min(doc_id) AS _rid FROM documents GROUP BY md5(text)) r "
     "ON d.doc_id = r._rid)",
 )
+
+
+def _quality_sql() -> str:
+    """doc_quality DuckDB twin as a reusable fragment (also the score
+    source for the canonical_docs twin)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOK} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS token_count,
+         length(text)::BIGINT AS char_count,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS punct,
+         len(list_intersect(toks, {_STOP_EN}))::DOUBLE AS stop
+  FROM t
+), r AS (
+  SELECT doc_id, token_count, char_count,
+         CASE WHEN char_count > 0 THEN punct / char_count ELSE 0.0 END AS punct_ratio,
+         CASE WHEN token_count > 0 THEN stop / token_count ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN token_count > 0 THEN (char_count - token_count + 1.0) / token_count ELSE 0.0 END AS mean_wl
+  FROM feat
+)
+SELECT doc_id, token_count, char_count,
+       round(punct_ratio, 6)::DOUBLE AS punct_ratio,
+       round(stopword_ratio, 6)::DOUBLE AS stopword_ratio,
+       round(
+         (CASE WHEN token_count BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN mean_wl BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0 END), 2)::DOUBLE AS quality_score
+FROM r
+"""
 
 
 def _fuzzy_sql() -> str:
@@ -904,32 +965,52 @@ und AS (
 SELECT node AS doc_id, least(node, min(reach))::BIGINT AS component_id
 FROM r GROUP BY node
 """,
-        "doc_quality": f"""
-WITH t AS (
-  SELECT doc_id, text, {_TOK} AS toks FROM documents
-), feat AS (
-  SELECT doc_id,
-         len(toks)::BIGINT AS token_count,
-         length(text)::BIGINT AS char_count,
-         len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS punct,
-         len(list_intersect(toks, {_STOP_EN}))::DOUBLE AS stop
-  FROM t
+        "doc_quality": _quality_sql(),
+        "canonical_docs": f"""
+WITH RECURSIVE pairs AS ({_fuzzy_sql()}),
+und AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
 ), r AS (
-  SELECT doc_id, token_count, char_count,
-         CASE WHEN char_count > 0 THEN punct / char_count ELSE 0.0 END AS punct_ratio,
-         CASE WHEN token_count > 0 THEN stop / token_count ELSE 0.0 END AS stopword_ratio,
-         CASE WHEN token_count > 0 THEN (char_count - token_count + 1.0) / token_count ELSE 0.0 END AS mean_wl
-  FROM feat
+  SELECT id_a AS node, id_b AS reach FROM und
+  UNION
+  SELECT r.node, u.id_b FROM r JOIN und u ON r.reach = u.id_a
+), comp AS (
+  SELECT node AS doc_id, least(node, min(reach))::BIGINT AS component_id
+  FROM r GROUP BY node
+), q AS (
+  SELECT doc_id, quality_score FROM ({_quality_sql()})
+), scored AS (
+  SELECT c.doc_id, c.component_id, q.quality_score
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+), best AS (
+  SELECT component_id, max(quality_score) AS mq FROM scored GROUP BY 1
+), canon AS (
+  SELECT s.component_id, min(s.doc_id)::BIGINT AS canonical_id
+  FROM scored s JOIN best b
+    ON s.component_id = b.component_id AND s.quality_score = b.mq
+  GROUP BY 1
 )
-SELECT doc_id, token_count, char_count,
-       round(punct_ratio, 6)::DOUBLE AS punct_ratio,
-       round(stopword_ratio, 6)::DOUBLE AS stopword_ratio,
-       round(
-         (CASE WHEN token_count BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END) +
-         (CASE WHEN mean_wl BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END) +
-         (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END) +
-         (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0 END), 2)::DOUBLE AS quality_score
-FROM r
+SELECT s.doc_id, s.component_id, c.canonical_id,
+       (CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END)::INT AS is_canonical
+FROM scored s JOIN canon c ON s.component_id = c.component_id
+""",
+        "topk_ngrams": f"""
+WITH s AS ({_SHINGLES}),
+ex AS (SELECT unnest(shingles) AS ngram FROM s)
+SELECT ngram, count(*)::BIGINT AS doc_freq
+FROM ex GROUP BY 1
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT 20
+""",
+        "length_percentiles": """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6)::DOUBLE AS p25,
+       round(quantile_cont(n_chars, 0.50), 6)::DOUBLE AS p50,
+       round(quantile_cont(n_chars, 0.75), 6)::DOUBLE AS p75,
+       round(quantile_cont(n_chars, 0.90), 6)::DOUBLE AS p90,
+       round(quantile_cont(n_chars, 0.99), 6)::DOUBLE AS p99
+FROM documents GROUP BY lang
 """,
         "langid": f"""
 WITH t AS (

@@ -902,3 +902,97 @@ def eval_ngram_overlap(
         ).cast("double").alias("contamination_frac"),
         (F.col("_hits") >= min_hits).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level n-gram statistics, length percentiles, canonical selection
+# ---------------------------------------------------------------------------
+
+
+def topk_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Global top-``k`` ``n``-word shingles by DOCUMENT frequency —
+    ``(ngram, doc_freq)``, the boilerplate census a pipeline runs before
+    choosing dedup stop-shingle caps (compare :data:`NGRAM_DF_CAP` in the
+    catalog) or building a block-list.
+
+    Document frequency, not term frequency: :func:`word_shingles` is
+    per-doc distinct, so the explode emits each shingle once per containing
+    document and the count is exactly "in how many docs".
+
+    Scale shape: explode → hash aggregate with map-side partial combine
+    (shuffle carries (ngram, partial_count), never bodies) → global top-k as
+    ``TakeOrderedAndProject`` (per-partition heap of k, merged on the
+    driver; NO global sort, no single-task stage). Ties broken by ngram ASC
+    so the row set is deterministic.
+    """
+    grams = _spread(df.select(id_col, text_col)).select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count("*").cast("long").alias("doc_freq"))
+    return counts.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc()).limit(k)
+
+
+def length_percentiles(
+    df: DataFrame,
+    group_col: str,
+    len_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group percentiles of a bounded-domain integer column
+    (document lengths): one row per group with ``n_docs`` and a ``p<NN>``
+    column per requested quantile (linear interpolation, the
+    quantile_cont/percentile definition shared by Spark and DuckDB).
+
+    Exact (not ``approx_percentile``) is the right call HERE because the
+    aggregation state is O(distinct lengths) per group — Spark's
+    ``percentile`` keeps a value→count map, and a length column has a small
+    bounded domain no matter how many rows flow through, so the exactness is
+    free at 100 TB. For unbounded-domain doubles use ``approx_percentile``
+    instead (no DuckDB-exact twin, hence not this function).
+    """
+    q = F.percentile(F.col(len_col), F.array(*[F.lit(p) for p in probs]))
+    agg = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"), q.alias("_q")
+    )
+    pcols = [
+        F.round(F.col("_q")[i], 6).cast("double").alias(f"p{round(p * 100):02d}")
+        for i, p in enumerate(probs)
+    ]
+    return agg.select(group_col, "n_docs", *pcols)
+
+
+def canonical_docs(comps: DataFrame, quality: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Canonical-document selection over near-dup components: for each
+    component keep the HIGHEST-quality member (ties → smallest id) —
+    ``(doc_id, component_id, canonical_id, is_canonical)``. This is the
+    composed end of the dedup pipeline: `fuzzy_dup_pairs` →
+    :func:`dup_components` → pick one survivor per cluster by
+    :func:`doc_quality` score instead of blind min-id.
+
+    ``comps`` is :func:`dup_components` output; ``quality`` any frame with
+    (id, quality_score) — only component members are scored/kept.
+
+    Scale shape: one equi-join onto the component list (components are a
+    small fraction of the corpus — the join is semi-join-sized), then a
+    hash aggregate per component using ``max_by`` over a (score, -id)
+    struct (map-side partial; NO window over the corpus), and a join back
+    on component_id. Driver never sees rows.
+    """
+    scored = comps.join(quality.select(F.col(id_col), "quality_score"), id_col)
+    canon = scored.groupBy("component_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col("quality_score").alias("q"),
+                (-F.col(id_col)).cast("long").alias("nid"),
+            ),
+        ).alias("canonical_id")
+    )
+    return scored.join(canon, "component_id").select(
+        F.col(id_col),
+        F.col("component_id"),
+        F.col("canonical_id"),
+        (F.col(id_col) == F.col("canonical_id")).cast("int").alias("is_canonical"),
+    )

@@ -1,0 +1,80 @@
+"""Corpus-level n-gram census, exact length percentiles, canonical selection.
+
+- topk_ngrams counts DOCUMENT frequency (per-doc distinct shingles), breaks
+  ties by ngram ASC, and its physical plan is TakeOrderedAndProject — a
+  per-partition heap of k, never a global sort.
+- length_percentiles is exact linear-interpolation (quantile_cont semantics,
+  the same definition DuckDB uses for the oracle twin).
+- canonical_docs keeps the highest-quality member per component, ties to the
+  smallest id, with no corpus-wide window in the plan.
+"""
+
+import pytest
+
+from driftval import textops
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c a b c"),   # distinct shingles: {a b c, b c a, c a b}
+            (2, "a b c d"),       # {a b c, b c d}
+            (3, "x y z w"),       # {x y z, y z w}
+            (4, "one two"),       # too short for a 3-shingle
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_topk_ngrams_doc_freq_and_ties(spark, docs):
+    rows = [(r.ngram, r.doc_freq) for r in textops.topk_ngrams(docs, "doc_id", "text", n=3, k=3).collect()]
+    # "a b c" appears in docs 1 and 2 (ONCE each despite doc 1 repeating it);
+    # every other shingle has doc_freq 1, ties broken by ngram ASC
+    assert rows == [("a b c", 2), ("b c a", 1), ("b c d", 1)]
+
+
+def test_topk_ngrams_plan_is_topk_not_global_sort(spark, docs):
+    plan = textops.topk_ngrams(docs, "doc_id", "text", n=3, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_length_percentiles_exact_interpolation(spark):
+    df = spark.createDataFrame(
+        [("en", v) for v in (1, 2, 3, 4, 5)] + [("de", 10)],
+        "lang string, n_chars int",
+    )
+    out = {r["lang"]: r.asDict() for r in textops.length_percentiles(df, "lang", "n_chars").collect()}
+    en = out["en"]
+    # quantile_cont over [1..5]: index = (n-1)*p
+    assert en["n_docs"] == 5
+    assert en["p25"] == 2.0 and en["p50"] == 3.0 and en["p75"] == 4.0
+    assert en["p90"] == pytest.approx(4.6) and en["p99"] == pytest.approx(4.96)
+    de = out["de"]
+    assert de["n_docs"] == 1 and de["p25"] == 10.0 and de["p99"] == 10.0
+
+
+def test_canonical_docs_quality_then_min_id(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id long, component_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.75), (3, 0.75), (5, 0.25), (6, 0.25)],
+        "doc_id long, quality_score double",
+    )
+    out = textops.canonical_docs(comps, quality)
+    got = {r["doc_id"]: (r["component_id"], r["canonical_id"], r["is_canonical"]) for r in out.collect()}
+    # component 1: quality tie between 2 and 3 -> smaller id 2 wins over the
+    # min-id member 1 (which has lower quality)
+    assert got == {
+        1: (1, 2, 0),
+        2: (1, 2, 1),
+        3: (1, 2, 0),
+        5: (5, 5, 1),
+        6: (5, 5, 0),
+    }
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
