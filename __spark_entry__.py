@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from driftval import multimodal, pii, sampling, simsearch, textops
 from driftval.blocks import with_block_id
 from driftval.checks import drift_cdcstream, drift_cdda
-from driftval.checks.histogram import drift_stats, histogram, length_bin
+from driftval.checks.histogram import drift_stats, histogram, length_bin, psi_js_stats
 from driftval.checks.referential import orphan_rows
 from driftval.checks.stats import TypeConformance, stats_verdicts
 from driftval.checks.uniqueness import duplicate_keys, uniqueness_violations
@@ -116,6 +116,21 @@ def q_drift_lang_chisq_kl(spark, sf_dir):
     )
 
 
+def q_drift_lang_psi_js(spark, sf_dir):
+    """PSI + Jensen-Shannon of each source's lang histogram vs src0's — the
+    bounded/symmetric complements to chi-square + KL, on the same smoothed
+    distributions."""
+    d = _t(spark, sf_dir, "documents")
+    h = histogram(d, "source", F.col("lang"), "lang")
+    s = psi_js_stats(h, ["src0"])
+    return s.select(
+        F.col("partition_value").alias("source"),
+        F.round("psi", 8).alias("psi"),
+        F.round("js_divergence", 8).alias("js_divergence"),
+        F.col("n_bins"),
+    )
+
+
 def q_drift_len_chisq_kl(spark, sf_dir):
     """V7+V8 on log2 content-length bins of documents."""
     d = _t(spark, sf_dir, "documents")
@@ -201,6 +216,14 @@ def q_minhash_dup_pairs(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return textops.simhash(d, "doc_id", "text", bits=16)
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    """Hamming-<=2 near-dup pairs over 16-bit SimHash via bit-block
+    pigeonhole banding (3 blocks -> recall 1.0 by construction) + exact
+    XOR-popcount verify; exact dups collapsed before the band join."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.simhash_dup_pairs(d, "doc_id", "text", bits=16, max_hamming=2)
 
 
 NGRAM_DF_CAP = 100
@@ -492,6 +515,22 @@ def q_hash_bucket_split(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """EXACTLY 5 docs per source, deterministic hash order (reproducible
+    per-group quotas; WindowGroupLimit keeps the shuffle at k rows per
+    group per input partition)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "source", "doc_id", k=5, salt="strat")
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid, melted (label, pos, mean_v, n_vecs):
+    one map-side-combined hash aggregate — the shuffle never carries a
+    vector."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.group_centroids(e, "label", "embedding")
+
+
 SOURCE_MIX_RATES = {"src0": 0.8, "src1": 0.4, "src2": 0.15}
 SOURCE_MIX_DEFAULT = 0.05
 
@@ -603,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_lang_by_source": q_hist_lang_by_source,
         "drift_lang_chisq_kl": q_drift_lang_chisq_kl,
         "drift_len_chisq_kl": q_drift_len_chisq_kl,
+        "drift_lang_psi_js": q_drift_lang_psi_js,
         "fidelity_sha256": q_fidelity_sha256,
         "lineage_xor": q_lineage_xor,
         "dedup_exact": q_dedup_exact,
@@ -610,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_group_pairs": q_minhash_group_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash": q_simhash,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "dedup_components": q_dedup_components,
@@ -636,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_constraints_events": q_window_constraints_events,
         "sample_documents": q_sample_documents,
         "hash_bucket_split": q_hash_bucket_split,
+        "stratified_sample": q_stratified_sample,
+        "embedding_centroids": q_embedding_centroids,
         "source_mix_documents": q_source_mix_documents,
         "secret_scan_documents": q_secret_scan_documents,
         "repetition_signals": q_repetition_signals,
@@ -680,11 +723,15 @@ SELECT doc_id, {hs} FROM hashed
 """
 
 
-def _simhash_sql(bits: int = 16) -> str:
-    terms = " + ".join(
+def _simhash_terms(bits: int) -> str:
+    return " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = _simhash_terms(bits)
     return f"""
 WITH tok AS (
   SELECT doc_id, list_distinct({_TOK}) AS ts FROM documents
@@ -692,6 +739,51 @@ WITH tok AS (
   SELECT doc_id, list_transform(ts, t -> {_H31}) AS hs FROM tok
 )
 SELECT doc_id, ({terms})::BIGINT AS simhash FROM hashed
+"""
+
+
+def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 2) -> str:
+    """simhash_dup_pairs twin: reps -> simhash -> bit-block bands ->
+    candidate join -> exact popcount verify -> member expansion + intra
+    pairs (hamming 0). Block layout comes from the SAME helper the Spark
+    operator uses, so the banding can never drift apart."""
+    blocks = textops._simhash_blocks(bits, max_hamming + 1)
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT _g, _id, '{b}:' || ((simhash >> {shift}) & {(1 << width) - 1}) AS band_key FROM sig"
+        for b, (shift, width) in enumerate(blocks)
+    )
+    return f"""
+WITH reps AS (
+  SELECT d.doc_id AS _id, md5(d.text) AS _g, d.text AS text
+  FROM documents d
+  JOIN (SELECT min(doc_id) AS _rid FROM documents GROUP BY md5(text)) r
+    ON d.doc_id = r._rid
+), tok AS (
+  SELECT _id, _g, list_distinct({_TOK}) AS ts FROM reps
+), hashed AS (
+  SELECT _id, _g, list_transform(ts, t -> {_H31}) AS hs FROM tok
+), sig AS (
+  SELECT _id, _g, ({_simhash_terms(bits)})::BIGINT AS simhash FROM hashed
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT l._g AS ga, l._id AS ia, r._g AS gb, r._id AS ib
+  FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
+), verified AS (
+  SELECT ga, gb, bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+  FROM cand JOIN sig sa ON sa._id = ia JOIN sig sb ON sb._id = ib
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+), members AS (
+  SELECT md5(text) AS _g, doc_id AS _id FROM documents
+), expanded AS (
+  SELECT least(ma._id, mb._id) AS id_a, greatest(ma._id, mb._id) AS id_b, v.hamming
+  FROM verified v
+  JOIN members ma ON ma._g = v.ga JOIN members mb ON mb._g = v.gb
+), intra AS (
+  SELECT x._id AS id_a, y._id AS id_b, 0::INT AS hamming
+  FROM members x JOIN members y ON x._g = y._g AND x._id < y._id
+)
+SELECT * FROM expanded UNION ALL SELECT * FROM intra
 """
 
 
@@ -806,6 +898,42 @@ SELECT source,
 FROM ex GROUP BY source
 """
 
+# Same smoothing scaffolding as _DRIFT_SQL_TMPL, final aggregates are
+# PSI = Σ(p_cur-p_base)·ln(p_cur/p_base) and JS = ½KL(p‖m)+½KL(q‖m).
+_PSI_JS_SQL_TMPL = """
+WITH hist AS (
+  SELECT source, {bin_expr} AS bin, count(*)::DOUBLE AS cnt FROM documents GROUP BY 1, 2
+), base AS (
+  SELECT bin, sum(cnt) AS base_cnt FROM hist WHERE source = 'src0' GROUP BY 1
+), cur AS (
+  SELECT source, bin, cnt AS cur_cnt FROM hist WHERE source <> 'src0'
+), domain AS (
+  SELECT p.source, b.bin FROM (SELECT DISTINCT source FROM cur) p
+  CROSS JOIN (SELECT bin FROM base UNION SELECT DISTINCT bin FROM cur) b
+), joined AS (
+  SELECT d.source, d.bin,
+         COALESCE(b.base_cnt, 0)::DOUBLE AS ob,
+         COALESCE(c.cur_cnt, 0)::DOUBLE AS oc
+  FROM domain d
+  LEFT JOIN base b ON d.bin = b.bin
+  LEFT JOIN cur c ON d.source = c.source AND d.bin = c.bin
+), tot AS (
+  SELECT source, sum(ob) AS n_base, sum(oc) AS n_cur, count(*) AS n_bins
+  FROM joined GROUP BY 1
+), ex AS (
+  SELECT j.*, t.n_bins,
+         (j.ob + 0.5) / (t.n_base + 0.5 * t.n_bins) AS p_base,
+         (j.oc + 0.5) / (t.n_cur + 0.5 * t.n_bins) AS p_cur
+  FROM joined j JOIN tot t USING (source)
+)
+SELECT source,
+       round(sum((p_cur - p_base) * ln(p_cur / p_base)), 8) AS psi,
+       round(sum(p_cur * ln(p_cur / ((p_base + p_cur) / 2))) / 2
+             + sum(p_base * ln(p_base / ((p_base + p_cur) / 2))) / 2, 8) AS js_divergence,
+       first(n_bins) AS n_bins
+FROM ex GROUP BY source
+"""
+
 _STOP_EN = "['the','and','of','to','a','in','is','it','that','for']"
 _STOPLISTS = {
     "de": "['der','die','das','und','ist','nicht','ein','mit','von','zu']",
@@ -871,6 +999,7 @@ GROUP BY 1
 SELECT source, lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2
 """,
         "drift_lang_chisq_kl": _DRIFT_SQL_TMPL.format(bin_expr="lang"),
+        "drift_lang_psi_js": _PSI_JS_SQL_TMPL.format(bin_expr="lang"),
         "drift_len_chisq_kl": _DRIFT_SQL_TMPL.format(
             bin_expr="(floor(log2(n_chars::DOUBLE + 1.0))::BIGINT)::VARCHAR"
         ),
@@ -913,6 +1042,27 @@ SELECT DISTINCT l._id AS id_a, r._id AS id_b
 FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
 """,
         "simhash": _simhash_sql(16),
+        "simhash_dup_pairs": _simhash_pairs_sql(16, 2),
+        "stratified_sample": """
+SELECT source, doc_id, rank::INT AS rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'strat'), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rank
+  FROM documents
+) WHERE rank <= 5
+""",
+        "embedding_centroids": """
+SELECT label, (u.i - 1)::INT AS pos,
+       round(avg(u.v), 6) AS mean_v, count(*)::BIGINT AS n_vecs
+FROM (
+  SELECT label,
+         unnest(list_transform(embedding::DOUBLE[], (x, i) -> {'v': x, 'i': i})) AS u
+  FROM embeddings
+) GROUP BY 1, 2
+""",
         "ngram_jaccard_pairs": f"""
 WITH g AS (
   SELECT md5(text) AS _g, min(doc_id) AS _id FROM documents GROUP BY 1

@@ -41,17 +41,13 @@ def histogram(df: DataFrame, partition_col: str, bin_col: Column, bin_name: str)
     )
 
 
-def drift_stats(
-    hist: DataFrame,
-    baseline_partitions: list[str],
-    alpha: float = SMOOTH_ALPHA,
-) -> DataFrame:
-    """Chi-square + KL of every non-baseline partition vs the pooled baseline.
-
-    Returns (partition_value, chi_square, kl_divergence, n_bins) — one row per
-    current partition. All math is column expressions over the tiny histogram
-    frame; Catalyst folds it into a couple of hash aggregates.
-    """
+def _smoothed(
+    hist: DataFrame, baseline_partitions: list[str], alpha: float
+) -> tuple[DataFrame, Column, Column]:
+    """The shared smoothing core: per (current partition, bin-domain-union
+    bin) observed counts with totals, plus the additive-smoothed
+    ``(p_base, p_cur)`` column expressions. Both drift families (chi²/KL and
+    PSI/JS) aggregate over this one tiny frame."""
     base = (
         hist.where(F.col("partition_value").isin(baseline_partitions))
         .groupBy("bin")
@@ -86,11 +82,53 @@ def drift_stats(
 
     p_base = (F.col("ob") + a) / (F.col("n_base") + a * F.col("n_bins"))
     p_cur = (F.col("oc") + a) / (F.col("n_cur") + a * F.col("n_bins"))
-    expected = F.col("n_cur") * p_base
+    return ex, p_base, p_cur
 
+
+def drift_stats(
+    hist: DataFrame,
+    baseline_partitions: list[str],
+    alpha: float = SMOOTH_ALPHA,
+) -> DataFrame:
+    """Chi-square + KL of every non-baseline partition vs the pooled baseline.
+
+    Returns (partition_value, chi_square, kl_divergence, n_bins) — one row per
+    current partition. All math is column expressions over the tiny histogram
+    frame; Catalyst folds it into a couple of hash aggregates.
+    """
+    ex, p_base, p_cur = _smoothed(hist, baseline_partitions, alpha)
+    expected = F.col("n_cur") * p_base
     return ex.groupBy("partition_value").agg(
         F.sum((F.col("oc") - expected) * (F.col("oc") - expected) / expected).alias("chi_square"),
         F.sum(p_cur * F.log(p_cur / p_base)).alias("kl_divergence"),
+        F.first("n_bins").alias("n_bins"),
+    )
+
+
+def psi_js_stats(
+    hist: DataFrame,
+    baseline_partitions: list[str],
+    alpha: float = SMOOTH_ALPHA,
+) -> DataFrame:
+    """Population Stability Index + Jensen-Shannon divergence of every
+    non-baseline partition vs the pooled baseline, on the SAME smoothed
+    distributions as :func:`drift_stats` (so the four statistics are
+    directly comparable per partition).
+
+    PSI = Σ (p_cur - p_base)·ln(p_cur / p_base) — symmetric, the industry
+    drift score with conventional alert bands (0.1 / 0.25). JS = ½KL(p‖m) +
+    ½KL(q‖m) with m = (p+q)/2 — bounded in [0, ln 2], safe to threshold.
+    Smoothing keeps every term finite, so both are plain sums over the
+    (partitions × bins) frame — same two-hash-aggregate plan shape.
+    """
+    ex, p_base, p_cur = _smoothed(hist, baseline_partitions, alpha)
+    m = (p_base + p_cur) / F.lit(2.0)
+    return ex.groupBy("partition_value").agg(
+        F.sum((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi"),
+        (
+            F.sum(p_cur * F.log(p_cur / m)) / F.lit(2.0)
+            + F.sum(p_base * F.log(p_base / m)) / F.lit(2.0)
+        ).alias("js_divergence"),
         F.first("n_bins").alias("n_bins"),
     )
 

@@ -93,3 +93,36 @@ def sample_sql_predicate(key_sql: str, fraction: float, salt: str = "") -> str:
     return (
         f"(('0x' || substr(md5({k}), 1, 15))::BIGINT) < {threshold_for(fraction)}"
     )
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """EXACTLY ``k`` rows per group (fewer iff the group is smaller),
+    chosen by deterministic hash order — ``(group, key, rank)`` with rank
+    1..k. Per-group quotas are what :func:`deterministic_sample` can't give
+    (binomial spread per group; tiny groups may vanish); this is the
+    "k examples from every source/language" operator.
+
+    Selection order is ``(hash60(key‖salt), key)`` — a pure function of the
+    row, so the sample is reproducible across runs, layouts, and cluster
+    sizes, and changing ``salt`` redraws independently.
+
+    Scale shape: rank = ``row_number`` over (group, hash) — but Spark's
+    WindowGroupLimit pushes the ``rank <= k`` filter below the shuffle
+    (partial per-partition top-k map-side, like a grouped
+    TakeOrderedAndProject), so the exchange carries at most k rows per
+    group per input partition, not whole groups. A skewed giant group
+    therefore costs its partition count × k, not its row count
+    (plan-pinned in tests).
+    """
+    from pyspark.sql import Window
+
+    h = hash60(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.select(F.col(group_col), F.col(key_col), h.alias("_h"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(int(k)))
+        .select(group_col, key_col, F.col("rank").cast("int").alias("rank"))
+    )

@@ -446,3 +446,29 @@ def knn_lsh(
     return _topk(
         cands.select("query_id", F.col("_id").alias("neighbor_id"), sim.alias("sim")), k
     )
+
+
+def group_centroids(
+    df: DataFrame, group_col: str, vec_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Per-group embedding centroids in MELTED form: ``(group, pos, mean_v,
+    n_vecs)`` — one row per (group, dimension). The per-class/per-source
+    mean vector is the workhorse of corpus diagnostics (class drift between
+    snapshots, per-source embedding shift, IVF seeding).
+
+    Melted on purpose: ``posexplode`` + ``groupBy(group, pos)`` makes the
+    whole computation ONE hash aggregate with map-side partial combine —
+    the shuffle carries (group, pos, partial_sum, partial_count), never a
+    vector. Rebuilding arrays driver-side (collect_list + sort) would add a
+    second shuffle and an O(dim) sort per group for no analytical gain; a
+    consumer that wants arrays can pivot the tiny (groups × dim) result.
+    Values are summed as float64 after an exact float32→float64 widening.
+    """
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return ex.groupBy(group_col, "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), round_digits).alias("mean_v"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )

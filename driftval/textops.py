@@ -368,6 +368,134 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return staged.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) per bit-block, widths as even as possible."""
+    base, extra = divmod(bits, n_blocks)
+    out, shift = [], 0
+    for b in range(n_blocks):
+        w = base + (1 if b < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+    band_cap: int | None = None,
+) -> DataFrame:
+    """Hamming-ball near-dup pairs over SimHash signatures: distinct
+    ``(id_a, id_b, hamming)`` with ``popcount(sig_a XOR sig_b) <=
+    max_hamming`` — the bit-vector complement to MinHash/Jaccard dedup
+    (SimHash preserves cosine-ish token-multiset similarity; radius is an
+    integer you can threshold exactly).
+
+    Candidate generation is the standard bit-block pigeonhole: split the
+    ``bits``-bit signature into ``max_hamming + 1`` blocks — any pair within
+    the radius differs in at most ``max_hamming`` blocks, so at least ONE
+    block matches exactly — and self-join on (block index, block value).
+    Recall is therefore 1.0 BY CONSTRUCTION (not probabilistic like MinHash
+    banding); precision comes from the exact popcount verify on the
+    candidate set.
+
+    Scale shape mirrors :func:`minhash_dup_pairs`: exact duplicates collapse
+    to one representative per md5(text) group BEFORE banding (an M-doc
+    identical cluster costs O(M), never an M²-row bucket), the band
+    self-join carries only (group, id, 1 long) rows, verification is a
+    64-bit XOR+popcount per candidate (no arrays shuffle), and
+    ``band_cap`` drops over-hot blocks non-silently (pair with
+    :func:`simhash_band_overflow`). Intra-group pairs emit hamming 0
+    directly.
+    """
+    members = _md5_members(df, id_col, text_col)
+    reps = _rep_docs(df, id_col, text_col)
+    sig = simhash(reps, "_id", "_text", bits).join(
+        reps.select("_id", "_g"), "_id"
+    )
+    bands = _simhash_band_keys(sig, bits, max_hamming + 1)
+    if band_cap is not None:
+        hot = (
+            bands.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > band_cap)
+            .select("band_key")
+        )
+        bands = bands.join(hot, "band_key", "left_anti")
+    cands = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._g").alias("ga"),
+            F.col("l._id").alias("id_a"),
+            F.col("r._g").alias("gb"),
+            F.col("r._id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = sig.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    hb = sig.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    verified = (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "ga",
+            "gb",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    cross = _expand_group_pairs(verified, members)
+    intra = _intra_group_pairs(members).withColumn("hamming", F.lit(0))
+    return cross.unionByName(intra).select("id_a", "id_b", "hamming")
+
+
+def _simhash_band_keys(sig: DataFrame, bits: int, n_blocks: int) -> DataFrame:
+    """Explode (_g, _id, simhash) into one row per bit-block:
+    ``band_key = '<block>:<block bits>'``."""
+    keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                (
+                    F.shiftright(F.col("simhash"), shift).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                ).cast("string"),
+            )
+            for b, (shift, width) in enumerate(_simhash_blocks(bits, n_blocks))
+        ]
+    )
+    return sig.select("_g", "_id", F.explode(keys).alias("band_key"))
+
+
+def simhash_band_overflow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+    band_cap: int = 10_000,
+) -> DataFrame:
+    """(band_key, n_groups) for simhash bit-blocks whose exact-dup-collapsed
+    population exceeds the cap — the non-silent-truncation report for a
+    capped :func:`simhash_dup_pairs` run."""
+    reps = _rep_docs(df, id_col, text_col)
+    sig = simhash(reps, "_id", "_text", bits).join(reps.select("_id", "_g"), "_id")
+    return (
+        _simhash_band_keys(sig, bits, max_hamming + 1)
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .where(F.col("n_groups") > band_cap)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs + composed fuzzy dedup
 # ---------------------------------------------------------------------------

@@ -1,0 +1,119 @@
+"""SimHash Hamming pairs, PSI/JS drift, stratified sampling, centroids.
+
+- simhash_dup_pairs recall is 1.0 BY CONSTRUCTION (bit-block pigeonhole):
+  verified against a driver-side brute-force over all signature pairs.
+- band_cap drops hot blocks non-silently (overflow report surfaces them).
+- PSI/JS are 0 for identical distributions, positive and correctly valued
+  for a hand-computed shifted one; JS stays within [0, ln 2].
+- stratified_sample yields exactly k per group, is layout-invariant, and
+  its plan carries WindowGroupLimit (the rank filter pushed below the
+  shuffle — map-side per-group top-k).
+- group_centroids matches hand-computed means.
+"""
+
+import math
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval import sampling, simsearch, textops
+from driftval.checks.histogram import histogram, psi_js_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_simhash_pairs_match_bruteforce(spark, docs):
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in textops.simhash_dup_pairs(docs, "doc_id", "text", bits=16, max_hamming=2).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in textops.simhash(docs, "doc_id", "text", 16).collect()}
+    want = {}
+    for a, b in combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 2:
+            want[(a, b)] = h
+    assert got == want
+
+
+def test_simhash_band_cap_drops_hot_block_with_report(spark):
+    # 50 docs with the same text + 1 distinct: collapse makes the identical
+    # cluster ONE representative, so even cap=1 keeps every block bucket
+    # (2 groups max per bucket only if the two signatures share a block).
+    rows = [(i, "alpha beta gamma delta") for i in range(50)] + [(99, "zzz yyy xxx www")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = textops.simhash_dup_pairs(df, "doc_id", "text", max_hamming=2)
+    capped = textops.simhash_dup_pairs(df, "doc_id", "text", max_hamming=2, band_cap=1)
+    # intra-group pairs (the 50-dup cluster) survive any cap: 50*49/2
+    assert capped.where(F.col("hamming") == 0).count() == 1225
+    # cap=0 kills all bands -> only intra pairs remain
+    only_intra = textops.simhash_dup_pairs(df, "doc_id", "text", max_hamming=2, band_cap=0)
+    assert only_intra.count() == 1225
+    # overflow report surfaces exactly the blocks the cap dropped
+    over = textops.simhash_band_overflow(df, "doc_id", "text", max_hamming=2, band_cap=0)
+    assert over.count() > 0 and over.agg(F.max("n_groups")).first()[0] <= 2
+    assert uncapped.count() >= capped.count()
+
+
+def test_psi_js_zero_for_identical_and_positive_for_shifted(spark):
+    # base src0: 60/40 over bins a/b; cur src1 identical; src2 shifted 20/80
+    rows = (
+        [("src0", "a")] * 60 + [("src0", "b")] * 40
+        + [("src1", "a")] * 60 + [("src1", "b")] * 40
+        + [("src2", "a")] * 20 + [("src2", "b")] * 80
+    )
+    df = spark.createDataFrame([(s, b) for s, b in rows], "source string, bin_v string")
+    h = histogram(df, "source", F.col("bin_v"), "bin_v")
+    out = {r.partition_value: r.asDict() for r in psi_js_stats(h, ["src0"]).collect()}
+    assert out["src1"]["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert out["src1"]["js_divergence"] == pytest.approx(0.0, abs=1e-12)
+
+    # hand-computed with alpha=0.5 smoothing, K=2 bins
+    def p(o, n):
+        return (o + 0.5) / (n + 1.0)
+
+    pb = [p(60, 100), p(40, 100)]
+    pc = [p(20, 100), p(80, 100)]
+    psi = sum((c - b) * math.log(c / b) for c, b in zip(pc, pb))
+    m = [(a + b) / 2 for a, b in zip(pb, pc)]
+    js = 0.5 * sum(c * math.log(c / mm) for c, mm in zip(pc, m)) + 0.5 * sum(
+        b * math.log(b / mm) for b, mm in zip(pb, m)
+    )
+    assert out["src2"]["psi"] == pytest.approx(psi, rel=1e-9)
+    assert out["src2"]["js_divergence"] == pytest.approx(js, rel=1e-9)
+    assert 0.0 <= out["src2"]["js_divergence"] <= math.log(2.0)
+
+
+def test_stratified_sample_exact_k_and_layout_invariant(spark, docs):
+    out = sampling.stratified_sample(docs, "source", "doc_id", k=5, salt="strat")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in counts.values())
+    # layout invariance: same rows regardless of partitioning
+    re = sampling.stratified_sample(docs.repartition(13), "source", "doc_id", k=5, salt="strat")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, re.collect()))
+    # rank filter pushed below the shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_group_centroids_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], "x"), (2, [3.0, 6.0], "x"), (3, [10.0, 0.0], "y")],
+        "vec_id long, embedding array<float>, label string",
+    )
+    got = {
+        (r.label, r.pos): (r.mean_v, r.n_vecs)
+        for r in simsearch.group_centroids(df, "label", "embedding").collect()
+    }
+    assert got == {
+        ("x", 0): (2.0, 2),
+        ("x", 1): (4.0, 2),
+        ("y", 0): (10.0, 1),
+        ("y", 1): (0.0, 1),
+    }
