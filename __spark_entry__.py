@@ -219,11 +219,12 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_dup_pairs(spark, sf_dir):
-    """Hamming-<=2 near-dup pairs over 16-bit SimHash via bit-block
-    pigeonhole banding (3 blocks -> recall 1.0 by construction) + exact
-    XOR-popcount verify; exact dups collapsed before the band join."""
+    """Hamming-<=2 near-dup pairs over 32-bit SimHash via bit-block
+    pigeonhole banding (3 blocks of ~11 bits -> recall 1.0 by construction,
+    buckets selective at corpus scale) + exact XOR-popcount verify; exact
+    dups collapsed before the band join."""
     d = _t(spark, sf_dir, "documents")
-    return textops.simhash_dup_pairs(d, "doc_id", "text", bits=16, max_hamming=2)
+    return textops.simhash_dup_pairs(d, "doc_id", "text", bits=32, max_hamming=2)
 
 
 NGRAM_DF_CAP = 100
@@ -275,6 +276,19 @@ def q_dedup_components(spark, sf_dir):
     (doc_id, component_id) with the min-id representative — the keep/drop
     list a dedup pipeline consumes (keep doc_id == component_id)."""
     return textops.dup_components(_shared_fuzzy_pairs(spark, sf_dir))
+
+
+def q_dedup_stats(spark, sf_dir):
+    """One-row dedup payoff summary (doc/char counts saved by exact-dup
+    removal) — two chained map-side-partial aggregates, O(1) output."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.exact_dup_stats(d, "doc_id", "text")
+
+
+def q_component_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution over the shared component list."""
+    comps = textops.dup_components(_shared_fuzzy_pairs(spark, sf_dir))
+    return textops.component_size_histogram(comps)
 
 
 def q_canonical_docs(spark, sf_dir):
@@ -654,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         "dedup_components": q_dedup_components,
+        "dedup_stats": q_dedup_stats,
+        "component_size_histogram": q_component_size_histogram,
         "canonical_docs": q_canonical_docs,
         "topk_ngrams": q_topk_ngrams,
         "length_percentiles": q_length_percentiles,
@@ -1042,7 +1058,7 @@ SELECT DISTINCT l._id AS id_a, r._id AS id_b
 FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
 """,
         "simhash": _simhash_sql(16),
-        "simhash_dup_pairs": _simhash_pairs_sql(16, 2),
+        "simhash_dup_pairs": _simhash_pairs_sql(32, 2),
         "stratified_sample": """
 SELECT source, doc_id, rank::INT AS rank FROM (
   SELECT source, doc_id,
@@ -1114,6 +1130,36 @@ und AS (
 )
 SELECT node AS doc_id, least(node, min(reach))::BIGINT AS component_id
 FROM r GROUP BY node
+""",
+        "dedup_stats": """
+WITH g AS (
+  SELECT md5(text) AS _g, count(*)::BIGINT AS cnt,
+         first(length(text))::BIGINT AS len
+  FROM documents GROUP BY 1
+)
+SELECT sum(cnt)::BIGINT AS n_docs,
+       count(*)::BIGINT AS distinct_texts,
+       sum(cnt - 1)::BIGINT AS dup_docs,
+       round(sum(cnt - 1)::DOUBLE / sum(cnt), 8) AS dup_frac,
+       sum(cnt * len)::BIGINT AS chars_total,
+       sum((cnt - 1) * len)::BIGINT AS chars_saved
+FROM g
+""",
+        "component_size_histogram": f"""
+WITH RECURSIVE pairs AS ({_fuzzy_sql()}),
+und AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), r AS (
+  SELECT id_a AS node, id_b AS reach FROM und
+  UNION
+  SELECT r.node, u.id_b FROM r JOIN und u ON r.reach = u.id_a
+), comp AS (
+  SELECT node AS doc_id, least(node, min(reach))::BIGINT AS component_id
+  FROM r GROUP BY node
+), sizes AS (
+  SELECT component_id, count(*)::BIGINT AS size FROM comp GROUP BY 1
+)
+SELECT size, count(*)::BIGINT AS n_components FROM sizes GROUP BY 1
 """,
         "doc_quality": _quality_sql(),
         "canonical_docs": f"""

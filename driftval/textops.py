@@ -95,6 +95,51 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ONE-row corpus dedup payoff summary: ``(n_docs, distinct_texts,
+    dup_docs, dup_frac, chars_total, chars_saved)`` — the numbers a pipeline
+    owner reads before deciding whether near-dup passes are worth running
+    (chars_saved is what dropping every non-representative exact duplicate
+    removes from the corpus).
+
+    Two chained hash aggregates, both map-side-partial; the first groups on
+    the 16-byte md5 (bodies never shuffle — lengths are computed before the
+    exchange), the second reduces the group frame to one row. No collect,
+    no window, output is O(1)."""
+    groups = (
+        df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("_g"),
+            F.length(F.col(text_col)).cast("long").alias("_len"),
+        )
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.first("_len").alias("_l"))
+    )
+    return groups.agg(
+        F.sum("_cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("distinct_texts"),
+        F.sum(F.col("_cnt") - 1).cast("long").alias("dup_docs"),
+        F.round(
+            F.sum(F.col("_cnt") - 1).cast("double") / F.sum("_cnt"), 8
+        ).alias("dup_frac"),
+        F.sum(F.col("_cnt") * F.col("_l")).cast("long").alias("chars_total"),
+        F.sum((F.col("_cnt") - 1) * F.col("_l")).cast("long").alias("chars_saved"),
+    )
+
+
+def component_size_histogram(comps: DataFrame) -> DataFrame:
+    """Cluster-size distribution of near-dup components: ``(size,
+    n_components)`` over :func:`dup_components` output — the shape report
+    that tells you whether dedup found a long tail of pairs or a few giant
+    boilerplate blobs (and what re-expansion will cost).
+
+    Two tiny hash aggregates over the component list (already a small
+    fraction of the corpus); output is O(distinct sizes)."""
+    sizes = comps.groupBy("component_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -383,9 +428,10 @@ def simhash_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 16,
+    bits: int = 32,
     max_hamming: int = 2,
     band_cap: int | None = None,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Hamming-ball near-dup pairs over SimHash signatures: distinct
     ``(id_a, id_b, hamming)`` with ``popcount(sig_a XOR sig_b) <=
@@ -409,12 +455,28 @@ def simhash_dup_pairs(
     ``band_cap`` drops over-hot blocks non-silently (pair with
     :func:`simhash_band_overflow`). Intra-group pairs emit hamming 0
     directly.
+
+    Pick ``bits`` so each block is ≥ ~log2(distinct texts) wide —
+    bucket occupancy is N / 2^(bits/(max_hamming+1)), and blocks narrower
+    than log2(N) put whole swaths of the corpus into each bucket (measured
+    here: 16-bit sigs over 5k texts → 5-6-bit blocks → ~1.2M candidate
+    pairs and 16s; 32-bit → 11-bit blocks → selective buckets and ~2s).
+    At larger N, raise ``bits`` (the fold is linear in bits) — 64 needs a
+    signed-long-safe weight fold, so 32 is the current ceiling.
+
+    The signature frame is persisted (it feeds both band-join sides AND
+    the two verify joins — unpersisted, the tokenize+md5+fold runs ~4×);
+    pass ``caches`` to own the unpersist, as in :func:`ngram_jaccard_pairs`.
     """
     members = _md5_members(df, id_col, text_col)
     reps = _rep_docs(df, id_col, text_col)
-    sig = simhash(reps, "_id", "_text", bits).join(
-        reps.select("_id", "_g"), "_id"
+    sig = (
+        simhash(reps, "_id", "_text", bits)
+        .join(reps.select("_id", "_g"), "_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if caches is not None:
+        caches.append(sig)
     bands = _simhash_band_keys(sig, bits, max_hamming + 1)
     if band_cap is not None:
         hot = (
@@ -479,7 +541,7 @@ def simhash_band_overflow(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 16,
+    bits: int = 32,
     max_hamming: int = 2,
     band_cap: int = 10_000,
 ) -> DataFrame:

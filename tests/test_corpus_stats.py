@@ -78,3 +78,24 @@ def test_canonical_docs_quality_then_min_id(spark):
         6: (5, 5, 0),
     }
     assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_dup_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bb"), (4, "aaa")],
+        "doc_id long, text string",
+    )
+    r = textops.exact_dup_stats(df, "doc_id", "text").first()
+    assert (r.n_docs, r.distinct_texts, r.dup_docs) == (4, 2, 2)
+    assert r.dup_frac == 0.5
+    # total 3+3+2+3 = 11 chars; dropping 2 extra copies of "aaa" saves 6
+    assert (r.chars_total, r.chars_saved) == (11, 6)
+
+
+def test_component_size_histogram(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (9, 9), (10, 9)],
+        "doc_id long, component_id long",
+    )
+    got = {r.size: r.n_components for r in textops.component_size_histogram(comps).collect()}
+    assert got == {3: 1, 2: 2}
