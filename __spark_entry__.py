@@ -55,6 +55,24 @@ def q_colstats_documents(spark, sf_dir):
     )
 
 
+def q_profile_documents(spark, sf_dir):
+    """One-pass multi-column profile (nulls, exact distinct, min/max as
+    strings) — all columns' metrics fold into ONE aggregate job; the
+    per-column melt is a stack over the single result row."""
+    from driftval.checks.stats import profile_columns
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(d, ["doc_id", "source", "lang", "n_chars"])
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Embedding-space drift: per-label centroid cosine + L2 vs label 0 —
+    the continuous-representation complement to the binned histogram drift
+    family."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.centroid_drift(e, "label", "embedding", baseline=0)
+
+
 def q_type_conformance_lang(spark, sf_dir):
     """V4: lang must be in the allowed set; per-source violation stats."""
     d = _t(spark, sf_dir, "documents")
@@ -649,6 +667,7 @@ def q_window_constraints_events(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats_documents": q_colstats_documents,
+        "profile_documents": q_profile_documents,
         "type_conformance_lang": q_type_conformance_lang,
         "unique_lineitem_pk": q_unique_lineitem_pk,
         "unique_orderkey_multiplicity": q_unique_orderkey_multiplicity,
@@ -685,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_histogram": q_lsh_bucket_histogram,
         "knn_lsh": q_knn_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        "centroid_drift": q_centroid_drift,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_trained": q_knn_ivf_trained,
         "cdda_change_degrees": q_cdda_change_degrees,
@@ -756,6 +776,23 @@ WITH tok AS (
 )
 SELECT doc_id, ({terms})::BIGINT AS simhash FROM hashed
 """
+
+
+def _profile_sql(cols: list[str]) -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS column_name,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 8) AS null_rate,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_value,
+       max({c})::VARCHAR AS max_value
+FROM documents
+"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 2) -> str:
@@ -1079,6 +1116,27 @@ FROM (
   FROM embeddings
 ) GROUP BY 1, 2
 """,
+        "centroid_drift": """
+WITH m AS (
+  SELECT label, u.i AS pos, avg(u.v) AS mean_v, count(*)::BIGINT AS n_vecs
+  FROM (
+    SELECT label,
+           unnest(list_transform(embedding::DOUBLE[], (x, i) -> {'v': x, 'i': i})) AS u
+    FROM embeddings
+  ) GROUP BY 1, 2
+), b AS (
+  SELECT pos, mean_v AS bv FROM m WHERE label = 0
+), c AS (
+  SELECT * FROM m WHERE label <> 0
+)
+SELECT c.label,
+       round(sum(c.mean_v * b.bv)
+             / (sqrt(sum(c.mean_v * c.mean_v)) * sqrt(sum(b.bv * b.bv))), 8) AS cosine_to_baseline,
+       round(sqrt(sum((c.mean_v - b.bv) * (c.mean_v - b.bv))), 8) AS l2_distance,
+       max(c.n_vecs) AS n_vecs
+FROM c JOIN b ON c.pos = b.pos GROUP BY 1
+""",
+        "profile_documents": _profile_sql(["doc_id", "source", "lang", "n_chars"]),
         "ngram_jaccard_pairs": f"""
 WITH g AS (
   SELECT md5(text) AS _g, min(doc_id) AS _id FROM documents GROUP BY 1

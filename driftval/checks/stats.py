@@ -167,3 +167,58 @@ def type_conformance_violations(
     """Violation rows for a V4 constraint (filter pushes to the scan)."""
     cols = [partition_col, c.column] + (extra_cols or [])
     return df.where(c.violation_predicate()).select(*cols)
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
+    """One-pass multi-column profile — the "what does this table look like"
+    report a validation run starts from: one row per profiled column with
+    ``(column_name, n_rows, n_nulls, null_rate, n_distinct, min_value,
+    max_value)``. min/max are rendered as strings so heterogeneous column
+    types share one schema.
+
+    Scale shape: ALL metrics for ALL columns fold into ONE aggregate job —
+    a single scan, one-row result, per-column melt via ``stack`` over that
+    row (driver never touches data). Adding a column adds expressions,
+    never a pass or a Union of subplans. The one multiplier to know about:
+    ``exact_distinct=True`` makes Spark plan the C distinct aggregates with
+    its Expand rewrite — in-flight rows ×(C+1) through the first (map-side,
+    distinct-value-keyed) aggregate, shuffle carrying only distinct values.
+    Exact is the catalog contract (value-checked twin); at 100 TB pass
+    ``exact_distinct=False`` for HLL ``approx_count_distinct`` — no Expand,
+    a pure single-aggregate plan (what the suite's V3 uses).
+    """
+    nd = (
+        (lambda col: F.count_distinct(col))
+        if exact_distinct
+        else (lambda col: F.approx_count_distinct(col))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"_nulls_{c}"),
+            nd(col).alias(f"_nd_{c}"),
+            F.min(col).cast("string").alias(f"_min_{c}"),
+            F.max(col).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _nulls_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("_n"),
+    ).select(
+        "column_name",
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.round(F.col("n_nulls") / F.col("_n"), 8).alias("null_rate"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

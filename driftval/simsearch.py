@@ -464,11 +464,76 @@ def group_centroids(
     consumer that wants arrays can pivot the tiny (groups × dim) result.
     Values are summed as float64 after an exact float32→float64 widening.
     """
+    m = _group_means(df, group_col, vec_col)
+    return m.select(
+        group_col,
+        "pos",
+        F.round("mean_v", round_digits).alias("mean_v"),
+        "n_vecs",
+    )
+
+
+def _group_means(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """Unrounded melted per-group means — shared by :func:`group_centroids`
+    (which rounds for the stable catalog contract) and
+    :func:`centroid_drift` (which keeps full precision for the distance
+    math)."""
     ex = df.select(
         F.col(group_col),
         F.posexplode(F.col(vec_col)).alias("pos", "v"),
     )
     return ex.groupBy(group_col, "pos").agg(
-        F.round(F.avg(F.col("v").cast("double")), round_digits).alias("mean_v"),
+        F.avg(F.col("v").cast("double")).alias("mean_v"),
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    baseline: object,
+    round_digits: int = 8,
+) -> DataFrame:
+    """Embedding-distribution drift per group vs a baseline group:
+    ``(group, cosine_to_baseline, l2_distance, n_vecs)`` — cosine similarity
+    and L2 distance between each non-baseline group's centroid and the
+    baseline group's. The embedding-space analogue of the histogram drift
+    family (chi²/KL/PSI/JS work on categorical bins; this catches shift in
+    a continuous representation the bins can't see).
+
+    Scale shape: :func:`_group_means` is one map-side-combined hash
+    aggregate over the melted vectors; everything after runs on the tiny
+    (groups × dim) frame — the baseline column (dim rows) joins per
+    position, then one aggregate per group folds dot/norm/diff sums. The
+    corpus is read once; no vector ever crosses a join.
+    """
+    m = _group_means(df, group_col, vec_col)
+    base = m.where(F.col(group_col) == F.lit(baseline)).select(
+        "pos", F.col("mean_v").alias("_bv")
+    )
+    cur = m.where(F.col(group_col) != F.lit(baseline))
+    j = cur.join(base, "pos")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.sum(F.col("mean_v") * F.col("_bv")).alias("_dot"),
+            F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))).alias("_nc"),
+            F.sqrt(F.sum(F.col("_bv") * F.col("_bv"))).alias("_nb"),
+            F.sqrt(
+                F.sum(
+                    (F.col("mean_v") - F.col("_bv"))
+                    * (F.col("mean_v") - F.col("_bv"))
+                )
+            ).alias("_l2"),
+            F.max("n_vecs").alias("n_vecs"),
+        )
+        .select(
+            group_col,
+            F.round(F.col("_dot") / (F.col("_nc") * F.col("_nb")), round_digits).alias(
+                "cosine_to_baseline"
+            ),
+            F.round("_l2", round_digits).alias("l2_distance"),
+            "n_vecs",
+        )
     )

@@ -99,3 +99,52 @@ def test_component_size_histogram(spark):
     )
     got = {r.size: r.n_components for r in textops.component_size_histogram(comps).collect()}
     assert got == {3: 1, 2: 2}
+
+
+def test_profile_columns_single_job_and_values(spark):
+    from driftval.checks.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, None, 20), (4, "b", None)],
+        "id long, s string, v int",
+    )
+    out = profile_columns(df, ["id", "s", "v"])
+    got = {r.column_name: r.asDict() for r in out.collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 4
+    assert (got["id"]["min_value"], got["id"]["max_value"]) == ("1", "4")
+    assert got["s"]["n_nulls"] == 1 and got["s"]["null_rate"] == 0.25
+    assert got["s"]["n_distinct"] == 2
+    assert got["v"]["n_distinct"] == 2 and got["v"]["max_value"] == "20"
+    # ONE aggregate job, no union of per-column subplans; exact multi-column
+    # distinct goes through Spark's single Expand rewrite. (After execution
+    # AQE prints Final + Initial plan sections — keep only the final one.)
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Union" not in plan and plan.count("Expand") == 1
+    # approx path: no Expand at all — a pure single-aggregate plan
+    approx = profile_columns(df, ["id", "s", "v"], exact_distinct=False)
+    aplan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in aplan and "Expand" not in aplan
+    assert approx.count() == 3
+
+
+def test_centroid_drift_values(spark):
+    from driftval import simsearch
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # baseline centroid (1,0)
+            (3, [0.0, 2.0], 1), (4, [0.0, 4.0], 1),   # label 1 centroid (0,3): orthogonal
+            (5, [2.0, 0.0], 2),                         # label 2 centroid (2,0): parallel
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.label: r.asDict() for r in simsearch.centroid_drift(df, "label", "embedding", 0).collect()}
+    assert got[1]["cosine_to_baseline"] == 0.0
+    assert got[1]["l2_distance"] == pytest.approx((1 + 9) ** 0.5)
+    assert got[2]["cosine_to_baseline"] == 1.0
+    assert got[2]["l2_distance"] == 1.0
+    assert got[1]["n_vecs"] == 2 and got[2]["n_vecs"] == 1
