@@ -664,6 +664,30 @@ def q_window_constraints_events(spark, sf_dir):
     return streaming.window_constraints(e, "ts", "value", "1 hour")
 
 
+WINDOW_DRIFT_BASELINE = [f"2024-01-0{d} 00:00:00" for d in range(1, 5)]
+
+
+def q_window_drift_events(spark, sf_dir):
+    """Per 1-day-window drift panel (chi-square/KL/PSI/JS) of the event_type
+    distribution vs the pooled first-4-days baseline — the batch twin of the
+    streaming window_histogram -> WindowDriftRunner path (stream==batch
+    pinned in tests/test_streaming.py)."""
+    from driftval import streaming
+    from driftval.checks.histogram import all_drift_stats
+
+    e = _t(spark, sf_dir, "events")
+    h = streaming.window_histogram(e, "ts", "event_type", "1 day")
+    s = all_drift_stats(h, WINDOW_DRIFT_BASELINE)
+    return s.select(
+        F.col("partition_value").alias("win_start"),
+        F.round("chi_square", 8).alias("chi_square"),
+        F.round("kl_divergence", 8).alias("kl_divergence"),
+        F.round("psi", 8).alias("psi"),
+        F.round("js_divergence", 8).alias("js_divergence"),
+        F.col("n_bins"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats_documents": q_colstats_documents,
@@ -711,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdda_equivalence_counts": q_cdda_equivalence_counts,
         "cdcstream_block_summaries": q_cdcstream_block_summaries,
         "window_constraints_events": q_window_constraints_events,
+        "window_drift_events": q_window_drift_events,
         "sample_documents": q_sample_documents,
         "hash_bucket_split": q_hash_bucket_split,
         "stratified_sample": q_stratified_sample,
@@ -1591,6 +1616,45 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_
        max(value) AS vmax,
        (sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) <= 0.5 AS passed
 FROM events GROUP BY 1
+""",
+        "window_drift_events": f"""
+WITH hist AS (
+  SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS pv,
+         event_type AS bin, count(*)::DOUBLE AS cnt
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT bin, sum(cnt) AS base_cnt FROM hist
+  WHERE pv IN ({", ".join(f"'{p}'" for p in WINDOW_DRIFT_BASELINE)}) GROUP BY 1
+), cur AS (
+  SELECT pv, bin, cnt AS cur_cnt FROM hist
+  WHERE pv NOT IN ({", ".join(f"'{p}'" for p in WINDOW_DRIFT_BASELINE)})
+), domain AS (
+  SELECT p.pv, b.bin FROM (SELECT DISTINCT pv FROM cur) p
+  CROSS JOIN (SELECT bin FROM base UNION SELECT DISTINCT bin FROM cur) b
+), joined AS (
+  SELECT d.pv, d.bin,
+         COALESCE(b.base_cnt, 0)::DOUBLE AS ob,
+         COALESCE(c.cur_cnt, 0)::DOUBLE AS oc
+  FROM domain d
+  LEFT JOIN base b ON d.bin = b.bin
+  LEFT JOIN cur c ON d.pv = c.pv AND d.bin = c.bin
+), tot AS (
+  SELECT pv, sum(ob) AS n_base, sum(oc) AS n_cur, count(*) AS n_bins
+  FROM joined GROUP BY 1
+), ex AS (
+  SELECT j.*, t.n_base, t.n_cur, t.n_bins,
+         (j.ob + 0.5) / (t.n_base + 0.5 * t.n_bins) AS p_base,
+         (j.oc + 0.5) / (t.n_cur + 0.5 * t.n_bins) AS p_cur
+  FROM joined j JOIN tot t USING (pv)
+)
+SELECT pv AS win_start,
+       round(sum((oc - n_cur * p_base) * (oc - n_cur * p_base) / (n_cur * p_base)), 8) AS chi_square,
+       round(sum(p_cur * ln(p_cur / p_base)), 8) AS kl_divergence,
+       round(sum((p_cur - p_base) * ln(p_cur / p_base)), 8) AS psi,
+       round(sum(p_cur * ln(p_cur / ((p_base + p_cur) / 2))) / 2
+             + sum(p_base * ln(p_base / ((p_base + p_cur) / 2))) / 2, 8) AS js_divergence,
+       first(n_bins) AS n_bins
+FROM ex GROUP BY pv
 """,
         "cdda_change_degrees": f"""
 WITH counts AS (

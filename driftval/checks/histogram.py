@@ -133,6 +133,32 @@ def psi_js_stats(
     )
 
 
+def all_drift_stats(
+    hist: DataFrame,
+    baseline_partitions: list[str],
+    alpha: float = SMOOTH_ALPHA,
+) -> DataFrame:
+    """All four drift statistics — chi-square, KL, PSI, Jensen-Shannon — in
+    ONE aggregate over the shared smoothed frame: (partition_value,
+    chi_square, kl_divergence, psi, js_divergence, n_bins). Use this when a
+    consumer wants the full panel (e.g. per-window drift scoring); the
+    single groupBy folds all four sums into one pass over the tiny
+    (partitions × bins) frame instead of two joined jobs."""
+    ex, p_base, p_cur = _smoothed(hist, baseline_partitions, alpha)
+    expected = F.col("n_cur") * p_base
+    m = (p_base + p_cur) / F.lit(2.0)
+    return ex.groupBy("partition_value").agg(
+        F.sum((F.col("oc") - expected) * (F.col("oc") - expected) / expected).alias("chi_square"),
+        F.sum(p_cur * F.log(p_cur / p_base)).alias("kl_divergence"),
+        F.sum((p_cur - p_base) * F.log(p_cur / p_base)).alias("psi"),
+        (
+            F.sum(p_cur * F.log(p_cur / m)) / F.lit(2.0)
+            + F.sum(p_base * F.log(p_base / m)) / F.lit(2.0)
+        ).alias("js_divergence"),
+        F.first("n_bins").alias("n_bins"),
+    )
+
+
 def histogram_drift_verdicts(
     df: DataFrame,
     partition_col: str,

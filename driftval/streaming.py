@@ -374,3 +374,82 @@ def window_constraints(
             (null_rate <= F.lit(float(max_null_rate))).alias("passed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed histogram drift — streaming form of the V7/V8/PSI/JS family
+# ---------------------------------------------------------------------------
+
+
+def window_histogram(
+    df: DataFrame,
+    ts_col: str,
+    bin_col,
+    window_duration: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per event-time tumbling window histogram of a binned column:
+    ``(partition_value, bin, cnt)`` with ``partition_value`` the formatted
+    window start — EXACTLY the frame the batch drift kernels
+    (:func:`driftval.checks.histogram.drift_stats` /
+    :func:`~driftval.checks.histogram.all_drift_stats`) consume, so windows
+    score against a baseline with the same golden-tested math as partitions
+    do. Works on a stream (pass ``watermark``; one stateful aggregation,
+    state bounded by the watermark horizon) AND on a batch frame — the
+    batch form is the DuckDB oracle twin (catalog ``window_drift_events``).
+    """
+    from pyspark.sql import functions as F
+
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    c = F.col(bin_col) if isinstance(bin_col, str) else bin_col
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            c.cast("string").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "partition_value"
+            ),
+            "bin",
+            "cnt",
+        )
+    )
+
+
+class WindowDriftRunner:
+    """``foreachBatch`` sink for a :func:`window_histogram` stream: keep the
+    latest count per (window, bin) — correct under complete AND update
+    output modes, where Structured Streaming re-emits a key's current total
+    — then :meth:`results` scores every observed window against a STATIC
+    baseline histogram with the shared batch kernel
+    (:func:`~driftval.checks.histogram.all_drift_stats`).
+
+    Scale shape: the heavy work (per-window bin counting over the raw
+    stream) happens in the streaming aggregation on executors; only the
+    O(windows × bins) finalized histogram rows reach the driver, and the
+    scoring itself runs as one Spark aggregate over that tiny frame.
+    ``baseline`` is a ``[(bin, cnt), ...]`` list — at production scale,
+    ``collect()`` of a baseline histogram, inherently small.
+    """
+
+    _BASELINE_KEY = "__baseline__"
+
+    def __init__(self, baseline: list[tuple[str, int]], alpha: float = 0.5):
+        self.baseline = [(str(b), int(c)) for b, c in baseline]
+        self.alpha = float(alpha)
+        self._counts: dict[tuple[str, str], int] = {}
+
+    def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():
+            self._counts[(row["partition_value"], row["bin"])] = int(row["cnt"])
+
+    def results(self, spark: SparkSession) -> DataFrame:
+        from driftval.checks.histogram import all_drift_stats
+
+        rows = [
+            (pv, b, c) for (pv, b), c in sorted(self._counts.items())
+        ] + [(self._BASELINE_KEY, b, c) for b, c in self.baseline]
+        hist = spark.createDataFrame(rows, "partition_value string, bin string, cnt long")
+        return all_drift_stats(hist, [self._BASELINE_KEY], self.alpha)

@@ -317,3 +317,73 @@ def test_window_constraints_stream_matches_batch(spark, tmp_path):
     # sanity vs hand math: every 5th value is null → null_rate > 0 somewhere
     assert (batch["n_null"].sum()) == 8
     assert batch["passed"].all()
+
+
+def test_window_drift_stream_matches_batch(spark, tmp_path):
+    """window_histogram + WindowDriftRunner over a stream == all_drift_stats
+    over the batch histogram: the window drift panel is kernel-shared."""
+    from driftval.checks.histogram import all_drift_stats, drift_stats, psi_js_stats
+
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    # 3 days: day 1 = baseline-ish mix, day 3 shifts hard toward 'b'
+    rows = []
+    for d in range(3):
+        for i in range(60):
+            b = "a" if (i % 10 < (8 if d < 2 else 2)) else "b"
+            rows.append((ts0 + pd.Timedelta(days=d, minutes=i), b))
+    pdf = pd.DataFrame(rows, columns=["ts", "etype"])
+    batch_df = spark.createDataFrame(pdf, schema="ts timestamp, etype string")
+
+    hist = streaming.window_histogram(batch_df, "ts", "etype", "1 day")
+    baseline = ["2024-01-01 00:00:00"]
+    batch = (
+        all_drift_stats(hist, baseline)
+        .orderBy("partition_value")
+        .toPandas()
+        .round(10)
+    )
+    # the one-aggregate panel must equal the two separate kernels joined
+    two = (
+        drift_stats(hist, baseline)
+        .join(psi_js_stats(hist, baseline).drop("n_bins"), "partition_value")
+        .select(batch.columns.tolist())
+        .orderBy("partition_value")
+        .toPandas()
+        .round(10)
+    )
+    pd.testing.assert_frame_equal(batch, two, check_dtype=False)
+
+    src = str(tmp_path / "wd-src")
+    os.makedirs(src, exist_ok=True)
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src + "/part-00000")
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(src + "/part-*")
+    out = streaming.window_histogram(stream_df, "ts", "etype", "1 day", watermark="2 days")
+
+    base_rows = [
+        (r["bin"], r["cnt"])
+        for r in hist.where(F.col("partition_value").isin(baseline)).collect()
+    ]
+    runner = streaming.WindowDriftRunner(base_rows)
+    q = (
+        out.writeStream.foreachBatch(runner.on_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wd-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = runner.results(spark)
+    # the stream saw baseline windows too — drop them and compare the rest
+    got = (
+        got.where(F.col("partition_value").isin(baseline) == False)  # noqa: E712
+        .orderBy("partition_value")
+        .toPandas()
+        .round(10)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), batch.reset_index(drop=True), check_dtype=False
+    )
+    # the planted day-3 shift scores as drift on every statistic
+    last = batch.iloc[-1]
+    assert last["chi_square"] > 10 and last["psi"] > 0.5 and last["js_divergence"] > 0.05
