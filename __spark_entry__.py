@@ -340,6 +340,53 @@ def q_doc_quality(spark, sf_dir):
     return textops.doc_quality(d, "doc_id", "text")
 
 
+def _boiler_docs(spark, sf_dir):
+    """Documents with deterministic planted boilerplate (the corpus is
+    synthetic single-line text, so — like the PII query — the fixture
+    plants what the operator must find): every 3rd doc gets a license
+    header line, every 7th a trailing padded generator banner (two
+    variants). The oracle plants identically, so hash equality proves the
+    census AND the byte-exact rewrite."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("// SPDX-License-Identifier: MIT\n"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n  Generated by synth-tool v"),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit("."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-document boilerplate line census (doc-freq > 2 on trimmed
+    lines; 16-byte digests shuffle, never bodies)."""
+    return textops.boilerplate_lines(_boiler_docs(spark, sf_dir), "doc_id", "text", min_df=2)
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """Boilerplate-line removal with byte-exact rewrite proof: clean_md5
+    hash-matches the oracle's rewritten bodies without shipping text."""
+    return textops.strip_boilerplate(_boiler_docs(spark, sf_dir), "doc_id", "text", min_df=2)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality: per-doc mean -ln p(token) under the corpus
+    unigram distribution (CCNet-style rare-token filtering stand-in)."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.unigram_logprob_quality(d, "doc_id", "text")
+
+
 def q_langid(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return textops.langid_stopwords(d, "doc_id", "text")
@@ -717,6 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_ngrams": q_topk_ngrams,
         "length_percentiles": q_length_percentiles,
         "doc_quality": q_doc_quality,
+        "boilerplate_lines": q_boilerplate_lines,
+        "strip_boilerplate": q_strip_boilerplate,
+        "unigram_logprob": q_unigram_logprob,
         "langid": q_langid,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1012,6 +1062,17 @@ SELECT source,
 FROM ex GROUP BY source
 """
 
+# The planted-boilerplate twin of __spark_entry__._boiler_docs.
+_BOILER_SRC = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+                THEN '// SPDX-License-Identifier: MIT' || chr(10) || text
+              WHEN doc_id % 7 = 0
+                THEN text || chr(10) || '  Generated by synth-tool v' || (doc_id % 2) || '.'
+              ELSE text END AS text
+  FROM documents
+)"""
+
 _STOP_EN = "['the','and','of','to','a','in','is','it','that','for']"
 _STOPLISTS = {
     "de": "['der','die','das','und','ist','nicht','ein','mit','von','zu']",
@@ -1290,6 +1351,59 @@ SELECT lang,
        round(quantile_cont(n_chars, 0.90), 6)::DOUBLE AS p90,
        round(quantile_cont(n_chars, 0.99), 6)::DOUBLE AS p99
 FROM documents GROUP BY lang
+""",
+        "boilerplate_lines": f"""
+WITH lines AS (
+  SELECT doc_id, regexp_replace(u, '^\\s+|\\s+$', '', 'g') AS lt
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM {_BOILER_SRC})
+), nz AS (
+  SELECT DISTINCT doc_id, md5(lt) AS line_md5 FROM lines WHERE lt <> ''
+)
+SELECT line_md5, count(*)::BIGINT AS doc_freq
+FROM nz GROUP BY 1 HAVING count(*) > 2
+""",
+        "strip_boilerplate": f"""
+WITH lines AS (
+  SELECT doc_id, u.i AS pos, u.v AS line,
+         regexp_replace(u.v, '^\\s+|\\s+$', '', 'g') AS lt
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, chr(10)), (x, i) -> {{'v': x, 'i': i}})) AS u
+    FROM {_BOILER_SRC}
+  )
+), hot AS (
+  SELECT line_md5 FROM (
+    SELECT DISTINCT doc_id, md5(lt) AS line_md5 FROM lines WHERE lt <> ''
+  ) GROUP BY 1 HAVING count(*) > 2
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l ANTI JOIN hot h ON md5(l.lt) = h.line_md5
+), rebuilt AS (
+  SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY 1
+), totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY 1
+)
+SELECT t.doc_id, COALESCE(r.clean_md5, md5('')) AS clean_md5, t.n_lines,
+       (t.n_lines - COALESCE(r.n_kept, 0))::BIGINT AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+""",
+        "unigram_logprob": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS t FROM documents
+), freq AS (
+  SELECT t, count(*)::BIGINT AS tf FROM toks GROUP BY 1
+), tot AS (
+  SELECT sum(tf)::DOUBLE AS n FROM freq
+), scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         round(avg(-ln(tf / n)), 6) AS mean_neg_logprob
+  FROM toks JOIN freq USING (t), tot GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0)::BIGINT AS n_tokens, s.mean_neg_logprob
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s ON d.doc_id = s.doc_id
 """,
         "langid": f"""
 WITH t AS (

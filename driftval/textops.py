@@ -1186,3 +1186,133 @@ def canonical_docs(comps: DataFrame, quality: DataFrame, id_col: str = "doc_id")
         F.col("canonical_id"),
         (F.col(id_col) == F.col("canonical_id")).cast("int").alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate lines + unigram language-model quality
+# ---------------------------------------------------------------------------
+
+_LINE_TRIM = r"^\s+|\s+$"
+
+
+def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line, line_md5) — '\\n'-split lines with their original
+    position; ``line_md5`` is over the TRIMMED form (empty-after-trim lines
+    carry NULL md5 so structural blank lines never count as boilerplate)."""
+    trimmed = F.regexp_replace(F.col("line"), _LINE_TRIM, "")
+    return (
+        df.select(F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        .withColumn(
+            "line_md5",
+            F.when(trimmed != "", F.md5(trimmed.cast("binary"))),
+        )
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 2
+) -> DataFrame:
+    """Cross-document boilerplate census: ``(line_md5, doc_freq)`` for every
+    trimmed non-empty line appearing in MORE THAN ``min_df`` distinct
+    documents — license headers, nav chrome, generated-code banners
+    (RefinedWeb/CCNet-style line-level dedup input; the per-doc counterpart
+    is :func:`repetition_signals`).
+
+    Plan shape: explode → per-doc distinct (lines counted once per
+    containing doc) → hash aggregate on the 16-byte digest (bodies never
+    shuffle) → filter. Output is tiny by construction (only lines shared
+    across many docs)."""
+    return (
+        _doc_lines(df, id_col, text_col)
+        .where(F.col("line_md5").isNotNull())
+        .select(id_col, "line_md5")
+        .distinct()
+        .groupBy("line_md5")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .where(F.col("doc_freq") > min_df)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 2
+) -> DataFrame:
+    """Remove cross-document boilerplate lines from every document:
+    ``(id, clean_md5, n_lines, n_removed)`` where ``clean_md5`` is md5 of
+    the rewritten body (kept lines re-joined with '\\n' in original order,
+    original whitespace preserved) — the md5 proves the rewrite
+    byte-for-byte against the oracle twin without shipping bodies.
+
+    Fully distributed: the hot-line set from :func:`boilerplate_lines` is
+    anti-joined against the exploded lines (tiny by construction — AQE
+    broadcasts it), then documents reassemble with one hash aggregate
+    keyed by id (``array_agg`` of (pos, line) structs, sorted in the
+    select — per-doc state is the document itself, same as the scan). No
+    driver collect anywhere."""
+    hot = boilerplate_lines(df, id_col, text_col, min_df).select("line_md5")
+    lines = _doc_lines(df, id_col, text_col)
+    kept = lines.join(hot, "line_md5", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("line")))
+            ).alias("_kl"),
+            F.count(F.lit(1)).cast("long").alias("_n_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.array_join(F.transform("_kl", lambda s: s["line"]), "\n").cast("binary")
+            ).alias("clean_md5"),
+            F.col("_n_kept"),
+        )
+    )
+    totals = (
+        lines.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        # a doc whose every line was boilerplate rebuilds to the empty body
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit("").cast("binary"))).alias("clean_md5"),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+    )
+
+
+def unigram_logprob_quality(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Per-document mean negative log-probability of its tokens under the
+    CORPUS unigram distribution: ``(id, n_tokens, mean_neg_logprob)`` — the
+    cheap stand-in for KenLM-style perplexity filtering (CCNet, Wenzek et
+    al. 2020): documents full of corpus-rare tokens (garbled encodings,
+    binary spill, exotic boilerplate) score high; fluent in-distribution
+    text scores low. Token-less docs report ``n_tokens 0`` and NULL score.
+
+    Two passes, both plain hash aggregates: (1) corpus token frequencies
+    (explode → count; shuffle carries tokens+partial counts), (2) per-doc
+    score via an equi-join of the doc's tokens against the frequency table
+    and one avg per id. The one-row totals frame rides a broadcast
+    cross-join. Frequencies include the doc itself (self-consistent, no
+    held-out split)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_tf"))
+    total = freq.agg(F.sum("_tf").alias("_n"))
+    scored = (
+        toks.join(freq, "_t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("_tf").cast("double") / F.col("_n"))),
+                round_digits,
+            ).alias("mean_neg_logprob"),
+        )
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        "mean_neg_logprob",
+    )

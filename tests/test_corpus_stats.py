@@ -148,3 +148,51 @@ def test_centroid_drift_values(spark):
     assert got[2]["cosine_to_baseline"] == 1.0
     assert got[2]["l2_distance"] == 1.0
     assert got[1]["n_vecs"] == 2 and got[2]["n_vecs"] == 1
+
+
+def test_boilerplate_lines_and_strip(spark):
+    header = "// LICENSE MIT"
+    rows = [
+        (1, f"{header}\nalpha beta\n\n  {header}  "),  # header twice (trim-equal)
+        (2, f"{header}\ngamma"),
+        (3, f" {header}\ndelta"),
+        (4, "epsilon only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    census = {r.line_md5: r.doc_freq for r in textops.boilerplate_lines(df, "doc_id", "text", min_df=2).collect()}
+    # the header appears in 3 DISTINCT docs (doc 1 counts once) -> the only hot line
+    assert list(census.values()) == [3]
+
+    out = {r.doc_id: r.asDict() for r in textops.strip_boilerplate(df, "doc_id", "text", min_df=2).collect()}
+    import hashlib
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1: both header lines removed (incl. padded variant), blank line kept
+    assert out[1]["n_removed"] == 2 and out[1]["clean_md5"] == md5("alpha beta\n")
+    assert out[2] == {"doc_id": 2, "clean_md5": md5("gamma"), "n_lines": 2, "n_removed": 1}
+    assert out[3]["clean_md5"] == md5("delta")
+    assert out[4] == {"doc_id": 4, "clean_md5": md5("epsilon only"), "n_lines": 1, "n_removed": 0}
+
+
+def test_strip_boilerplate_all_lines_removed(spark):
+    df = spark.createDataFrame(
+        [(i, "same line") for i in range(5)], "doc_id long, text string"
+    )
+    import hashlib
+    out = textops.strip_boilerplate(df, "doc_id", "text", min_df=2).collect()
+    assert all(r.clean_md5 == hashlib.md5(b"").hexdigest() and r.n_removed == 1 for r in out)
+
+
+def test_unigram_logprob_values(spark):
+    import math
+    # corpus: 'a' x3, 'b' x1 -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in textops.unigram_logprob_quality(df, "doc_id", "text").collect()}
+    la, lb = -math.log(3 / 4), -math.log(1 / 4)
+    assert got[1]["n_tokens"] == 2
+    assert got[1]["mean_neg_logprob"] == pytest.approx(la, abs=1e-6)
+    assert got[2]["mean_neg_logprob"] == pytest.approx((la + lb) / 2, abs=1e-6)
+    # rare-token doc scores strictly worse than the common-token doc
+    assert got[2]["mean_neg_logprob"] > got[1]["mean_neg_logprob"]
+    assert got[3]["n_tokens"] == 0 and got[3]["mean_neg_logprob"] is None
