@@ -453,6 +453,15 @@ def q_knn_ivf(spark, sf_dir):
     return simsearch.knn_ivf(e, "vec_id", "embedding", KNN_QUERY_IDS, k=5, n_centroids=8)
 
 
+def q_knn_ivf_multiprobe(spark, sf_dir):
+    """IVF with n_probe=2 — the standard recall dial: candidates from the
+    union of the query's two best clusters by centroid cosine."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.knn_ivf(
+        e, "vec_id", "embedding", KNN_QUERY_IDS, k=5, n_centroids=8, n_probe=2
+    )
+
+
 def q_knn_ivf_trained(spark, sf_dir):
     """IVF ANN with a spherical-k-means-TRAINED quantizer (2 Lloyd
     iterations over a bounded lowest-id sample — deterministic, but
@@ -780,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_drift": q_centroid_drift,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_multiprobe": q_knn_ivf_multiprobe,
         "knn_ivf_trained": q_knn_ivf_trained,
         "cdda_change_degrees": q_cdda_change_degrees,
         "cdda_equivalence_counts": q_cdda_equivalence_counts,
@@ -1584,6 +1594,36 @@ WITH v AS (
          round(list_dot_product(q.qvec, a.vec) /
                (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(a.vec, a.vec))), 6) AS sim
   FROM assigned a JOIN q ON a.cluster_id = q.cluster_id AND a._id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cands
+)
+SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= 5
+""",
+        "knn_ivf_multiprobe": """
+WITH v AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS vec FROM embeddings
+), c AS (
+  SELECT _id AS cluster_id, vec AS centroid FROM v WHERE _id < 8
+), scored AS (
+  SELECT v._id, v.vec, c.cluster_id,
+         round(list_dot_product(v.vec, c.centroid) /
+               (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS csim
+  FROM v CROSS JOIN c
+), assigned AS (
+  SELECT _id, vec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id ORDER BY csim DESC, cluster_id ASC) AS rk FROM scored
+  ) WHERE rk = 1
+), qp AS (
+  SELECT _id AS query_id, vec AS qvec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id ORDER BY csim DESC, cluster_id ASC) AS rk
+    FROM scored WHERE _id < 10
+  ) WHERE rk <= 2
+), cands AS (
+  SELECT q.query_id, a._id AS neighbor_id,
+         round(list_dot_product(q.qvec, a.vec) /
+               (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(a.vec, a.vec))), 6) AS sim
+  FROM assigned a JOIN qp q ON a.cluster_id = q.cluster_id AND a._id <> q.query_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM cands

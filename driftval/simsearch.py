@@ -334,6 +334,29 @@ def train_ivf_centroids(
     return cents
 
 
+def _ivf_centroid_frame(
+    df: DataFrame,
+    wb: DataFrame,
+    n_centroids: int,
+    centroids: list[tuple[int, list[float]]] | None,
+) -> DataFrame:
+    """(cluster_id, centroid, _cn): the broadcastable coarse-quantizer table —
+    first-N stand-in rows when ``centroids`` is None, else the trained list."""
+    if centroids is None:
+        return wb.where(F.col("_id") < n_centroids).select(
+            F.col("_id").alias("cluster_id"),
+            F.col("_vec").alias("centroid"),
+            F.col("_n").alias("_cn"),
+        )
+    return (
+        df.sparkSession.createDataFrame(
+            list(centroids), "cluster_id int, centroid array<double>"
+        )
+        .withColumn("_cn", _norm(F.col("centroid")))
+        .select(F.col("cluster_id").cast("long").alias("cluster_id"), "centroid", "_cn")
+    )
+
+
 def assign_ivf_cluster(
     df: DataFrame,
     id_col: str,
@@ -350,20 +373,7 @@ def assign_ivf_cluster(
     map-side-partial ``max(struct)`` aggregate (ties -> lowest cluster_id),
     not a window — the exchange carries one row per vector."""
     wb = with_norm(df, id_col, vec_col)
-    if centroids is None:
-        cent_df = wb.where(F.col("_id") < n_centroids).select(
-            F.col("_id").alias("cluster_id"),
-            F.col("_vec").alias("centroid"),
-            F.col("_n").alias("_cn"),
-        )
-    else:
-        cent_df = (
-            df.sparkSession.createDataFrame(
-                list(centroids), "cluster_id int, centroid array<double>"
-            )
-            .withColumn("_cn", _norm(F.col("centroid")))
-            .select(F.col("cluster_id").cast("long").alias("cluster_id"), "centroid", "_cn")
-        )
+    cent_df = _ivf_centroid_frame(df, wb, n_centroids, centroids)
     scored = wb.join(broadcast(cent_df))
     csim = F.round(_dot(F.col("_vec"), F.col("centroid")) / (F.col("_n") * F.col("_cn")), 6)
     best = (
@@ -387,26 +397,61 @@ def knn_ivf(
     n_centroids: int = 8,
     round_digits: int = 6,
     train_iters: int = 0,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via IVF: search only the query's coarse cluster
-    (single-probe). The scale path for ANN when LSH bucket skew is a concern —
+    """Approximate top-k via IVF: search the query's ``n_probe`` best coarse
+    clusters. The scale path for ANN when LSH bucket skew is a concern —
     cluster sizes are balanced by the quantizer, and the candidate join is a
     cluster-equi-join co-partitioned on cluster_id. ``train_iters=0``
     (default) uses the deterministic first-N stand-in quantizer (oracle-twin
     expressible); ``train_iters>0`` runs that many Lloyd iterations first
-    (:func:`train_ivf_centroids`)."""
+    (:func:`train_ivf_centroids`).
+
+    ``n_probe`` is the standard IVF recall dial: candidates come from the
+    union of the query's top-``n_probe`` clusters by centroid cosine (ties →
+    lowest cluster_id, the same rule the assignment uses — so ``n_probe=1``
+    reproduces single-probe exactly, and ``n_probe=n_centroids`` degenerates
+    to exact brute force). Probe selection runs on the (queries × centroids)
+    frame — both sides broadcast-small — so raising n_probe scales only the
+    candidate equi-join, linearly."""
     centroids = (
         train_ivf_centroids(df, id_col, vec_col, n_centroids, n_iters=train_iters)
         if train_iters > 0
         else None
     )
     aw = assign_ivf_cluster(df, id_col, vec_col, n_centroids, centroids=centroids)
-    queries = aw.where(F.col("_id").isin(query_ids)).select(
-        F.col("_id").alias("query_id"),
-        F.col("_vec").alias("qvec"),
-        F.col("_n").alias("qn"),
-        "cluster_id",
-    )
+    if n_probe <= 1:
+        queries = aw.where(F.col("_id").isin(query_ids)).select(
+            F.col("_id").alias("query_id"),
+            F.col("_vec").alias("qvec"),
+            F.col("_n").alias("qn"),
+            "cluster_id",
+        )
+    else:
+        wb = with_norm(df, id_col, vec_col).where(F.col("_id").isin(query_ids))
+        cent_df = _ivf_centroid_frame(df, with_norm(df, id_col, vec_col), n_centroids, centroids)
+        csim = F.round(
+            _dot(F.col("_vec"), F.col("centroid")) / (F.col("_n") * F.col("_cn")), 6
+        )
+        probe_item = F.struct(csim.alias("s"), (-F.col("cluster_id")).alias("negc"))
+        queries = (
+            wb.join(broadcast(cent_df))
+            .groupBy("_id")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(probe_item), False), 1, int(n_probe)
+                ).alias("_tk"),
+                F.first("_vec").alias("qvec"),
+                F.first("_n").alias("qn"),
+            )
+            .select(
+                F.col("_id").alias("query_id"),
+                "qvec",
+                "qn",
+                F.explode("_tk").alias("_it"),
+            )
+            .select("query_id", "qvec", "qn", (-F.col("_it.negc")).alias("cluster_id"))
+        )
     cands = aw.join(broadcast(queries), "cluster_id").where(
         F.col("_id") != F.col("query_id")
     )

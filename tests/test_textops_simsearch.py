@@ -250,3 +250,25 @@ def test_dup_components_and_keep_list(spark):
     for c in caches:
         c.unpersist()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_ivf_multiprobe_recall_dial(spark):
+    """n_probe=1 == the single-probe path; n_probe=n_centroids == exact
+    brute force; recall vs brute force is monotone in n_probe."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = list(range(10))
+
+    def _pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = _pairs(simsearch.knn_bruteforce(emb, "vec_id", "embedding", qids, k=5))
+    p1 = _pairs(simsearch.knn_ivf(emb, "vec_id", "embedding", qids, k=5, n_centroids=8, n_probe=1))
+    p1_default = _pairs(simsearch.knn_ivf(emb, "vec_id", "embedding", qids, k=5, n_centroids=8))
+    p2 = _pairs(simsearch.knn_ivf(emb, "vec_id", "embedding", qids, k=5, n_centroids=8, n_probe=2))
+    pall = _pairs(simsearch.knn_ivf(emb, "vec_id", "embedding", qids, k=5, n_centroids=8, n_probe=8))
+
+    assert p1 == p1_default
+    assert pall == exact  # probing every cluster degenerates to brute force
+    r1 = len(p1 & exact) / len(exact)
+    r2 = len(p2 & exact) / len(exact)
+    assert r1 <= r2 <= 1.0
