@@ -12,6 +12,9 @@ Subcommands:
   via Structured Streaming (``driftval.streaming``) — same stdout contract.
 - ``suite``: the full validation suite over a partitioned source-code table,
   resumable from the checkpoint table.
+- ``profile``: one-pass multi-column profile (nulls, distinct, min/max) of a
+  Parquet dataset or catalog table — exact distinct by default,
+  ``--approx-distinct`` for the HLL single-aggregate plan at full scale.
 
 Cluster use (north rule):
 
@@ -126,6 +129,17 @@ def cmd_suite(spark, args) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_profile(spark, args) -> int:
+    from driftval.checks.stats import profile_columns
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    cols = args.columns.split(",") if args.columns else files.columns
+    prof = profile_columns(files, cols, exact_distinct=not args.approx_distinct)
+    pdf = prof.toPandas().sort_values("column_name")
+    print(pdf.to_string(index=False))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="driftval")
     ap.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -169,6 +183,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--manifest")
     p.add_argument("--violations-out", help="parquet dataset for violation rows")
     p.set_defaults(fn=cmd_suite)
+
+    p = sub.add_parser("profile", help="one-pass multi-column table profile")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--columns", help="comma-separated columns (default: all)")
+    p.add_argument(
+        "--approx-distinct",
+        action="store_true",
+        help="HLL distinct counts (no Expand rewrite — the 100 TB default)",
+    )
+    p.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)
     spark = build_session("driftval", master=args.master)

@@ -76,3 +76,26 @@ def test_csv_header_and_column_subset(spark, tmp_path):
     assert rows[0]["seq"] == 0
     assert rows[0]["a0"] == pdf["a0"].iloc[0]
     assert rows[-1]["a4"] == pdf["a4"].iloc[-1]
+
+
+def test_cli_profile(tmp_path):
+    import pandas as pd
+
+    src = str(tmp_path / "prof-src")
+    pd.DataFrame(
+        {"a": [1, 2, None, 2], "b": ["x", "y", "x", None]}
+    ).to_parquet(src + ".parquet")
+    os.makedirs(src, exist_ok=True)
+    os.replace(src + ".parquet", src + "/part-0.parquet")
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", "profile", "--path", src, "--columns", "a,b"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l.split() for l in out.stdout.splitlines() if l.strip()]
+    rows = {l[0]: l for l in lines if l[0] in ("a", "b")}
+    # column_name n_rows n_nulls null_rate n_distinct min max
+    assert rows["a"][1:5] == ["4", "1", "0.25", "2"]
+    assert rows["b"][1:5] == ["4", "1", "0.25", "2"]
