@@ -162,6 +162,27 @@ def q_drift_len_chisq_kl(spark, sf_dir):
     )
 
 
+def q_drift_len_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov of each source's content-length
+    distribution vs src0 — binning-free drift; exact because the cumulative
+    frame is O(partitions x distinct lengths)."""
+    from driftval.checks.histogram import ks_stats
+
+    d = _t(spark, sf_dir, "documents")
+    s = ks_stats(d, "source", "n_chars", ["src0"])
+    return s.select(
+        F.col("partition_value").alias("source"), "ks_stat", "n_base", "n_cur"
+    )
+
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Per-doc duplicated-3-gram fraction (share of a doc's shingles that
+    appear in >2 docs) — the doc-level memorization-risk proxy of
+    substring dedup."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.dup_ngram_fraction(d, "doc_id", "text", n=3, hot_df=2)
+
+
 def q_fidelity_sha256(spark, sf_dir):
     """V12: per-row sha256(text) — the row-fidelity invariant."""
     d = _t(spark, sf_dir, "documents")
@@ -756,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_lang_chisq_kl": q_drift_lang_chisq_kl,
         "drift_len_chisq_kl": q_drift_len_chisq_kl,
         "drift_lang_psi_js": q_drift_lang_psi_js,
+        "drift_len_ks": q_drift_len_ks,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
         "fidelity_sha256": q_fidelity_sha256,
         "lineage_xor": q_lineage_xor,
         "dedup_exact": q_dedup_exact,
@@ -1149,6 +1172,56 @@ SELECT source, lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2
 """,
         "drift_lang_chisq_kl": _DRIFT_SQL_TMPL.format(bin_expr="lang"),
         "drift_lang_psi_js": _PSI_JS_SQL_TMPL.format(bin_expr="lang"),
+        "drift_len_ks": """
+WITH hist AS (
+  SELECT source AS pv, n_chars::DOUBLE AS v, count(*)::DOUBLE AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), base AS (
+  SELECT v, sum(cnt) AS ob FROM hist WHERE pv = 'src0' GROUP BY 1
+), cur AS (
+  SELECT pv, v, cnt AS oc FROM hist WHERE pv <> 'src0'
+), domain AS (
+  SELECT p.pv, d.v FROM (SELECT DISTINCT pv FROM cur) p
+  CROSS JOIN (SELECT v FROM base UNION SELECT DISTINCT v FROM cur) d
+), joined AS (
+  SELECT dm.pv, dm.v, COALESCE(b.ob, 0)::DOUBLE AS ob, COALESCE(c.oc, 0)::DOUBLE AS oc
+  FROM domain dm
+  LEFT JOIN base b ON dm.v = b.v
+  LEFT JOIN cur c ON dm.pv = c.pv AND dm.v = c.v
+), cum AS (
+  SELECT pv,
+         sum(ob) OVER (PARTITION BY pv ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(ob) OVER (PARTITION BY pv) AS cb,
+         sum(oc) OVER (PARTITION BY pv ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(oc) OVER (PARTITION BY pv) AS cc,
+         sum(ob) OVER (PARTITION BY pv) AS nb,
+         sum(oc) OVER (PARTITION BY pv) AS nc
+  FROM joined
+)
+SELECT pv AS source, round(max(abs(cb - cc)), 8) AS ks_stat,
+       first(nb)::BIGINT AS n_base, first(nc)::BIGINT AS n_cur
+FROM cum GROUP BY pv
+""",
+        "dup_ngram_fraction": f"""
+WITH d AS (
+  SELECT doc_id, list_transform(shingles, s -> {_H64.replace('(t)', '(s)')}) AS shs
+  FROM ({_SHINGLES})
+), sh AS (
+  SELECT doc_id, unnest(shs) AS sh FROM d
+), dfreq AS (
+  SELECT sh, count(*)::BIGINT AS df FROM sh GROUP BY 1
+), per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN df > 2 THEN 1 ELSE 0 END)::BIGINT AS hot_shingles
+  FROM sh JOIN dfreq USING (sh) GROUP BY 1
+)
+SELECT i.doc_id,
+       COALESCE(p.n_shingles, 0)::BIGINT AS n_shingles,
+       COALESCE(p.hot_shingles, 0)::BIGINT AS hot_shingles,
+       round(p.hot_shingles::DOUBLE / p.n_shingles, 8) AS dup_frac
+FROM (SELECT DISTINCT doc_id FROM documents) i
+LEFT JOIN per p ON i.doc_id = p.doc_id
+""",
         "drift_len_chisq_kl": _DRIFT_SQL_TMPL.format(
             bin_expr="(floor(log2(n_chars::DOUBLE + 1.0))::BIGINT)::VARCHAR"
         ),

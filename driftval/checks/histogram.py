@@ -197,3 +197,77 @@ def histogram_drift_verdicts(
         F.when(F.col("kl_divergence") < kl_threshold, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("violation_count"),
     )
     return chi.unionByName(kl)
+
+
+def ks_stats(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    baseline_partitions: list[str],
+    round_digits: int = 8,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic of every non-baseline
+    partition's ``value_col`` distribution vs the pooled baseline:
+    ``(partition_value, ks_stat, n_base, n_cur)``. The binning-free
+    complement to the chi²/KL/PSI/JS family — KS compares full empirical
+    CDFs, so it catches location/shape shifts that coarse bins blur, with
+    no smoothing constant to pick.
+
+    Exactness is affordable for the same reason :func:`driftval.textops.
+    length_percentiles` is exact: after the first aggregate the frame is
+    O(partitions × distinct values), and bounded-domain columns (lengths,
+    counts, scores) keep that tiny at any row count. The cumulative sums
+    run as windows over THAT frame — partitioned by partition_value, so no
+    single global sort and each window partition is at most the value
+    domain. For genuinely unbounded continuous columns, quantize first.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        df.select(
+            F.col(partition_col).cast("string").alias("partition_value"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("partition_value", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    base = (
+        hist.where(F.col("partition_value").isin(baseline_partitions))
+        .groupBy("v")
+        .agg(F.sum("cnt").alias("ob"))
+    )
+    cur = hist.where(~F.col("partition_value").isin(baseline_partitions)).select(
+        "partition_value", "v", F.col("cnt").alias("oc")
+    )
+    parts = cur.select("partition_value").distinct()
+    domain = parts.crossJoin(base.select("v").union(cur.select("v")).distinct())
+    joined = (
+        domain.join(base, "v", "left")
+        .join(cur, ["partition_value", "v"], "left")
+        .select(
+            "partition_value",
+            "v",
+            F.coalesce("ob", F.lit(0)).cast("double").alias("ob"),
+            F.coalesce("oc", F.lit(0)).cast("double").alias("oc"),
+        )
+    )
+    w = (
+        Window.partitionBy("partition_value")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("partition_value")
+    cum = joined.select(
+        "partition_value",
+        (F.sum("ob").over(w) / F.sum("ob").over(tot)).alias("cdf_base"),
+        (F.sum("oc").over(w) / F.sum("oc").over(tot)).alias("cdf_cur"),
+        F.sum("ob").over(tot).alias("n_base"),
+        F.sum("oc").over(tot).alias("n_cur"),
+    )
+    return cum.groupBy("partition_value").agg(
+        F.round(F.max(F.abs(F.col("cdf_base") - F.col("cdf_cur"))), round_digits).alias("ks_stat"),
+        F.first("n_base").cast("long").alias("n_base"),
+        F.first("n_cur").cast("long").alias("n_cur"),
+    )

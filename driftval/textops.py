@@ -1316,3 +1316,48 @@ def unigram_logprob_quality(
         F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         "mean_neg_logprob",
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hot_df: int = 2
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: ``(id, n_shingles,
+    hot_shingles, dup_frac)`` where a shingle is "hot" if it occurs in MORE
+    THAN ``hot_df`` documents — the doc-level proxy for the substring-dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): a doc whose shingles are mostly corpus-hot is largely
+    made of text the model will see many times elsewhere (memorization
+    risk), even if no single whole-document duplicate exists.
+
+    Plan shape: one shingle explode feeding BOTH the document-frequency
+    aggregate and the per-doc rollup (the exploded frame is persisted — two
+    consumers); the df table joins back by shingle hash (64-bit ints cross
+    the shuffle, never text). Docs with no n-gram report 0/0/null.
+    """
+    sh = (
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    word_shingles(F.col(text_col), n), lambda s: token_hash64(s)
+                )
+            ).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    flagged = sh.join(dfreq, "sh").select(
+        "_id", (F.col("_df") > hot_df).cast("long").alias("_hot")
+    )
+    per_doc = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("_hot").cast("long").alias("hot_shingles"),
+    )
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    return ids.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+        F.coalesce("hot_shingles", F.lit(0).cast("long")).alias("hot_shingles"),
+        F.round(F.col("hot_shingles") / F.col("n_shingles"), 8).alias("dup_frac"),
+    )

@@ -117,3 +117,40 @@ def test_group_centroids_values(spark):
         ("y", 0): (10.0, 1),
         ("y", 1): (0.0, 1),
     }
+
+
+def test_ks_stats_hand_computed(spark):
+    from driftval.checks.histogram import ks_stats
+
+    # base: values 1..4 uniform; cur identical -> KS 0; cur2 all 4s -> KS 0.75
+    rows = (
+        [("b", v) for v in (1, 2, 3, 4)] * 5
+        + [("c1", v) for v in (1, 2, 3, 4)] * 3
+        + [("c2", 4)] * 8
+    )
+    df = spark.createDataFrame(rows, "source string, v int")
+    got = {r.partition_value: r.asDict() for r in ks_stats(df, "source", "v", ["b"]).collect()}
+    assert got["c1"]["ks_stat"] == pytest.approx(0.0, abs=1e-12)
+    # CDF_base at v=3 is 0.75, CDF_c2 at v=3 is 0 -> D = 0.75
+    assert got["c2"]["ks_stat"] == pytest.approx(0.75)
+    assert got["c2"]["n_base"] == 20 and got["c2"]["n_cur"] == 8
+
+
+def test_dup_ngram_fraction_values(spark):
+    from driftval import textops
+
+    common = "the quick brown fox"     # shingles shared by docs 1-3
+    rows = [
+        (1, common), (2, common), (3, common),
+        (4, f"{common} jumps high"),   # shares the 2 hot shingles + 2 unique
+        (5, "totally different words here"),
+        (6, "xy"),                      # too short for a 3-shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in textops.dup_ngram_fraction(df, "doc_id", "text", n=3, hot_df=2).collect()}
+    # "the quick brown"/"quick brown fox" appear in docs 1,2,3,4 -> df=4 > 2 (hot)
+    assert got[1] == {"doc_id": 1, "n_shingles": 2, "hot_shingles": 2, "dup_frac": 1.0}
+    assert got[4]["n_shingles"] == 4 and got[4]["hot_shingles"] == 2
+    assert got[4]["dup_frac"] == pytest.approx(0.5)
+    assert got[5]["hot_shingles"] == 0 and got[5]["dup_frac"] == 0.0
+    assert got[6] == {"doc_id": 6, "n_shingles": 0, "hot_shingles": 0, "dup_frac": None}
