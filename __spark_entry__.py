@@ -183,6 +183,19 @@ def q_dup_ngram_fraction(spark, sf_dir):
     return textops.dup_ngram_fraction(d, "doc_id", "text", n=3, hot_df=2)
 
 
+def q_robust_outliers_len(spark, sf_dir):
+    """Per-source robust (median/MAD modified-z) outlier summary of
+    content length — the outlier check extreme rows cannot drag."""
+    from driftval.checks.stats import robust_outlier_stats
+
+    d = _t(spark, sf_dir, "documents")
+    s = robust_outlier_stats(d, "source", "n_chars", z_thresh=3.5)
+    return s.select(
+        F.col("partition_value").alias("source"),
+        "n_rows", "median", "mad", "n_outliers", "outlier_rate",
+    )
+
+
 def q_fidelity_sha256(spark, sf_dir):
     """V12: per-row sha256(text) — the row-fidelity invariant."""
     d = _t(spark, sf_dir, "documents")
@@ -778,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_len_chisq_kl": q_drift_len_chisq_kl,
         "drift_lang_psi_js": q_drift_lang_psi_js,
         "drift_len_ks": q_drift_len_ks,
+        "robust_outliers_len": q_robust_outliers_len,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "fidelity_sha256": q_fidelity_sha256,
         "lineage_xor": q_lineage_xor,
@@ -1201,6 +1215,26 @@ WITH hist AS (
 SELECT pv AS source, round(max(abs(cb - cc)), 8) AS ks_stat,
        first(nb)::BIGINT AS n_base, first(nc)::BIGINT AS n_cur
 FROM cum GROUP BY pv
+""",
+        "robust_outliers_len": """
+WITH src AS (
+  SELECT source AS pv, n_chars::DOUBLE AS v FROM documents WHERE n_chars IS NOT NULL
+), med AS (
+  SELECT pv, quantile_cont(v, 0.5) AS m FROM src GROUP BY 1
+), mad AS (
+  SELECT s.pv, quantile_cont(abs(s.v - med.m), 0.5) AS d
+  FROM src s JOIN med ON s.pv = med.pv GROUP BY 1
+)
+SELECT s.pv AS source,
+       count(*)::BIGINT AS n_rows,
+       round(first(med.m), 8) AS median,
+       round(first(mad.d), 8) AS mad,
+       sum(CASE WHEN mad.d > 0 AND abs(s.v - med.m) / (1.4826 * mad.d) > 3.5
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       round(avg(CASE WHEN mad.d > 0 AND abs(s.v - med.m) / (1.4826 * mad.d) > 3.5
+                      THEN 1.0 ELSE 0.0 END), 8) AS outlier_rate
+FROM src s JOIN med ON s.pv = med.pv JOIN mad ON s.pv = mad.pv
+GROUP BY s.pv
 """,
         "dup_ngram_fraction": f"""
 WITH d AS (

@@ -222,3 +222,50 @@ def profile_columns(
         "min_value",
         "max_value",
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    z_thresh: float = 3.5,
+    round_digits: int = 8,
+) -> DataFrame:
+    """Per-partition robust outlier summary of a numeric column:
+    ``(partition_value, n_rows, median, mad, n_outliers, outlier_rate)``
+    using the modified z-score ``|v - median| / (1.4826·MAD) > z_thresh``
+    (Iglewicz & Hoaglin's 3.5 default) — the outlier check that, unlike
+    mean/stddev bounds, a few extreme rows cannot drag along with them.
+
+    Exact medians (Spark ``percentile`` / DuckDB ``quantile_cont``): the
+    aggregation state is O(distinct values) per partition — cheap for the
+    bounded-domain numerics this guards (lengths, counts, scores).
+    Three hash aggregates and two broadcast joins of the tiny per-partition
+    stats frame; rows with MAD = 0 partitions are never flagged (a constant
+    column has no robust scale — the degenerate case is reported, not
+    divided by).
+    """
+    v = F.col(value_col).cast("double")
+    src = df.select(
+        F.col(partition_col).cast("string").alias("partition_value"),
+        v.alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    med = src.groupBy("partition_value").agg(
+        F.percentile(F.col("_v"), F.lit(0.5)).alias("_med")
+    )
+    with_med = src.join(F.broadcast(med), "partition_value")
+    mad = with_med.groupBy("partition_value").agg(
+        F.percentile(F.abs(F.col("_v") - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    scored = with_med.join(F.broadcast(mad), "partition_value")
+    is_out = (F.col("_mad") > 0) & (
+        F.abs(F.col("_v") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad"))
+        > F.lit(float(z_thresh))
+    )
+    return scored.groupBy("partition_value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.first("_med"), round_digits).alias("median"),
+        F.round(F.first("_mad"), round_digits).alias("mad"),
+        F.sum(is_out.cast("long")).cast("long").alias("n_outliers"),
+        F.round(F.avg(is_out.cast("double")), round_digits).alias("outlier_rate"),
+    )

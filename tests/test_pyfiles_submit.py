@@ -1,0 +1,63 @@
+"""Cluster-packaging smoke: the north rule's deployment path is
+`spark-submit --py-files dist/driftval.zip <job>`. This test builds the zip
+with scripts/make_pyfiles.py and runs a real spark-submit job from a
+DIFFERENT working directory, so driftval can only be imported from the
+shipped zip — proving the package is self-contained (no repo-cwd imports,
+no data files baked in)."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOB = """
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.getOrCreate()
+import driftval
+from driftval.checks.stats import profile_columns, robust_outlier_stats
+from driftval import textops
+
+df = spark.createDataFrame(
+    [(1, "p", 10), (2, "p", 12), (3, "p", 500), (4, "q", 7)],
+    "id long, part string, v int",
+)
+prof = profile_columns(df, ["id", "v"]).collect()
+assert len(prof) == 2, prof
+outl = {r.partition_value: r.n_outliers for r in
+        robust_outlier_stats(df, "part", "v").collect()}
+assert outl["p"] == 1 and outl["q"] == 0, outl
+docs = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id long, text string")
+assert textops.exact_dup_stats(docs, "doc_id", "text").first().dup_docs == 1
+print("PYFILES_OK", driftval.__name__)
+"""
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_pyfiles_zip_spark_submit(tmp_path):
+    zip_out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert zip_out.returncode == 0, zip_out.stderr[-2000:]
+    zip_path = zip_out.stdout.strip().splitlines()[-1]
+    assert os.path.exists(zip_path)
+
+    job = tmp_path / "job.py"
+    job.write_text(JOB)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            shutil.which("spark-submit"),
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            str(job),
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env, timeout=300,
+    )
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-3000:])
+    assert "PYFILES_OK driftval" in out.stdout
