@@ -112,6 +112,10 @@ def cmd_suite(spark, args) -> int:
         block_size=args.block_size,
         drift_coefficient=args.drift_coefficient,
         min_change_degree=args.min_change_degree,
+        psi_threshold=args.psi_threshold,
+        js_threshold=args.js_threshold,
+        ks_threshold=args.ks_threshold,
+        outlier_rate_threshold=args.outlier_rate_threshold,
     )
     dim_repos = spark.read.parquet(args.dim_repos) if args.dim_repos else None
     dim_commits = spark.read.parquet(args.dim_commits) if args.dim_commits else None
@@ -182,6 +186,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dim-commits")
     p.add_argument("--manifest")
     p.add_argument("--violations-out", help="parquet dataset for violation rows")
+    p.add_argument("--psi-threshold", type=float, default=None,
+                   help="enable PSI drift verdicts on the lang histogram")
+    p.add_argument("--js-threshold", type=float, default=None,
+                   help="enable Jensen-Shannon drift verdicts (with --psi-threshold)")
+    p.add_argument("--ks-threshold", type=float, default=None,
+                   help="enable exact two-sample KS verdicts on content length")
+    p.add_argument("--outlier-rate-threshold", type=float, default=None,
+                   help="enable median/MAD modified-z outlier-rate verdicts")
     p.set_defaults(fn=cmd_suite)
 
     p = sub.add_parser("profile", help="one-pass multi-column table profile")

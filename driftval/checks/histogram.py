@@ -271,3 +271,57 @@ def ks_stats(
         F.first("n_base").cast("long").alias("n_base"),
         F.first("n_cur").cast("long").alias("n_cur"),
     )
+
+
+def _threshold_verdict(
+    stats: DataFrame, metric_col: str, check_name: str, threshold: float
+) -> DataFrame:
+    """Verdict rows from a (partition_value, <metric>) stats frame: pass iff
+    metric < threshold (violation_count -1 on failure — distribution-level
+    checks have no row set)."""
+    m = F.col(metric_col)
+    return stats.select(
+        "partition_value",
+        F.lit(check_name).alias("check_name"),
+        (m < F.lit(float(threshold))).alias("passed"),
+        m.cast("double").alias("metric"),
+        F.lit(float(threshold)).alias("threshold"),
+        F.when(m < threshold, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("violation_count"),
+    )
+
+
+def psi_js_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    bin_col: Column,
+    feature_name: str,
+    baseline_partitions: list[str],
+    psi_threshold: float,
+    js_threshold: float,
+    alpha: float = SMOOTH_ALPHA,
+) -> DataFrame:
+    """Verdict rows ``psi:<feature>`` and ``js:<feature>`` per current
+    partition — the config-gated companions to
+    :func:`histogram_drift_verdicts`, on the same smoothed histogram."""
+    stats = psi_js_stats(
+        histogram(df, partition_col, bin_col, feature_name), baseline_partitions, alpha
+    )
+    return _threshold_verdict(
+        stats, "psi", f"psi:{feature_name}", psi_threshold
+    ).unionByName(
+        _threshold_verdict(stats, "js_divergence", f"js:{feature_name}", js_threshold)
+    )
+
+
+def ks_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    feature_name: str,
+    baseline_partitions: list[str],
+    ks_threshold: float,
+) -> DataFrame:
+    """Verdict rows ``ks:<feature>`` per current partition: exact two-sample
+    KS statistic vs the pooled baseline (binning-free drift)."""
+    stats = ks_stats(df, partition_col, value_col, baseline_partitions)
+    return _threshold_verdict(stats, "ks_stat", f"ks:{feature_name}", ks_threshold)

@@ -269,3 +269,27 @@ def robust_outlier_stats(
         F.sum(is_out.cast("long")).cast("long").alias("n_outliers"),
         F.round(F.avg(is_out.cast("double")), round_digits).alias("outlier_rate"),
     )
+
+
+def robust_outlier_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    feature_name: str,
+    rate_threshold: float,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Verdict rows ``outliers:<feature>`` per partition: pass iff the
+    modified-z outlier rate stays under ``rate_threshold``;
+    ``violation_count`` carries the actual outlier count (the offending
+    rows are identifiable — unlike the distribution-level drift checks)."""
+    s = robust_outlier_stats(df, partition_col, value_col, z_thresh=z_thresh)
+    rate = F.col("outlier_rate")
+    return s.select(
+        "partition_value",
+        F.lit(f"outliers:{feature_name}").alias("check_name"),
+        (rate <= F.lit(float(rate_threshold))).alias("passed"),
+        rate.cast("double").alias("metric"),
+        F.lit(float(rate_threshold)).alias("threshold"),
+        F.col("n_outliers").cast("long").alias("violation_count"),
+    )

@@ -47,7 +47,12 @@ from driftval.checks.fidelity import (
     fidelity_verdicts_agg,
     partition_lineage,
 )
-from driftval.checks.histogram import histogram_drift_verdicts, length_bin
+from driftval.checks.histogram import (
+    histogram_drift_verdicts,
+    ks_verdicts,
+    length_bin,
+    psi_js_verdicts,
+)
 from driftval.checks.krimp import krimp_verdicts_from_combos
 from driftval.checks.referential import orphan_rows, referential_verdicts
 from driftval.checks.stats import (
@@ -56,6 +61,7 @@ from driftval.checks.stats import (
     NullRate,
     StatsConstraint,
     TypeConformance,
+    robust_outlier_verdicts,
     stats_verdicts,
 )
 from driftval.checks.uniqueness import uniqueness_verdicts, uniqueness_violations
@@ -96,6 +102,15 @@ class SuiteConfig:
     # patterns). None = off (default; the scan rides the single derived
     # content pass, so enabling it adds regexp work but NO extra table scan).
     secret_patterns: dict[str, str] | None = None
+    # Optional drift/outlier companions (None = off, the default — verdicts
+    # and thresholds appear only when configured, so the headline suite cost
+    # is unchanged): PSI + Jensen-Shannon on the same smoothed histograms as
+    # chi2/KL, exact two-sample KS on content length, and a median/MAD
+    # modified-z outlier rate on content length.
+    psi_threshold: float | None = None
+    js_threshold: float | None = None
+    ks_threshold: float | None = None
+    outlier_rate_threshold: float | None = None
 
     @staticmethod
     def default_constraints() -> list[StatsConstraint]:
@@ -540,6 +555,29 @@ def run_suite(
                 "content_len_bin", cfg.baseline_partitions,
                 cfg.chi2_threshold, cfg.kl_threshold,
             ).where(F.col("partition_value").isin(pending_current))
+        )
+        # Config-gated companions (off by default): PSI/JS on the lang
+        # histogram, exact KS + robust outlier rate on content length.
+        if cfg.psi_threshold is not None and cfg.js_threshold is not None:
+            frames.append(
+                psi_js_verdicts(
+                    derived, pcol, F.col(cfg.lang_col), "lang",
+                    cfg.baseline_partitions, cfg.psi_threshold, cfg.js_threshold,
+                ).where(F.col("partition_value").isin(pending_current))
+            )
+        if cfg.ks_threshold is not None:
+            frames.append(
+                ks_verdicts(
+                    derived, pcol, LEN_COL, "content_len",
+                    cfg.baseline_partitions, cfg.ks_threshold,
+                ).where(F.col("partition_value").isin(pending_current))
+            )
+    if cfg.outlier_rate_threshold is not None and pending:
+        frames.append(
+            robust_outlier_verdicts(
+                derived_pending, pcol, LEN_COL, "content_len",
+                cfg.outlier_rate_threshold,
+            )
         )
 
     verdicts = frames[0]

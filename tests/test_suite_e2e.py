@@ -322,3 +322,62 @@ def test_secret_scan_in_suite(spark, files_sdf, dims, tmp_path_factory):
     assert len(rows) == n_planted
     assert set(rows["partition_value"]) == {"2026-01-06"}
     assert (rows["detail"] == "1").all()  # one match per planted row
+
+
+def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
+    """Config-gated PSI/JS + KS + robust-outlier verdicts: plant a partition
+    whose content lengths blow up; ks/outliers flag IT, the drift companions
+    produce a complete per-partition matrix, and defaults keep them off."""
+    # plant on ~20% of one partition's files: the fixture's lognormal
+    # lengths have a 4-7% NATURAL modified-z outlier rate (heavy right
+    # tail), so the planted partition must land clearly above that band
+    planted = files_sdf.withColumn(
+        "content",
+        F.when(
+            (F.col("part_date") == "2026-01-07")
+            & (F.pmod(F.hash("path"), F.lit(5)) == 0),
+            F.concat(F.col("content"), F.lit("x" * 20_000)),
+        ).otherwise(F.col("content")),
+    )
+    cfg = SuiteConfig(
+        baseline_partitions=BASELINE,
+        block_size=300,
+        psi_threshold=0.25,
+        js_threshold=0.1,
+        ks_threshold=0.2,
+        outlier_rate_threshold=0.12,
+    )
+    base = tmp_path_factory.mktemp("companions")
+    v = run_suite(
+        spark, planted, cfg, str(base / "ckpt"), run_id="rc",
+        dim_repos=dims[0], dim_commits=dims[1],
+    ).toPandas()
+
+    n_parts = v["partition_value"].nunique()
+    n_current = n_parts - len(BASELINE)
+    for name, expected in [
+        ("psi:lang", n_current), ("js:lang", n_current),
+        ("ks:content_len", n_current), ("outliers:content_len", n_parts),
+    ]:
+        sub = v[v["check_name"] == name]
+        assert len(sub) == expected, (name, len(sub), expected)
+
+    # the planted partition appends 20k chars to ~10% of its files: the
+    # modified-z outlier check flags exactly that partition
+    out = v[v["check_name"] == "outliers:content_len"].set_index("partition_value")
+    assert not out.loc["2026-01-07"].passed
+    assert out.drop(index="2026-01-07")["passed"].all()
+    # the fixture plants lang-histogram drift in partition 5: PSI/JS flag
+    # exactly it (agreeing with the chi2/KL verdicts on the same histogram)
+    for name in ("psi:lang", "js:lang"):
+        sub = v[v["check_name"] == name].set_index("partition_value")
+        assert not sub.loc["2026-01-05"].passed, name
+        assert sub.drop(index="2026-01-05")["passed"].all(), name
+
+    # defaults keep the companions off (headline suite cost unchanged)
+    cfg_off = SuiteConfig(baseline_partitions=BASELINE, block_size=300)
+    v_off = run_suite(
+        spark, files_sdf, cfg_off, str(base / "ckpt-off"), run_id="ro",
+        dim_repos=dims[0], dim_commits=dims[1],
+    ).toPandas()
+    assert not v_off["check_name"].str.startswith(("psi:", "js:", "ks:", "outliers:")).any()
