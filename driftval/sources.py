@@ -84,3 +84,39 @@ def read_files_table(
     if (path is None) == (table is None):
         raise ValueError("exactly one of path/table required")
     return spark.read.table(table) if table else spark.read.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-enforced JSONL ingestion — the raw-dump format most
+    training-data deliveries arrive in: one JSON object per line, read
+    PERMISSIVE with the malformed-line text captured in ``corrupt_col``
+    instead of silently dropped or crashing the whole partition.
+
+    A validation engine must SEE bad rows to report them, so the policy is
+    deliberate: parseable rows carry NULL in ``corrupt_col``; unparseable
+    lines come back with every data column NULL and the raw line preserved —
+    feed `df.where(col(corrupt_col).isNotNull())` straight into the
+    violation-rows dataset. Schema is REQUIRED (no inference pass: schema
+    inference is a full extra scan at 100 TB and lets a drifting producer
+    silently change column types).
+
+    Scale notes: uncompressed/bzip2 JSONL splits per HDFS block; a single
+    giant .gz file is ONE task — shard compressed deliveries upstream.
+    """
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, T.StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

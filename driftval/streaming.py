@@ -453,3 +453,30 @@ class WindowDriftRunner:
         ] + [(self._BASELINE_KEY, b, c) for b, c in self.baseline]
         hist = spark.createDataFrame(rows, "partition_value string, bin string, cnt long")
         return all_drift_stats(hist, [self._BASELINE_KEY], self.alpha)
+
+
+def stream_exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key. With
+    ``ts_col``/``watermark`` set (the streaming form) this is
+    ``dropDuplicatesWithinWatermark`` — dedup by the keys ALONE while the
+    watermark bounds state (per-key state is evicted once the horizon
+    passes; a duplicate arriving later than the horizon is the documented
+    trade). Plain ``dropDuplicates(key_cols)`` — with unbounded-state
+    semantics — is the batch twin, so stream==batch holds for any stream
+    whose duplicates arrive within the horizon (pinned in tests).
+
+    The dedup key should be a digest (md5 of the body), not the body:
+    state then stores 16 bytes per key and the stream never shuffles
+    document text — the streaming mirror of the batch rule in
+    :func:`driftval.textops.exact_dup_groups`.
+    """
+    if ts_col and watermark:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return df.dropDuplicates(list(key_cols))

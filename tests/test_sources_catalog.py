@@ -53,3 +53,24 @@ def test_exactly_one_source_required(spark):
         read_files_table(spark)
     with pytest.raises(ValueError):
         read_files_table(spark, path="/x", table="y")
+
+
+def test_read_jsonl_schema_enforced_with_corrupt_capture(spark, tmp_path):
+    from driftval.sources import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello"}\n'
+        '{"doc_id": 2, "text": "world"}\n'
+        'NOT JSON AT ALL\n'
+        '{"doc_id": "not-a-number", "text": "coerced"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id long, text string")
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].text == "hello" and rows[1]._corrupt_record is None
+    # unparseable line: data columns NULL, raw line preserved for the
+    # violation-rows dataset
+    bad = [r for r in df.collect() if r._corrupt_record is not None]
+    assert {b._corrupt_record.strip() for b in bad} >= {"NOT JSON AT ALL"}
+    assert all(b.doc_id is None for b in bad)
+    assert df.count() == 4

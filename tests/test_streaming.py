@@ -387,3 +387,40 @@ def test_window_drift_stream_matches_batch(spark, tmp_path):
     # the planted day-3 shift scores as drift on every statistic
     last = batch.iloc[-1]
     assert last["chi_square"] > 10 and last["psi"] > 0.5 and last["js_divergence"] > 0.05
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a chunked stream == batch
+    dropDuplicates, when duplicates arrive within the horizon."""
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for i in range(60):
+        # 20 distinct digests, each appearing 3x within a few minutes
+        rows.append((ts0 + pd.Timedelta(minutes=i), f"d{i % 20}", i))
+    pdf = pd.DataFrame(rows, columns=["ts", "digest", "payload"])
+    schema = "ts timestamp, digest string, payload long"
+    batch_df = spark.createDataFrame(pdf, schema=schema)
+    batch_keys = {
+        r.digest for r in streaming.stream_exact_dedup(batch_df, ["digest"]).collect()
+    }
+    assert len(batch_keys) == 20
+
+    src = str(tmp_path / "dedup-src")
+    os.makedirs(src, exist_ok=True)
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src + "/part-00000")
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(src + "/part-*")
+    out = streaming.stream_exact_dedup(
+        stream_df, ["digest"], ts_col="ts", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream_out").toPandas()
+    assert set(got["digest"]) == batch_keys
+    assert len(got) == 20  # exactly one survivor per key
