@@ -183,6 +183,33 @@ def q_dup_ngram_fraction(spark, sf_dir):
     return textops.dup_ngram_fraction(d, "doc_id", "text", n=3, hot_df=2)
 
 
+def q_lang_entropy(spark, sf_dir):
+    """Per-source Shannon entropy of the lang distribution — the
+    class-balance/diversity report (NULL is its own category)."""
+    from driftval.checks.stats import category_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return category_entropy(d, "source", "lang").withColumnRenamed(
+        "group_value", "source"
+    )
+
+
+def q_fd_lang_norm(spark, sf_dir):
+    """Functional-dependency check lang -> lang_norm with planted breaks
+    (every 97th doc gets a wrong normalization): each violated LHS key
+    surfaces with its distinct-RHS count."""
+    from driftval.checks.stats import fd_violations
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "lang",
+        F.when(F.col("doc_id") % 97 == 0, F.lit("XX"))
+        .otherwise(F.upper(F.col("lang")))
+        .alias("lang_norm"),
+    )
+    return fd_violations(aug, ["lang"], "lang_norm")
+
+
 def q_robust_outliers_len(spark, sf_dir):
     """Per-source robust (median/MAD modified-z) outlier summary of
     content length — the outlier check extreme rows cannot drag."""
@@ -792,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_lang_psi_js": q_drift_lang_psi_js,
         "drift_len_ks": q_drift_len_ks,
         "robust_outliers_len": q_robust_outliers_len,
+        "lang_entropy": q_lang_entropy,
+        "fd_lang_norm": q_fd_lang_norm,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "fidelity_sha256": q_fidelity_sha256,
         "lineage_xor": q_lineage_xor,
@@ -1215,6 +1244,31 @@ WITH hist AS (
 SELECT pv AS source, round(max(abs(cb - cc)), 8) AS ks_stat,
        first(nb)::BIGINT AS n_base, first(nc)::BIGINT AS n_cur
 FROM cum GROUP BY pv
+""",
+        "lang_entropy": """
+WITH counts AS (
+  SELECT source AS group_value, COALESCE(lang, '<null>') AS v, count(*)::DOUBLE AS c
+  FROM documents GROUP BY 1, 2
+), totals AS (
+  SELECT group_value, sum(c) AS n, count(*)::BIGINT AS n_values FROM counts GROUP BY 1
+)
+SELECT c.group_value AS source,
+       first(t.n)::BIGINT AS n_rows,
+       first(t.n_values) AS n_values,
+       round(sum(-(c.c / t.n) * ln(c.c / t.n)), 8) AS entropy,
+       round(CASE WHEN first(t.n_values) > 1
+                  THEN sum(-(c.c / t.n) * ln(c.c / t.n)) / ln(first(t.n_values))
+                  ELSE 0.0 END, 8) AS norm_entropy
+FROM counts c JOIN totals t USING (group_value) GROUP BY 1
+""",
+        "fd_lang_norm": """
+WITH aug AS (
+  SELECT lang,
+         CASE WHEN doc_id % 97 = 0 THEN 'XX' ELSE upper(lang) END AS lang_norm
+  FROM documents
+)
+SELECT lang, count(DISTINCT lang_norm)::BIGINT AS n_rhs_values, count(*)::BIGINT AS n_rows
+FROM aug GROUP BY 1 HAVING count(DISTINCT lang_norm) > 1
 """,
         "robust_outliers_len": """
 WITH src AS (

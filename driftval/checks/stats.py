@@ -293,3 +293,75 @@ def robust_outlier_verdicts(
         F.lit(float(rate_threshold)).alias("threshold"),
         F.col("n_outliers").cast("long").alias("violation_count"),
     )
+
+
+def category_entropy(
+    df: DataFrame, group_col: str, value_col: str, round_digits: int = 8
+) -> DataFrame:
+    """Per-group Shannon entropy (nats) of a categorical column's
+    distribution: ``(group, n_rows, n_values, entropy, norm_entropy)`` —
+    the class-balance report for label-ish columns (a lang column whose
+    entropy collapses release-over-release means the corpus is losing
+    diversity; norm_entropy = entropy / ln(n_values) ∈ [0,1] is comparable
+    across domains of different size). NULLs count as a category of their
+    own (absence is a class worth monitoring).
+
+    Two chained hash aggregates — (group, value) counts, then the entropy
+    fold per group; shuffle is bounded by the value domain.
+    """
+    g = F.col(group_col)
+    v = F.coalesce(F.col(value_col).cast("string"), F.lit("<null>"))
+    counts = df.groupBy(g.alias("group_value"), v.alias("_v")).agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    # no window: totals via a second aggregate + broadcast join back
+    totals = counts.groupBy("group_value").agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).cast("long").alias("n_values")
+    )
+    ent = (
+        counts.join(F.broadcast(totals), "group_value")
+        .groupBy("group_value")
+        .agg(
+            F.first("_n").cast("long").alias("n_rows"),
+            F.first("n_values").alias("n_values"),
+            F.sum(
+                -(F.col("_c") / F.col("_n")) * F.log(F.col("_c") / F.col("_n"))
+            ).alias("_h"),
+        )
+    )
+    return ent.select(
+        "group_value",
+        "n_rows",
+        "n_values",
+        F.round("_h", round_digits).alias("entropy"),
+        F.round(
+            F.when(F.col("n_values") > 1, F.col("_h") / F.log(F.col("n_values").cast("double")))
+            .otherwise(F.lit(0.0)),
+            round_digits,
+        ).alias("norm_entropy"),
+    )
+
+
+def fd_violations(
+    df: DataFrame, lhs_cols: list[str], rhs_col: str
+) -> DataFrame:
+    """Functional-dependency check ``lhs -> rhs``: LHS keys that map to MORE
+    than one distinct RHS value — ``(lhs..., n_rhs_values, n_rows)``, empty
+    iff the dependency holds. The cross-column consistency constraint
+    (one repo -> one default branch, one commit -> one author date) that
+    per-column stats can't express.
+
+    One hash aggregate on the LHS key with an exact distinct on RHS (state
+    per key = its distinct RHS set — small when the FD is near-true, which
+    is the only regime worth checking), then a filter. Violation ROWS are a
+    semi-join of the source against this frame.
+    """
+    lhs = [F.col(c) for c in lhs_cols]
+    return (
+        df.groupBy(*lhs)
+        .agg(
+            F.count_distinct(F.col(rhs_col)).cast("long").alias("n_rhs_values"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .where(F.col("n_rhs_values") > 1)
+    )

@@ -10,6 +10,7 @@
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from driftval import textops
 
@@ -196,3 +197,37 @@ def test_unigram_logprob_values(spark):
     # rare-token doc scores strictly worse than the common-token doc
     assert got[2]["mean_neg_logprob"] > got[1]["mean_neg_logprob"]
     assert got[3]["n_tokens"] == 0 and got[3]["mean_neg_logprob"] is None
+
+
+def test_category_entropy_values(spark):
+    import math
+    from driftval.checks.stats import category_entropy
+
+    df = spark.createDataFrame(
+        [("g1", "a")] * 2 + [("g1", "b")] * 2 + [("g2", "a")] * 4 + [("g3", None), ("g3", "a")],
+        "grp string, v string",
+    )
+    got = {r.group_value: r.asDict() for r in category_entropy(df, "grp", "v").collect()}
+    # g1: uniform over 2 -> ln 2, norm 1.0
+    assert got["g1"]["entropy"] == pytest.approx(math.log(2), abs=1e-8)
+    assert got["g1"]["norm_entropy"] == pytest.approx(1.0)
+    # g2: single category -> 0, norm 0 (degenerate domain)
+    assert got["g2"] == {"group_value": "g2", "n_rows": 4, "n_values": 1, "entropy": 0.0, "norm_entropy": 0.0}
+    # g3: NULL is its own category -> uniform over {<null>, a}
+    assert got["g3"]["n_values"] == 2
+    assert got["g3"]["entropy"] == pytest.approx(math.log(2), abs=1e-8)
+
+
+def test_fd_violations(spark):
+    from driftval.checks.stats import fd_violations
+
+    df = spark.createDataFrame(
+        [("r1", "main"), ("r1", "main"), ("r2", "main"), ("r2", "dev"), ("r3", "main")],
+        "repo string, branch string",
+    )
+    got = {r.repo: (r.n_rhs_values, r.n_rows) for r in fd_violations(df, ["repo"], "branch").collect()}
+    # only r2 maps to two branches
+    assert got == {"r2": (2, 2)}
+    # holds -> empty
+    clean = df.where(F.col("repo") != "r2")
+    assert fd_violations(clean, ["repo"], "branch").count() == 0
