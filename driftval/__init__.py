@@ -8,12 +8,21 @@ re-expressed Spark-first per SURVEY.md:
 - per-column stats constraints (null-rate, min/max, HLL distinct, type conformance)
 - uniqueness on key tuples via salted groupBy-count
 - referential integrity via broadcast anti-join
-- distribution drift: chi-square / KL on binned histograms, CDCStream/DILCA and
-  CDDA rough-set drift (bit-for-bit block-level fidelity with the reference),
-  and an MDL/StreamKrimp-style codetable comparison
+- distribution drift: chi-square / KL / PSI / Jensen-Shannon on binned
+  histograms, exact two-sample Kolmogorov-Smirnov, embedding centroid drift,
+  CDCStream/DILCA and CDDA rough-set drift (bit-for-bit block-level fidelity
+  with the reference), and an MDL/StreamKrimp-style codetable comparison
+- data-quality companions: one-pass multi-column profiler, robust median/MAD
+  outliers, categorical entropy, functional-dependency violations,
+  credential/PII scanning
 - checkpoint/resume with per-partition lineage
-- training-data utilities: dedup (exact/minhash/simhash/ngram-jaccard),
-  embedding similarity search, text quality/langid/token stats
+- training-data utilities: dedup (exact/minhash/simhash-hamming/ngram-jaccard,
+  connected components + quality-ranked canonical selection, cross-document
+  boilerplate-line removal), embedding similarity search (brute-force / LSH /
+  multi-probe IVF), text quality/langid/token stats, unigram-LM scoring,
+  deterministic + stratified sampling, decontamination
+- Structured Streaming forms: foreachBatch CDCStream, stateful CDDA, windowed
+  constraints + histogram drift, watermarked exact dedup
 
 All heavy stages are DataFrame aggregations or Arrow-vectorized pandas UDFs; the
 only sequential state (the drift decision series) is O(#blocks) on the driver.

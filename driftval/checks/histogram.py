@@ -47,47 +47,62 @@ def _smoothed(
     """The shared smoothing core: per (current partition, bin-domain-union
     bin) observed counts with totals, plus the additive-smoothed
     ``(p_base, p_cur)`` column expressions. Both drift families (chi²/KL and
-    PSI/JS) aggregate over this one tiny frame.
+    PSI/JS) aggregate over this one tiny frame. ``hist`` must already be
+    grouped (one row per (partition_value, bin) — what :func:`histogram`
+    emits).
 
-    The input histogram is persisted here: the smoothing tree references it
-    from ~10 subtrees (base, cur, the bin-domain union, both sides of the
-    domain join), and without materialization Spark re-runs the upstream
-    scan+aggregate for every reference — measured 9.3s → 2.3s on a
-    windowed-events histogram at sf0.1. The frame is O(partitions × bins) (KBs), so
-    leaving it cached until context-cleaner GC is deliberate."""
-    hist = hist.persist()
-    base = (
-        hist.where(F.col("partition_value").isin(baseline_partitions))
-        .groupBy("bin")
-        .agg(F.sum("cnt").alias("base_cnt"))
+    Plan shape: the naive domain-completion formulation (baseline frame +
+    current frame + bin-union cross join + two left joins + a totals join
+    back) references ``hist`` from ~10 subtrees, and Spark re-runs the
+    upstream scan+aggregate for EVERY reference (measured 9.3s on a
+    windowed-events histogram at sf0.1; persisting fixed that but taxed
+    every small query ~1s for the materialization). Instead, ONE pass over
+    ``hist`` folds each bin's pooled baseline count and a current-partition
+    count map; the (tiny) current-partition list cross-joins that, the map
+    lookup completes the domain, and per-partition totals come from windows
+    over the (partitions × bins) frame — bounded by the bin domain, so the
+    window is over KBs, not data. ``hist`` is computed exactly twice
+    (bin fold + partition list), cache-free.
+
+    NULL bins are excluded BY CONTRACT: drift compares the non-null
+    distribution — missingness belongs to the V1 null-rate check (and
+    ``category_entropy``, which counts NULL deliberately). The same policy
+    as :func:`ks_stats`. (The previous formulation dropped null-bin counts
+    silently through equi-join misses; this makes it explicit.)"""
+    hist = hist.where(F.col("bin").isNotNull())
+    pv = F.col("partition_value")
+    in_base = pv.isin(baseline_partitions)
+    binrows = hist.groupBy("bin").agg(
+        F.coalesce(F.sum(F.when(in_base, F.col("cnt"))), F.lit(0))
+        .cast("double")
+        .alias("ob"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(~in_base, F.struct(pv.alias("k"), F.col("cnt").alias("v")))
+            )
+        ).alias("_cur"),
     )
-    cur = hist.where(~F.col("partition_value").isin(baseline_partitions)).select(
-        "partition_value", "bin", F.col("cnt").alias("cur_cnt")
+    parts = hist.where(~in_base).select("partition_value").distinct()
+    joined = F.broadcast(parts).crossJoin(binrows).select(
+        "partition_value",
+        "bin",
+        F.col("ob"),
+        F.coalesce(F.col("_cur")[pv], F.lit(0)).cast("double").alias("oc"),
     )
 
-    # Union of bins per current partition: full outer on bin, replicated per
-    # partition via a cross-ish join on the bin key (both sides are tiny).
-    parts = cur.select("partition_value").distinct()
-    domain = parts.crossJoin(base.select("bin").union(cur.select("bin")).distinct())
-    joined = (
-        domain.join(base, "bin", "left")
-        .join(cur, ["partition_value", "bin"], "left")
-        .select(
-            "partition_value",
-            "bin",
-            F.coalesce("base_cnt", F.lit(0)).cast("double").alias("ob"),
-            F.coalesce("cur_cnt", F.lit(0)).cast("double").alias("oc"),
-        )
-    )
+    from pyspark.sql import Window
 
+    w = Window.partitionBy("partition_value")
     a = F.lit(float(alpha))
-    totals = joined.groupBy("partition_value").agg(
-        F.sum("ob").alias("n_base"),
-        F.sum("oc").alias("n_cur"),
-        F.count(F.lit(1)).alias("n_bins"),
+    ex = joined.select(
+        "partition_value",
+        "bin",
+        "ob",
+        "oc",
+        F.sum("ob").over(w).alias("n_base"),
+        F.sum("oc").over(w).alias("n_cur"),
+        F.count(F.lit(1)).over(w).alias("n_bins"),
     )
-    ex = joined.join(F.broadcast(totals), "partition_value")
-
     p_base = (F.col("ob") + a) / (F.col("n_base") + a * F.col("n_bins"))
     p_cur = (F.col("oc") + a) / (F.col("n_cur") + a * F.col("n_bins"))
     return ex, p_base, p_cur
