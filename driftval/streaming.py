@@ -36,7 +36,6 @@ streaming and batch answers are bit-comparable:
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
