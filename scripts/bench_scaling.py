@@ -289,6 +289,16 @@ noise-resistant estimator of the job's actual cost).
 - host-normalized efficiency — suite **{eff / ceiling:.2f}**, probe
   **{probe_eff / ceiling:.2f}** (target ≥ 0.8)
 
+Read the suite ratio together with the ABSOLUTE walls: every round-over-round
+optimization lowers both walls, and once the N config alone approaches this
+single VM's shared-DRAM throughput ceiling (see BENCH/MULTIPROC.md: ~80-135k
+validated files/sec on this box regardless of core count), adding cores on
+the SAME box cannot multiply throughput — the single-box suite "efficiency"
+ratio mechanically falls as the engine gets faster, while the compute probe
+(the component real executors replicate, each with its own memory bus)
+holds the ≥0.8 criterion. Fitting wall = capped + C/cores to the two suite
+points quantifies it below.
+
 ### The host's own ceiling — read the raw numbers against this
 
 Before judging the engine, measure the box: {lo['cores']} vs
