@@ -508,6 +508,16 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF cluster -> within-cluster cosine
+    pairs (>= 0.25, the corpus's near-dup regime) -> connected components ->
+    min-id keep list."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.semantic_dedup(
+        e, "vec_id", "embedding", threshold=NEAR_DUP_THRESHOLD, n_centroids=8
+    )
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF single-probe ANN with a deterministic coarse quantizer."""
     e = _t(spark, sf_dir, "embeddings")
@@ -854,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_drift": q_centroid_drift,
+        "semantic_dedup": q_semantic_dedup,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_multiprobe": q_knn_ivf_multiprobe,
         "knn_ivf_trained": q_knn_ivf_trained,
@@ -1760,6 +1771,40 @@ WITH v AS (
   FROM cands
 )
 SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= 5
+""",
+        "semantic_dedup": f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS vec FROM embeddings
+), c AS (
+  SELECT _id AS cluster_id, vec AS centroid FROM v WHERE _id < 8
+), scored AS (
+  SELECT v._id, v.vec, c.cluster_id,
+         round(list_dot_product(v.vec, c.centroid) /
+               (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS csim
+  FROM v CROSS JOIN c
+), assigned AS (
+  SELECT _id, vec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id ORDER BY csim DESC, cluster_id ASC) AS rk FROM scored
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT a._id AS id_a, b._id AS id_b
+  FROM assigned a JOIN assigned b ON a.cluster_id = b.cluster_id AND a._id < b._id
+  WHERE round(list_dot_product(a.vec, b.vec) /
+              (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+        >= {NEAR_DUP_THRESHOLD}
+), und AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), r AS (
+  SELECT id_a AS node, id_b AS reach FROM und
+  UNION
+  SELECT r.node, u.id_b FROM r JOIN und u ON r.reach = u.id_a
+), comp AS (
+  SELECT node AS doc_id, least(node, min(reach))::BIGINT AS component_id
+  FROM r GROUP BY node
+)
+SELECT comp.doc_id AS vec_id, a.cluster_id, comp.component_id,
+       (CASE WHEN comp.doc_id = comp.component_id THEN 1 ELSE 0 END)::INT AS is_kept
+FROM comp JOIN assigned a ON a._id = comp.doc_id
 """,
         "knn_ivf_multiprobe": """
 WITH v AS (

@@ -582,3 +582,80 @@ def centroid_drift(
             "n_vecs",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    train_iters: int = 0,
+    cluster_cap: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    methodology): coarse-cluster the embeddings, find within-cluster pairs
+    with cosine ≥ ``threshold``, connect them into components, keep the
+    min-id member — ``(id, cluster_id, component_id, is_kept)`` for every
+    vector that has at least one semantic duplicate (vectors with none are
+    trivially kept and not emitted, matching :func:`driftval.textops.
+    dup_components` semantics).
+
+    Scale shape: the quantizer bounds pair generation to within-cluster —
+    expected cluster size is N/n_centroids, so n_centroids MUST scale with
+    the corpus (the paper's regime; the cosine compares are then O(N²/k)).
+    The pair join is a cluster-id equi-join with norms precomputed once
+    (never all-pairs across clusters); ``cluster_cap`` drops over-big
+    clusters non-silently, mirroring the LSH bucket caps (report them with
+    a ``groupBy(cluster_id).count()`` before trusting a capped run). The
+    component step inherits :func:`~driftval.textops.dup_components`'s
+    adaptive strategy. For threshold-based near-dup WITHOUT the clustering
+    prior, use :func:`near_dup_pairs` (banded multi-table LSH) instead —
+    SemDeDup's contract is exactly "duplicates within a semantic cluster".
+    """
+    from driftval.textops import dup_components
+
+    centroids = (
+        train_ivf_centroids(df, id_col, vec_col, n_centroids, n_iters=train_iters)
+        if train_iters > 0
+        else None
+    )
+    aw = assign_ivf_cluster(df, id_col, vec_col, n_centroids, centroids=centroids)
+    if cluster_cap is not None:
+        big = (
+            aw.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > cluster_cap)
+            .select("cluster_id")
+        )
+        aw = aw.join(big, "cluster_id", "left_anti")
+    a = aw.select(
+        "cluster_id",
+        F.col("_id").alias("id_a"),
+        F.col("_vec").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = aw.select(
+        "cluster_id",
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), round_digits
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cluster_id", "id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+    comps = dup_components(pairs.select("id_a", "id_b"))
+    clusters = aw.select(F.col("_id").alias("doc_id"), "cluster_id")
+    return comps.join(clusters, "doc_id").select(
+        F.col("doc_id").alias(id_col),
+        "cluster_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).cast("int").alias("is_kept"),
+    )

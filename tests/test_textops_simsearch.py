@@ -272,3 +272,20 @@ def test_ivf_multiprobe_recall_dial(spark):
     r1 = len(p1 & exact) / len(exact)
     r2 = len(p2 & exact) / len(exact)
     assert r1 <= r2 <= 1.0
+
+
+def test_semantic_dedup_properties(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = simsearch.semantic_dedup(emb, "vec_id", "embedding", threshold=0.25, n_centroids=8)
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    # exactly one kept member per component, and it is the min id
+    g = pdf.groupby("component_id")
+    assert (g["is_kept"].sum() == 1).all()
+    assert (g["vec_id"].min() == g.apply(lambda x: x.loc[x.is_kept == 1, "vec_id"].iloc[0], include_groups=False)).all()
+    # components never span clusters (pairs are within-cluster by construction)
+    assert (g["cluster_id"].nunique() == 1).all()
+    # impossible threshold -> nothing is a duplicate
+    assert simsearch.semantic_dedup(emb, "vec_id", "embedding", threshold=1.01).count() == 0
+    # cluster_cap=0 drops every cluster -> no pairs
+    assert simsearch.semantic_dedup(emb, "vec_id", "embedding", threshold=0.25, cluster_cap=0).count() == 0
