@@ -15,6 +15,9 @@ Subcommands:
 - ``profile``: one-pass multi-column profile (nulls, distinct, min/max) of a
   Parquet dataset or catalog table — exact distinct by default,
   ``--approx-distinct`` for the HLL single-aggregate plan at full scale.
+- ``dedup``: write a ``(drop_id, keep_id)`` duplicate drop-list — ``exact``
+  (md5 hash groups) or ``fuzzy`` (MinHash-banded candidates verified by
+  exact n-gram Jaccard, expanded through connected components).
 
 Cluster use (north rule):
 
@@ -133,6 +136,40 @@ def cmd_suite(spark, args) -> int:
     return 1 if n_fail else 0
 
 
+def cmd_dedup(spark, args) -> int:
+    from pyspark.sql import functions as F
+
+    from driftval import textops
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    idc, txt = args.id_col, args.text_col
+    if args.mode == "exact":
+        groups = textops.exact_dup_groups(files, idc, txt)
+        drops = (
+            files.select(F.md5(F.col(txt).cast("binary")).alias("text_md5"), F.col(idc))
+            .join(groups.select("text_md5", "keep_id"), "text_md5")
+            .where(F.col(idc) != F.col("keep_id"))
+            .select(F.col(idc).alias("drop_id"), F.col("keep_id"))
+        )
+    else:  # fuzzy: banded MinHash candidates + exact Jaccard verify
+        pairs = textops.fuzzy_dup_pairs(
+            files, idc, txt, n=args.ngram, threshold=args.threshold
+        )
+        comps = textops.dup_components(pairs)
+        drops = comps.where(F.col("doc_id") != F.col("component_id")).select(
+            F.col("doc_id").alias("drop_id"), F.col("component_id").alias("keep_id")
+        )
+    drops.write.mode("overwrite").parquet(args.out)
+    n_drop = spark.read.parquet(args.out).count()
+    n_total = files.count()
+    stats = textops.exact_dup_stats(files, idc, txt).first()
+    print(
+        f"{n_total} docs, {stats.distinct_texts} distinct texts, "
+        f"{n_drop} dropped ({args.mode}); drop list -> {args.out}"
+    )
+    return 0
+
+
 def cmd_profile(spark, args) -> int:
     from driftval.checks.stats import profile_columns
 
@@ -195,6 +232,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--outlier-rate-threshold", type=float, default=None,
                    help="enable median/MAD modified-z outlier-rate verdicts")
     p.set_defaults(fn=cmd_suite)
+
+    p = sub.add_parser("dedup", help="write a duplicate drop-list (exact or fuzzy)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--out", required=True, help="parquet output: (drop_id, keep_id)")
+    p.add_argument("--mode", choices=["exact", "fuzzy"], default="exact")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--ngram", type=int, default=3, help="fuzzy: shingle width")
+    p.add_argument("--threshold", type=float, default=0.8, help="fuzzy: Jaccard cut")
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("profile", help="one-pass multi-column table profile")
     src = p.add_mutually_exclusive_group(required=True)

@@ -99,3 +99,37 @@ def test_cli_profile(tmp_path):
     # column_name n_rows n_nulls null_rate n_distinct min max
     assert rows["a"][1:5] == ["4", "1", "0.25", "2"]
     assert rows["b"][1:5] == ["4", "1", "0.25", "2"]
+
+
+def test_cli_dedup_exact_and_fuzzy(tmp_path):
+    import pandas as pd
+
+    src = str(tmp_path / "dd-src")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "content": ["aaa bbb ccc ddd", "aaa bbb ccc ddd", "zzz yyy xxx www",
+                        "aaa bbb ccc ddd eee", "q w e r t"],
+        }
+    ).to_parquet(src + "/part-0.parquet")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+
+    out_exact = str(tmp_path / "drops-exact")
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "dedup", "--path", src, "--out", out_exact],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "5 docs, 4 distinct texts, 1 dropped (exact)" in r.stdout
+
+    out_fuzzy = str(tmp_path / "drops-fuzzy")
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "dedup", "--path", src, "--out", out_fuzzy,
+         "--mode", "fuzzy", "--threshold", "0.5"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # docs 1,2 exact dups; doc 4 shares 2 of 3+... shingles with them
+    # (jaccard 2/3 >= 0.5) -> component {1,2,4}, keep 1, drop 2 and 4
+    assert "2 dropped (fuzzy)" in r.stdout
