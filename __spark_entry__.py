@@ -508,6 +508,17 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_knn_graph(spark, sf_dir):
+    """Corpus-wide approximate kNN graph: every vector's top-5 cosine
+    neighbors among its banded-LSH candidates (the adjacency list for
+    graph clustering)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.knn_graph(
+        e, "vec_id", "embedding", k=5,
+        n_planes=NEAR_DUP_PLANES, n_tables=NEAR_DUP_TABLES, bucket_cap=NEAR_DUP_CAP,
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup: IVF cluster -> within-cluster cosine
     pairs (>= 0.25, the corpus's near-dup regime) -> connected components ->
@@ -864,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_drift": q_centroid_drift,
+        "knn_graph": q_knn_graph,
         "semantic_dedup": q_semantic_dedup,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_multiprobe": q_knn_ivf_multiprobe,
@@ -1744,6 +1756,35 @@ JOIN v va ON va._id = id_a
 JOIN v vb ON vb._id = id_b
 WHERE round(list_dot_product(va.vec, vb.vec) /
             (sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec))), 6) >= {NEAR_DUP_THRESHOLD}
+""",
+        "knn_graph": f"""
+WITH v AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS vec, embedding AS v FROM embeddings
+), b AS (
+  SELECT _id, 0 AS tbl, ({_bucket_sql(NEAR_DUP_PLANES, 0)})::BIGINT AS bucket FROM v
+  UNION ALL
+  SELECT _id, 1, ({_bucket_sql(NEAR_DUP_PLANES, NEAR_DUP_PLANES)})::BIGINT FROM v
+), ok AS (
+  SELECT tbl, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= {NEAR_DUP_CAP}
+), bk AS (
+  SELECT b.* FROM b JOIN ok USING (tbl, bucket)
+), cand AS (
+  SELECT DISTINCT l._id AS id_a, r._id AS id_b
+  FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l._id < r._id
+), scored AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(va.vec, vb.vec) /
+               (sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec))), 6) AS sim
+  FROM cand JOIN v va ON va._id = id_a JOIN v vb ON vb._id = id_b
+), bidir AS (
+  SELECT id_a AS query_id, id_b AS neighbor_id, sim FROM scored
+  UNION ALL
+  SELECT id_b, id_a, sim FROM scored
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM bidir
+)
+SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM ranked WHERE rank <= 5
 """,
         "knn_ivf": """
 WITH v AS (

@@ -659,3 +659,51 @@ def semantic_dedup(
         "component_id",
         (F.col("doc_id") == F.col("component_id")).cast("int").alias("is_kept"),
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    bucket_cap: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate corpus-wide kNN graph: for EVERY vector, its top-``k``
+    cosine neighbors among its LSH candidates — ``(query_id, neighbor_id,
+    sim, rank)``, the adjacency list graph-based clustering / SemDeDup-graph
+    variants consume. Unlike :func:`knn_bruteforce` (small query set vs the
+    whole corpus), every vector is a query, so candidate generation MUST be
+    sub-quadratic: pairs come from :func:`near_dup_candidates` (banded
+    multi-table hyperplane LSH, bucket-cap defense), each undirected
+    candidate pair scores ONCE, and both directions enter the per-node
+    top-k.
+
+    Scale shape: bucket equi-joins for candidates; one cosine per candidate
+    pair with norms precomputed; per-node top-k via the two-phase
+    partial+merge aggregate (no global window). Recall follows the LSH
+    knobs — raise ``n_planes`` ≈ log2(N) and recover recall with more
+    tables, exactly as :func:`near_dup_candidates` documents. Nodes with no
+    candidate neighbor are absent from the output (an isolated node has no
+    edges).
+    """
+    cands = near_dup_candidates(df, id_col, vec_col, n_planes, n_tables, bucket_cap)
+    wb = with_norm(df, id_col, vec_col)
+    va = wb.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), F.col("_n").alias("_na"))
+    vb = wb.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), F.col("_n").alias("_nb"))
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), round_digits
+    )
+    scored = (
+        cands.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", sim.alias("sim"))
+    )
+    both = scored.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"), "sim"
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id"), "sim"
+        )
+    )
+    return _topk(both, k)

@@ -289,3 +289,25 @@ def test_semantic_dedup_properties(spark):
     assert simsearch.semantic_dedup(emb, "vec_id", "embedding", threshold=1.01).count() == 0
     # cluster_cap=0 drops every cluster -> no pairs
     assert simsearch.semantic_dedup(emb, "vec_id", "embedding", threshold=0.25, cluster_cap=0).count() == 0
+
+
+def test_knn_graph_covers_and_ranks(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    g = simsearch.knn_graph(emb, "vec_id", "embedding", k=3).toPandas()
+    # every node with candidates gets at most k edges, ranked 1..n by sim desc
+    per = g.groupby("query_id")
+    assert (per.size() <= 3).all()
+    for _, grp in per:
+        srt = grp.sort_values("rank")
+        assert list(srt["rank"]) == list(range(1, len(grp) + 1))
+        assert (srt["sim"].diff().dropna() <= 1e-12).all()
+    # no self-edges
+    assert (g["query_id"] != g["neighbor_id"]).all()
+    # edges come from LSH candidates, so each ranked list is a subset of the
+    # brute-force candidates' order: rank-1 sim can never EXCEED the true
+    # nearest neighbor's sim
+    bf = simsearch.knn_bruteforce(emb, "vec_id", "embedding", list(range(20)), k=1).toPandas()
+    top = g[g["rank"] == 1].set_index("query_id")["sim"]
+    for _, r in bf.iterrows():
+        if r.query_id in top.index:
+            assert top[r.query_id] <= r.sim + 1e-9
