@@ -414,6 +414,28 @@ def _write_violation_rows(
                 )
             )
 
+    if cfg.outlier_rate_threshold is not None:
+        # the length-outlier check is row-localizable (unlike the
+        # distribution-level drift checks): emit each offending row with its
+        # modified z-score — per-partition median/MAD broadcast back onto the
+        # derived frame, so the extraction is one filter, output ∝ outliers
+        from driftval.checks.stats import robust_outlier_stats
+
+        stats = robust_outlier_stats(derived_pending, pcol, LEN_COL).select(
+            F.col("partition_value").alias("_opv"), "median", "mad"
+        )
+        z = F.abs(F.col(LEN_COL) - F.col("median")) / (F.lit(1.4826) * F.col("mad"))
+        frames.append(
+            shape(
+                derived_pending.join(
+                    F.broadcast(stats),
+                    F.col(pcol).cast("string") == F.col("_opv"),
+                ).where((F.col("mad") > 0) & (z > 3.5)),
+                "outliers:content_len",
+                F.round(z, 4),
+            )
+        )
+
     dup_rows = uniqueness_violations(
         files.select(pcol, *key_cols), key_cols, cfg.num_salts
     ).where(F.col(pcol).cast("string").isin(pending))

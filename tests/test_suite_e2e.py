@@ -351,6 +351,7 @@ def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
     v = run_suite(
         spark, planted, cfg, str(base / "ckpt"), run_id="rc",
         dim_repos=dims[0], dim_commits=dims[1],
+        violations_path=str(base / "viol"),
     ).toPandas()
 
     n_parts = v["partition_value"].nunique()
@@ -373,6 +374,20 @@ def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
         sub = v[v["check_name"] == name].set_index("partition_value")
         assert not sub.loc["2026-01-05"].passed, name
         assert sub.drop(index="2026-01-05")["passed"].all(), name
+
+    # the outlier check is row-localizable: every planted row lands in the
+    # violations dataset with its modified z-score
+    viol = (
+        spark.read.parquet(str(base / "viol"))
+        .where(F.col("check_name") == "outliers:content_len")
+        .toPandas()
+    )
+    n_planted = planted.where(
+        (F.col("part_date") == "2026-01-07") & (F.length("content") > 20_000)
+    ).count()
+    in_7 = viol[viol["partition_value"] == "2026-01-07"]
+    assert len(in_7) >= n_planted > 0
+    assert (in_7["detail"].astype(float) > 3.5).all()
 
     # defaults keep the companions off (headline suite cost unchanged)
     cfg_off = SuiteConfig(baseline_partitions=BASELINE, block_size=300)
