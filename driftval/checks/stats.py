@@ -88,7 +88,29 @@ class TypeConformance:
         return col.isNotNull() & ~ok
 
 
-StatsConstraint = NullRate | Bounds | DistinctCount | TypeConformance
+@dataclass(frozen=True)
+class PredicateRate:
+    """Generic row-predicate constraint (Deequ's ``satisfies``): the fraction
+    of rows where ``predicate`` (a SQL boolean expression over the row) is
+    FALSE or NULL must be <= ``max_rate``. The escape hatch for cross-column
+    business rules the typed constraints can't express
+    (``"n_lines > 0 OR lang = 'binary'"``, ``"ends_ts >= starts_ts"``) —
+    still evaluated inside the same single aggregation pass."""
+
+    predicate: str
+    max_rate: float = 0.0
+    label: str = "predicate"
+
+    @property
+    def name(self) -> str:
+        return f"satisfies:{self.label}"
+
+    def violation_predicate(self) -> Column:
+        ok = F.expr(self.predicate)
+        return ~F.coalesce(ok, F.lit(False))
+
+
+StatsConstraint = NullRate | Bounds | DistinctCount | TypeConformance | PredicateRate
 
 
 def stats_verdicts(
@@ -108,7 +130,7 @@ def stats_verdicts(
             aggs.append(
                 F.approx_count_distinct(c.column, c.rsd).cast("double").alias(f"_m{i}")
             )
-        elif isinstance(c, TypeConformance):
+        elif isinstance(c, (TypeConformance, PredicateRate)):
             aggs.append(
                 F.avg(c.violation_predicate().cast("double")).alias(f"_m{i}")
             )
@@ -139,7 +161,7 @@ def stats_verdicts(
             passed = (metric >= F.lit(float(c.lo))) & (metric <= F.lit(float(c.hi)))
             threshold = F.lit(float(c.hi))
             violations = F.when(passed, F.lit(0)).otherwise(F.lit(-1)).cast("long")
-        else:  # TypeConformance
+        else:  # TypeConformance / PredicateRate (same metric contract)
             metric = F.col(f"_m{i}")
             passed = metric <= F.lit(c.max_rate)
             threshold = F.lit(float(c.max_rate))

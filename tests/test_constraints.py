@@ -136,3 +136,33 @@ def test_length_bin_portable(spark):
     df = spark.createDataFrame([(0,), (1,), (7,), (8,), (1023,)], "x long")
     got = [r[0] for r in df.select(length_bin(F.col("x"))).collect()]
     assert got == [0, 1, 3, 3, 10]
+
+
+def test_predicate_rate_constraint(spark):
+    from driftval.checks.stats import PredicateRate, stats_verdicts
+
+    df = spark.createDataFrame(
+        [("p1", 5, 1), ("p1", 3, 2), ("p1", None, 3), ("p2", 9, 1)],
+        "part string, a int, b int",
+    )
+    # cross-column rule: a > b; NULL a counts as a violation (NULL-safe)
+    out = {
+        r.partition_value: r.asDict()
+        for r in stats_verdicts(
+            df, "part", [PredicateRate("a > b", max_rate=0.4, label="a_gt_b")]
+        ).collect()
+    }
+    p1 = out["p1"]
+    assert p1["check_name"] == "satisfies:a_gt_b"
+    # rows (3,2) passes; (5,1) passes; (None,3) violates -> rate 1/3 <= 0.4
+    assert p1["passed"] and p1["violation_count"] == 1
+    assert p1["metric"] == pytest.approx(1 / 3)
+    assert out["p2"]["passed"] and out["p2"]["violation_count"] == 0
+    # tighter threshold flips it
+    strict = {
+        r.partition_value: r.passed
+        for r in stats_verdicts(
+            df, "part", [PredicateRate("a > b", max_rate=0.0, label="a_gt_b")]
+        ).collect()
+    }
+    assert not strict["p1"] and strict["p2"]
