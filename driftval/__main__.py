@@ -105,10 +105,26 @@ def cmd_stream(spark, args) -> int:
     return 0
 
 
+def _parse_satisfies(specs: list[str]):
+    """``label=max_rate:SQL predicate`` → PredicateRate list (the generic
+    cross-column rule, e.g. ``--satisfies "len_pos=0.0:length(content) > 0"``)."""
+    from driftval.checks.stats import PredicateRate
+
+    out = []
+    for spec in specs or []:
+        head, _, predicate = spec.partition(":")
+        label, _, rate = head.partition("=")
+        if not predicate or not label or not rate:
+            raise SystemExit(f"--satisfies expects label=max_rate:SQL, got {spec!r}")
+        out.append(PredicateRate(predicate, max_rate=float(rate), label=label))
+    return out
+
+
 def cmd_suite(spark, args) -> int:
     from driftval.suite import SuiteConfig, run_suite
 
     files = read_files_table(spark, path=args.path, table=args.table)
+    extra = _parse_satisfies(args.satisfies)
     cfg = SuiteConfig(
         baseline_partitions=args.baseline.split(","),
         partition_col=args.partition_col,
@@ -119,6 +135,7 @@ def cmd_suite(spark, args) -> int:
         js_threshold=args.js_threshold,
         ks_threshold=args.ks_threshold,
         outlier_rate_threshold=args.outlier_rate_threshold,
+        extra_constraints=extra,
     )
     dim_repos = spark.read.parquet(args.dim_repos) if args.dim_repos else None
     dim_commits = spark.read.parquet(args.dim_commits) if args.dim_commits else None
@@ -231,6 +248,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable exact two-sample KS verdicts on content length")
     p.add_argument("--outlier-rate-threshold", type=float, default=None,
                    help="enable median/MAD modified-z outlier-rate verdicts")
+    p.add_argument("--satisfies", action="append", default=[],
+                   help="extra rule 'label=max_rate:SQL predicate' (repeatable)")
     p.set_defaults(fn=cmd_suite)
 
     p = sub.add_parser("dedup", help="write a duplicate drop-list (exact or fuzzy)")

@@ -91,6 +91,9 @@ class SuiteConfig:
     lang_col: str = "lang"
     path_col: str = "path"
     stats_constraints: list[StatsConstraint] = field(default_factory=list)
+    # Appended to whichever constraint set runs (defaults or custom) —
+    # the CLI's --satisfies rules land here.
+    extra_constraints: list[StatsConstraint] = field(default_factory=list)
     block_size: int = 500
     drift_coefficient: float = 3.0
     min_change_degree: float = 0.35
@@ -518,12 +521,21 @@ def run_suite(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     derived_pending = derived.where(F.col(pcol).cast("string").isin(pending))
 
-    if cfg.stats_constraints:
+    if cfg.stats_constraints or cfg.extra_constraints:
         # custom constraints may reference arbitrary raw columns
         scoped_raw = files.where(F.col(pcol).cast("string").isin(pending))
-        frames: list[DataFrame] = [stats_verdicts(scoped_raw, pcol, cfg.stats_constraints)]
+    if cfg.stats_constraints:
+        frames: list[DataFrame] = [
+            stats_verdicts(
+                scoped_raw, pcol, cfg.stats_constraints + cfg.extra_constraints
+            )
+        ]
     else:
         frames = [stats_verdicts(derived_pending, pcol, _derived_default_constraints(cfg))]
+        if cfg.extra_constraints:
+            # extras ADD to the defaults (one more pass over the raw frame —
+            # they may reference columns the derived pass dropped)
+            frames.append(stats_verdicts(scoped_raw, pcol, cfg.extra_constraints))
 
     if cfg.secret_patterns:
         frames.append(secret_suite_verdicts(derived_pending, cfg))

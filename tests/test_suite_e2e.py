@@ -396,3 +396,28 @@ def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
         dim_repos=dims[0], dim_commits=dims[1],
     ).toPandas()
     assert not v_off["check_name"].str.startswith(("psi:", "js:", "ks:", "outliers:")).any()
+
+
+def test_extra_satisfies_constraints(spark, files_sdf, dims, tmp_path_factory):
+    """extra_constraints ADD to the default set (the CLI's --satisfies path):
+    a cross-column rule appears in the matrix alongside the defaults."""
+    from driftval.checks.stats import PredicateRate
+    from driftval.__main__ import _parse_satisfies
+
+    parsed = _parse_satisfies(["len_ok=0.0:length(content) > 0 AND repo IS NOT NULL"])
+    assert parsed == [
+        PredicateRate("length(content) > 0 AND repo IS NOT NULL", 0.0, "len_ok")
+    ]
+    cfg = SuiteConfig(
+        baseline_partitions=BASELINE, block_size=300, extra_constraints=parsed
+    )
+    base = tmp_path_factory.mktemp("satisfies")
+    v = run_suite(
+        spark, files_sdf, cfg, str(base / "ckpt"), run_id="rx",
+        dim_repos=dims[0], dim_commits=dims[1],
+    ).toPandas()
+    sat = v[v["check_name"] == "satisfies:len_ok"]
+    n_parts = v["partition_value"].nunique()
+    assert len(sat) == n_parts and sat["passed"].all()
+    # defaults still present alongside the extra rule
+    assert (v["check_name"] == "null_rate:lang").sum() == n_parts
