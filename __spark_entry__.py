@@ -1094,7 +1094,8 @@ WHERE len(list_intersect(da.shs, db.shs))::DOUBLE /
 
 _DRIFT_SQL_TMPL = """
 WITH hist AS (
-  SELECT source, {bin_expr} AS bin, count(*)::DOUBLE AS cnt FROM documents GROUP BY 1, 2
+  SELECT source, {bin_expr} AS bin, count(*)::DOUBLE AS cnt FROM documents
+  WHERE {bin_expr} IS NOT NULL GROUP BY 1, 2
 ), base AS (
   SELECT bin, sum(cnt) AS base_cnt FROM hist WHERE source = 'src0' GROUP BY 1
 ), cur AS (
@@ -1129,7 +1130,8 @@ FROM ex GROUP BY source
 # PSI = Σ(p_cur-p_base)·ln(p_cur/p_base) and JS = ½KL(p‖m)+½KL(q‖m).
 _PSI_JS_SQL_TMPL = """
 WITH hist AS (
-  SELECT source, {bin_expr} AS bin, count(*)::DOUBLE AS cnt FROM documents GROUP BY 1, 2
+  SELECT source, {bin_expr} AS bin, count(*)::DOUBLE AS cnt FROM documents
+  WHERE {bin_expr} IS NOT NULL GROUP BY 1, 2
 ), base AS (
   SELECT bin, sum(cnt) AS base_cnt FROM hist WHERE source = 'src0' GROUP BY 1
 ), cur AS (
@@ -2022,7 +2024,7 @@ FROM events GROUP BY 1
 WITH hist AS (
   SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS pv,
          event_type AS bin, count(*)::DOUBLE AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 ), base AS (
   SELECT bin, sum(cnt) AS base_cnt FROM hist
   WHERE pv IN ({", ".join(f"'{p}'" for p in WINDOW_DRIFT_BASELINE)}) GROUP BY 1

@@ -246,27 +246,29 @@ def ks_stats(
         .where(F.col("v").isNotNull())
         .groupBy("partition_value", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
-    base = (
-        hist.where(F.col("partition_value").isin(baseline_partitions))
-        .groupBy("v")
-        .agg(F.sum("cnt").alias("ob"))
+    # Same cache-free domain completion as _smoothed: one pass folds each
+    # value's pooled baseline count + a current-partition count map, the
+    # tiny partition list cross-joins it — hist computes exactly twice, no
+    # persist (and therefore no session cache leak).
+    pv = F.col("partition_value")
+    in_base = pv.isin(baseline_partitions)
+    valrows = hist.groupBy("v").agg(
+        F.coalesce(F.sum(F.when(in_base, F.col("cnt"))), F.lit(0))
+        .cast("double")
+        .alias("ob"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(~in_base, F.struct(pv.alias("k"), F.col("cnt").alias("c")))
+            )
+        ).alias("_cur"),
     )
-    cur = hist.where(~F.col("partition_value").isin(baseline_partitions)).select(
-        "partition_value", "v", F.col("cnt").alias("oc")
-    )
-    parts = cur.select("partition_value").distinct()
-    domain = parts.crossJoin(base.select("v").union(cur.select("v")).distinct())
-    joined = (
-        domain.join(base, "v", "left")
-        .join(cur, ["partition_value", "v"], "left")
-        .select(
-            "partition_value",
-            "v",
-            F.coalesce("ob", F.lit(0)).cast("double").alias("ob"),
-            F.coalesce("oc", F.lit(0)).cast("double").alias("oc"),
-        )
+    parts = hist.where(~in_base).select("partition_value").distinct()
+    joined = F.broadcast(parts).crossJoin(valrows).select(
+        "partition_value",
+        "v",
+        F.col("ob"),
+        F.coalesce(F.col("_cur")[pv], F.lit(0)).cast("double").alias("oc"),
     )
     w = (
         Window.partitionBy("partition_value")
@@ -311,21 +313,35 @@ def psi_js_verdicts(
     bin_col: Column,
     feature_name: str,
     baseline_partitions: list[str],
-    psi_threshold: float,
-    js_threshold: float,
+    psi_threshold: float | None,
+    js_threshold: float | None,
     alpha: float = SMOOTH_ALPHA,
 ) -> DataFrame:
-    """Verdict rows ``psi:<feature>`` and ``js:<feature>`` per current
+    """Verdict rows ``psi:<feature>`` and/or ``js:<feature>`` per current
     partition — the config-gated companions to
-    :func:`histogram_drift_verdicts`, on the same smoothed histogram."""
+    :func:`histogram_drift_verdicts`, on the same smoothed histogram. Each
+    statistic is gated by ITS OWN threshold (None skips just that one), so
+    enabling PSI never silently depends on also configuring JS."""
+    if psi_threshold is None and js_threshold is None:
+        raise ValueError("at least one of psi_threshold/js_threshold required")
     stats = psi_js_stats(
         histogram(df, partition_col, bin_col, feature_name), baseline_partitions, alpha
     )
-    return _threshold_verdict(
-        stats, "psi", f"psi:{feature_name}", psi_threshold
-    ).unionByName(
-        _threshold_verdict(stats, "js_divergence", f"js:{feature_name}", js_threshold)
-    )
+    frames = []
+    if psi_threshold is not None:
+        frames.append(
+            _threshold_verdict(stats, "psi", f"psi:{feature_name}", psi_threshold)
+        )
+    if js_threshold is not None:
+        frames.append(
+            _threshold_verdict(
+                stats, "js_divergence", f"js:{feature_name}", js_threshold
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def ks_verdicts(

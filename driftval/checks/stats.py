@@ -216,18 +216,22 @@ def profile_columns(
         if exact_distinct
         else (lambda col: F.approx_count_distinct(col))
     )
+    # internal aliases are INDEX-based and column labels are escaped string
+    # literals, so arbitrary column names (dashes, spaces, quotes) survive
+    # the generated stack() expression
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         col = F.col(c)
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"_nulls_{c}"),
-            nd(col).alias(f"_nd_{c}"),
-            F.min(col).cast("string").alias(f"_min_{c}"),
-            F.max(col).cast("string").alias(f"_max_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"_nulls_{i}"),
+            nd(col).alias(f"_nd_{i}"),
+            F.min(col).cast("string").alias(f"_min_{i}"),
+            F.max(col).cast("string").alias(f"_max_{i}"),
         ]
     one = df.agg(*aggs)
     stacked = ", ".join(
-        f"'{c}', _nulls_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
+        f"""'{c.replace("'", "''")}', _nulls_{i}, _nd_{i}, _min_{i}, _max_{i}"""
+        for i, c in enumerate(cols)
     )
     return one.select(
         F.expr(

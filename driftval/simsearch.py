@@ -428,14 +428,17 @@ def knn_ivf(
             "cluster_id",
         )
     else:
-        wb = with_norm(df, id_col, vec_col).where(F.col("_id").isin(query_ids))
-        cent_df = _ivf_centroid_frame(df, with_norm(df, id_col, vec_col), n_centroids, centroids)
+        # reuse the assignment frame for BOTH the query vectors and the
+        # stand-in centroid rows — no extra corpus scan beyond aw itself
+        # (the n_probe<=1 branch reads queries out of aw the same way)
+        qvecs = aw.where(F.col("_id").isin(query_ids)).select("_id", "_vec", "_n")
+        cent_df = _ivf_centroid_frame(df, aw, n_centroids, centroids)
         csim = F.round(
             _dot(F.col("_vec"), F.col("centroid")) / (F.col("_n") * F.col("_cn")), 6
         )
         probe_item = F.struct(csim.alias("s"), (-F.col("cluster_id")).alias("negc"))
         queries = (
-            wb.join(broadcast(cent_df))
+            qvecs.join(broadcast(cent_df))
             .groupBy("_id")
             .agg(
                 F.slice(

@@ -113,7 +113,11 @@ def read_jsonl(
 
         schema = _parse_datatype_string(schema)
     if corrupt_col not in schema.fieldNames():
-        schema = schema.add(corrupt_col, T.StringType())
+        # StructType.add mutates in place — copy so the CALLER's schema
+        # object never grows a phantom corrupt column
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+        )
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

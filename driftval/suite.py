@@ -592,7 +592,7 @@ def run_suite(
         )
         # Config-gated companions (off by default): PSI/JS on the lang
         # histogram, exact KS + robust outlier rate on content length.
-        if cfg.psi_threshold is not None and cfg.js_threshold is not None:
+        if cfg.psi_threshold is not None or cfg.js_threshold is not None:
             frames.append(
                 psi_js_verdicts(
                     derived, pcol, F.col(cfg.lang_col), "lang",

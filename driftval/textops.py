@@ -794,9 +794,14 @@ def dup_components(
     edges = pairs.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = edges.count()
     if n_edges <= driver_threshold:
-        parent: dict[int, int] = {}
+        # Type-agnostic union-find: ids are used as-is (int, string, ...);
+        # Python `<` on homogeneous ids orders exactly like F.min on the
+        # column, so driver-path and distributed-path component ids agree
+        # for any id type (a long id orders numerically, a string id
+        # lexicographically — BOTH paths, consistently).
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             root = x
             while parent.setdefault(root, root) != root:
                 root = parent[root]
@@ -805,13 +810,21 @@ def dup_components(
             return root
 
         for r in edges.collect():
-            ra, rb = find(int(r["id_a"])), find(int(r["id_b"]))
+            ra, rb = find(r["id_a"]), find(r["id_b"])
             if ra != rb:  # min id becomes the root -> component_id = min
                 lo, hi2 = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi2] = lo
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = edges.schema["id_a"].dataType
         out = pairs.sparkSession.createDataFrame(
             [(n, find(n)) for n in sorted(parent)],
-            "doc_id long, component_id long",
+            StructType(
+                [
+                    StructField("doc_id", id_type),
+                    StructField("component_id", id_type),
+                ]
+            ),
         )
         edges.unpersist()
         return out
@@ -842,7 +855,13 @@ def dup_components(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        # FULL count, not limit(1): the count's scan materializes EVERY
+        # partition of the persisted new_labels before the previous round's
+        # frame is dropped below. A limit(1) short-circuit would cache only
+        # the partitions it touched, and the next round's join would have to
+        # recompute the rest from lineage whose persisted parent is gone —
+        # round r would re-execute O(r) join stages.
+        changed = new_labels.where(F.col("_chg")).count()
         cur_cached.unpersist()  # the previous round's PERSISTED frame
         cur_cached = new_labels
         labels = new_labels.select("node", "comp")
@@ -1319,7 +1338,12 @@ def unigram_logprob_quality(
 
 
 def dup_ngram_fraction(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, hot_df: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hot_df: int = 2,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document duplicated-n-gram fraction: ``(id, n_shingles,
     hot_shingles, dup_frac)`` where a shingle is "hot" if it occurs in MORE
@@ -1331,8 +1355,10 @@ def dup_ngram_fraction(
 
     Plan shape: one shingle explode feeding BOTH the document-frequency
     aggregate and the per-doc rollup (the exploded frame is persisted — two
-    consumers); the df table joins back by shingle hash (64-bit ints cross
-    the shuffle, never text). Docs with no n-gram report 0/0/null.
+    consumers; pass ``caches`` to own the unpersist, as in
+    :func:`ngram_jaccard_pairs`); the df table joins back by shingle hash
+    (64-bit ints cross the shuffle, never text). Docs with no n-gram report
+    0/0/null.
     """
     sh = (
         _spread(df.select(id_col, text_col))
@@ -1346,6 +1372,8 @@ def dup_ngram_fraction(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if caches is not None:
+        caches.append(sh)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     flagged = sh.join(dfreq, "sh").select(
         "_id", (F.col("_df") > hot_df).cast("long").alias("_hot")

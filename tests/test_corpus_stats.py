@@ -231,3 +231,39 @@ def test_fd_violations(spark):
     # holds -> empty
     clean = df.where(F.col("repo") != "r2")
     assert fd_violations(clean, ["repo"], "branch").count() == 0
+
+
+def test_dup_components_string_ids(spark):
+    # driver union-find path must handle non-integer ids (CLI --id-col path)
+    pairs = spark.createDataFrame(
+        [("src/a.py", "src/b.py"), ("src/b.py", "src/c.py"), ("10", "9")],
+        "id_a string, id_b string",
+    )
+    got = {r.doc_id: r.component_id for r in textops.dup_components(pairs).collect()}
+    assert got["src/a.py"] == got["src/b.py"] == got["src/c.py"] == "src/a.py"
+    # lexicographic min, matching F.min on a string column: '10' < '9'
+    assert got["9"] == "10" and got["10"] == "10"
+
+
+def test_profile_columns_odd_names(spark):
+    from driftval.checks.stats import profile_columns
+
+    df = spark.createDataFrame([(1, "x"), (2, None)]).toDF("content-type", "my col")
+    got = {r.column_name: r.asDict() for r in profile_columns(df, ["content-type", "my col"]).collect()}
+    assert got["content-type"]["n_distinct"] == 2
+    assert got["my col"]["n_nulls"] == 1
+
+
+def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from driftval.sources import read_jsonl
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1}\n')
+    schema = StructType([StructField("a", LongType())])
+    df = read_jsonl(spark, str(p), schema)
+    assert df.columns == ["a", "_corrupt_record"]
+    assert schema.fieldNames() == ["a"]  # caller's object untouched
+    # second call with the same object behaves identically
+    assert read_jsonl(spark, str(p), schema).columns == ["a", "_corrupt_record"]

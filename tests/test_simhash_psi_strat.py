@@ -154,3 +154,17 @@ def test_dup_ngram_fraction_values(spark):
     assert got[4]["dup_frac"] == pytest.approx(0.5)
     assert got[5]["hot_shingles"] == 0 and got[5]["dup_frac"] == 0.0
     assert got[6] == {"doc_id": 6, "n_shingles": 0, "hot_shingles": 0, "dup_frac": None}
+
+
+def test_psi_verdicts_gate_independently(spark):
+    from driftval.checks.histogram import psi_js_verdicts
+
+    rows = [("b", "x")] * 5 + [("b", "y")] * 5 + [("c", "x")] * 9 + [("c", "y")]
+    df = spark.createDataFrame(rows, "src string, v string")
+    only_psi = psi_js_verdicts(df, "src", F.col("v"), "v", ["b"], 0.1, None)
+    names = {r.check_name for r in only_psi.collect()}
+    assert names == {"psi:v"}
+    only_js = psi_js_verdicts(df, "src", F.col("v"), "v", ["b"], None, 0.05)
+    assert {r.check_name for r in only_js.collect()} == {"js:v"}
+    with pytest.raises(ValueError):
+        psi_js_verdicts(df, "src", F.col("v"), "v", ["b"], None, None)
