@@ -18,12 +18,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from driftval import multimodal, pii, sampling, simsearch, textops
+from driftval import multimodal, packing, pii, sampling, simsearch, textops
 from driftval.blocks import with_block_id
+from driftval.checkpoint import verdict_diff
 from driftval.checks import drift_cdcstream, drift_cdda
 from driftval.checks.histogram import drift_stats, histogram, length_bin, psi_js_stats
 from driftval.checks.referential import orphan_rows
-from driftval.checks.stats import TypeConformance, stats_verdicts
+from driftval.checks.stats import (
+    Bounds,
+    NullRate,
+    TypeConformance,
+    stats_verdicts,
+)
 from driftval.checks.uniqueness import duplicate_keys, uniqueness_violations
 from driftval.suite import NULL_TOKEN, conformance_violation_rows
 
@@ -701,6 +707,81 @@ def q_embedding_centroids(spark, sf_dir):
     return simsearch.group_centroids(e, "label", "embedding")
 
 
+PACK_CTX = 512
+PACK_BUCKETS = 16
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic concat-then-chunk layout plan: each doc's bucket,
+    stream offset, and pack window span (driftval/packing.py) — one window
+    aggregate per hash bucket, no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        d, "doc_id", "text", ctx_len=PACK_CTX, n_buckets=PACK_BUCKETS, salt="pack"
+    )
+
+
+def q_pack_stats(spark, sf_dir):
+    """One-row layout summary of the packing plan: pack count, fill ratio,
+    boundary-split docs."""
+    d = _t(spark, sf_dir, "documents")
+    plan = packing.pack_sequences(
+        d, "doc_id", "text", ctx_len=PACK_CTX, n_buckets=PACK_BUCKETS, salt="pack"
+    )
+    return packing.pack_stats(plan, ctx_len=PACK_CTX)
+
+
+def q_source_quality_report(spark, sf_dir):
+    """Per-source corpus dashboard: docs, tokens, mean quality, exact-dup
+    share — ONE projection + ONE aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.source_quality_report(d, "source", "doc_id", "text")
+
+
+# Two deliberately different constraint sets over the same table exercise
+# every verdict_diff transition: n_chars bounds tighten (pass -> fail =
+# regressed), the lang null-rate runs in both (stable), text null-rate only
+# in A (removed), doc_id bounds only in B (added).
+VDIFF_A = [
+    Bounds("n_chars", lo=1, hi=3000, label="n_chars"),
+    NullRate("lang", 0.0),
+    NullRate("text", 0.0),
+]
+VDIFF_B = [
+    Bounds("n_chars", lo=1, hi=1500, label="n_chars"),
+    NullRate("lang", 0.0),
+    Bounds("doc_id", lo=0, hi=10**12, label="doc_id"),
+]
+
+
+def q_verdict_diff(spark, sf_dir):
+    """Cross-run regression report between two validation passes (run A =
+    loose bounds, run B = tightened bounds over the same table): per
+    (partition, check) transition class + metric delta
+    (driftval/checkpoint.py). Booleans are rendered as non-null
+    pass/fail/absent strings so the driver's value hash never compares
+    engine-specific NULL-boolean encodings."""
+    d = _t(spark, sf_dir, "documents")
+    va = stats_verdicts(d, "source", VDIFF_A)
+    vb = stats_verdicts(d, "source", VDIFF_B)
+
+    def status(c):
+        return (
+            F.when(F.col(c).isNull(), F.lit("absent"))
+            .when(F.col(c), F.lit("pass"))
+            .otherwise(F.lit("fail"))
+        )
+
+    return verdict_diff(va, vb).select(
+        "partition_value",
+        "check_name",
+        status("passed_a").alias("status_a"),
+        status("passed_b").alias("status_b"),
+        "transition",
+        "metric_delta",
+    )
+
+
 SOURCE_MIX_RATES = {"src0": 0.8, "src1": 0.4, "src2": 0.15}
 SOURCE_MIX_DEFAULT = 0.05
 
@@ -886,6 +967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_constraints_events": q_window_constraints_events,
         "window_drift_events": q_window_drift_events,
         "sample_documents": q_sample_documents,
+        "pack_sequences": q_pack_sequences,
+        "pack_stats": q_pack_stats,
+        "source_quality_report": q_source_quality_report,
+        "verdict_diff": q_verdict_diff,
         "hash_bucket_split": q_hash_bucket_split,
         "stratified_sample": q_stratified_sample,
         "embedding_centroids": q_embedding_centroids,
@@ -1031,6 +1116,34 @@ _SHINGLES_REPS = _SHINGLES_TMPL.format(
     "JOIN (SELECT min(doc_id) AS _rid FROM documents GROUP BY md5(text)) r "
     "ON d.doc_id = r._rid)",
 )
+
+
+def _pack_plan_sql() -> str:
+    """pack_sequences DuckDB twin: identical hash, bucket, per-bucket window
+    cumsum, and integer-division pack indices (also the plan source for the
+    pack_stats twin)."""
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         len({_TOK})::BIGINT AS n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 15))::BIGINT) AS _h
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, (_h % {PACK_BUCKETS})::INT AS bucket, _h FROM staged
+), o AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY _h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+  FROM b
+), l AS (
+  SELECT *, ("offset" + greatest(n_tokens, 1) - 1) AS _last FROM o
+)
+SELECT doc_id, bucket, n_tokens, "offset",
+       ("offset" // {PACK_CTX})::BIGINT AS pack_first,
+       (_last // {PACK_CTX})::BIGINT AS pack_last,
+       ((_last // {PACK_CTX}) - ("offset" // {PACK_CTX}) + 1)::INT AS n_packs_spanned
+FROM l
+"""
 
 
 def _quality_sql() -> str:
@@ -1905,6 +2018,84 @@ FROM ({cdda_melt}) GROUP BY 1, 2, 3
         "sample_documents": f"""
 SELECT doc_id, source, lang FROM documents
 WHERE {sampling.sample_sql_predicate('doc_id', 0.1, 's1')}
+""",
+        "pack_sequences": _pack_plan_sql(),
+        "pack_stats": f"""
+WITH plan AS ({_pack_plan_sql()}), pb AS (
+  SELECT bucket, count(*) AS _docs, sum(n_tokens) AS _toks,
+         max(pack_last) + 1 AS _packs,
+         sum(CASE WHEN n_packs_spanned > 1 THEN 1 ELSE 0 END) AS _split
+  FROM plan GROUP BY 1
+)
+SELECT sum(_docs)::BIGINT AS n_docs, count(*)::BIGINT AS n_buckets,
+       sum(_toks)::BIGINT AS total_tokens, sum(_packs)::BIGINT AS n_packs,
+       round(sum(_toks)::DOUBLE / (sum(_packs) * {PACK_CTX}), 6) AS fill_ratio,
+       sum(_split)::BIGINT AS split_docs
+FROM pb
+""",
+        "source_quality_report": f"""
+WITH t AS (
+  SELECT source, text, {_TOK} AS toks, md5(text) AS _g FROM documents
+), feat AS (
+  SELECT source, _g,
+         len(toks)::BIGINT AS nt, length(text)::BIGINT AS nc,
+         len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS punct,
+         len(list_intersect(toks, {_STOP_EN}))::DOUBLE AS stop
+  FROM t
+), r AS (
+  SELECT source, _g, nt, nc,
+         CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
+         CASE WHEN nt > 0 THEN stop / nt ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mean_wl
+  FROM feat
+), s AS (
+  SELECT source, _g, nt, nc,
+         round((CASE WHEN nt BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN mean_wl BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END) +
+               (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0 END), 2)::DOUBLE AS q
+  FROM r
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS total_tokens,
+       sum(nc)::BIGINT AS total_chars, round(avg(q), 6) AS mean_quality,
+       round(avg(CASE WHEN q >= 0.75 THEN 1.0 ELSE 0.0 END), 6) AS high_quality_rate,
+       count(DISTINCT _g)::BIGINT AS distinct_texts,
+       round(1.0 - count(DISTINCT _g)::DOUBLE / count(*), 6) AS dup_frac
+FROM s GROUP BY 1
+""",
+        "verdict_diff": """
+WITH agg AS (
+  SELECT source::VARCHAR AS partition_value,
+         min(n_chars)::DOUBLE AS min_nc, max(n_chars)::DOUBLE AS max_nc,
+         avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END) AS lang_null,
+         avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) AS text_null,
+         min(doc_id)::DOUBLE AS min_id, max(doc_id)::DOUBLE AS max_id
+  FROM documents GROUP BY 1
+), a AS (
+  SELECT partition_value, 'bounds:n_chars' AS check_name,
+         (min_nc >= 1 AND max_nc <= 3000) AS passed, max_nc AS metric FROM agg
+  UNION ALL SELECT partition_value, 'null_rate:lang', lang_null <= 0, lang_null FROM agg
+  UNION ALL SELECT partition_value, 'null_rate:text', text_null <= 0, text_null FROM agg
+), b AS (
+  SELECT partition_value, 'bounds:n_chars' AS check_name,
+         (min_nc >= 1 AND max_nc <= 1500) AS passed, max_nc AS metric FROM agg
+  UNION ALL SELECT partition_value, 'null_rate:lang', lang_null <= 0, lang_null FROM agg
+  UNION ALL SELECT partition_value, 'bounds:doc_id',
+         (min_id >= 0 AND max_id <= 1000000000000), max_id FROM agg
+)
+SELECT partition_value, check_name,
+       CASE WHEN a.passed IS NULL THEN 'absent'
+            WHEN a.passed THEN 'pass' ELSE 'fail' END AS status_a,
+       CASE WHEN b.passed IS NULL THEN 'absent'
+            WHEN b.passed THEN 'pass' ELSE 'fail' END AS status_b,
+       CASE WHEN a.passed IS NULL THEN 'added'
+            WHEN b.passed IS NULL THEN 'removed'
+            WHEN a.passed AND NOT b.passed THEN 'regressed'
+            WHEN NOT a.passed AND b.passed THEN 'fixed'
+            WHEN a.passed AND b.passed THEN 'stable_pass'
+            ELSE 'still_failing' END AS transition,
+       round(b.metric - a.metric, 6) AS metric_delta
+FROM a FULL OUTER JOIN b USING (partition_value, check_name)
 """,
         "hash_bucket_split": f"""
 SELECT ((('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT) % 10)::INT AS bucket,

@@ -38,6 +38,52 @@ CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
+def verdict_diff(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
+    """Cross-run regression report: what changed between two validation
+    passes — the first question after any pipeline/config change, and the
+    triage view an on-call reads when a scheduled run starts failing.
+
+    Inputs are two verdict frames (``CheckpointStore.read().where(run_id=…)``
+    or any frame with ``partition_value / check_name / passed / metric``).
+    Output: one row per ``(partition_value, check_name)`` present in either
+    run, with both verdicts, the metric delta, and a ``transition`` class:
+
+    - ``regressed``      — passed in A, fails in B (the alert);
+    - ``fixed``          — failed in A, passes in B;
+    - ``still_failing``  — failed in both (known issue, not news);
+    - ``stable_pass``    — passed in both;
+    - ``added`` / ``removed`` — the check/partition exists in only one run
+      (config or data-layout change).
+
+    Plan shape: one full-outer equi-join of two tiny verdict frames
+    (O(partitions × checks) rows each) — at any corpus scale this is
+    metadata-sized; AQE broadcasts the smaller side."""
+    keys = ["partition_value", "check_name"]
+    a = run_a.select(
+        *keys, F.col("passed").alias("passed_a"), F.col("metric").alias("metric_a")
+    )
+    b = run_b.select(
+        *keys, F.col("passed").alias("passed_b"), F.col("metric").alias("metric_b")
+    )
+    j = a.join(b, keys, "full_outer")
+    pa, pb = F.col("passed_a"), F.col("passed_b")
+    transition = (
+        F.when(pa.isNull(), F.lit("added"))
+        .when(pb.isNull(), F.lit("removed"))
+        .when(pa & ~pb, F.lit("regressed"))
+        .when(~pa & pb, F.lit("fixed"))
+        .when(pa & pb, F.lit("stable_pass"))
+        .otherwise(F.lit("still_failing"))
+    )
+    return j.select(
+        *keys,
+        "passed_a",
+        "passed_b",
+        transition.alias("transition"),
+        F.round(F.col("metric_b") - F.col("metric_a"), 6).alias("metric_delta"),
+    )
+
+
 class CheckpointStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark

@@ -1,0 +1,135 @@
+"""Deterministic sequence packing: the training-data layout planner.
+
+LLM pre-training consumes fixed-length token windows ("packs" / contexts),
+not documents; the standard pipeline concatenates documents in a fixed order
+and chunks the token stream every ``ctx_len`` tokens (the GPT-style
+concat-then-chunk layout — see e.g. Brown et al. 2020 §2.2, and the T5 /
+"packing" discussion in Raffel et al. 2020 §2.3). At corpus scale the
+planner must be:
+
+- **reproducible** — the same document lands in the same pack on every run,
+  at every cluster size (auditability + resume). Order therefore cannot be
+  "whatever the shuffle produced": it is a pure function of the document key
+  (``hash60`` — the same 60-bit md5 prefix the sampling operators use, so
+  the plan is also an unbiased global shuffle of the corpus, which is
+  exactly what training wants);
+- **parallel** — there is no global token stream. Documents are first
+  assigned to ``n_buckets`` independent streams by key hash, and each bucket
+  packs its own stream: one window aggregation PER BUCKET (Spark sorts
+  within buckets only — no global sort, no single-task stage; at 100 TB set
+  ``n_buckets`` to O(10-100 × cores) so each bucket's sort fits an executor
+  and every core streams its own buckets).
+
+The output is the *plan*, not the packed tensors: one row per document with
+its bucket, token count, stream offset, and the first/last pack index it
+occupies (a document may straddle a pack boundary — the chunker splits it,
+which is the concat-then-chunk contract). Downstream writers materialize
+packs from the plan with an ordinary ``groupBy(bucket, pack)``.
+
+Every expression is engine-portable integer arithmetic (md5-prefix hash,
+integer division), so the DuckDB oracle twin reproduces the EXACT plan —
+no tolerance, no statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from driftval.sampling import hash60
+from driftval.textops import tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ctx_len: int = 512,
+    n_buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Assign every document a position in a packed fixed-window layout.
+
+    Returns ``(id, bucket, n_tokens, offset, pack_first, pack_last,
+    n_packs_spanned)``:
+
+    - ``bucket`` — which of the ``n_buckets`` independent token streams the
+      doc belongs to (``hash60(id, salt) % n_buckets``);
+    - ``offset`` — the doc's start position in its bucket's concatenated
+      token stream (docs ordered by ``(hash60, id)`` — deterministic, and a
+      uniform corpus shuffle);
+    - ``pack_first`` / ``pack_last`` — the first and last ``ctx_len``-token
+      window the doc's tokens fall into (empty docs occupy a zero-width
+      slot: ``pack_last = pack_first``);
+    - ``n_packs_spanned`` — how many windows the doc touches (>1 means the
+      chunker splits it across pack boundaries).
+
+    Token counts are whitespace tokens (:func:`driftval.textops.tokens`) —
+    swap in a real tokenizer count upstream by passing a precomputed column
+    through ``text_col``'s table if needed; the layout math is count-agnostic.
+
+    Plan shape: one narrow map (hash + token count — the only pass over the
+    text), then ONE window aggregate partitioned by bucket. No global sort;
+    per-bucket sorted size is |corpus| / n_buckets rows of 20 bytes.
+    """
+    if ctx_len <= 0:
+        raise ValueError(f"ctx_len must be positive, got {ctx_len}")
+    h = hash60(F.col(id_col), salt)
+    staged = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        (h % F.lit(int(n_buckets))).cast("int").alias("bucket"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    laid = staged.select(
+        F.col(id_col), "bucket", "n_tokens", offset.alias("offset")
+    ).withColumn(
+        "_last", F.col("offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - F.lit(1)
+    )
+    # integer division keeps the math exact at any stream length (no doubles)
+    c = int(ctx_len)
+    pack_first = F.expr(f"offset div {c}").cast("long")
+    pack_last = F.expr(f"_last div {c}").cast("long")
+    return laid.select(
+        F.col(id_col),
+        "bucket",
+        "n_tokens",
+        "offset",
+        pack_first.alias("pack_first"),
+        pack_last.alias("pack_last"),
+        (pack_last - pack_first + F.lit(1)).cast("int").alias("n_packs_spanned"),
+    )
+
+
+def pack_stats(plan: DataFrame, ctx_len: int) -> DataFrame:
+    """ONE-row layout summary from a :func:`pack_sequences` plan:
+    ``(n_docs, n_buckets, total_tokens, n_packs, fill_ratio,
+    split_docs)`` — ``n_packs`` counts every started window across buckets,
+    ``fill_ratio`` = total_tokens / (n_packs × ctx_len) (the padding-free
+    token efficiency of the layout), ``split_docs`` = documents the chunker
+    will split across a pack boundary.
+
+    Two tiny hash aggregates over the plan frame (per-bucket max, then a
+    one-row reduce) — never touches text."""
+    per_bucket = plan.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.sum("n_tokens").alias("_toks"),
+        (F.max("pack_last") + 1).alias("_packs"),
+        F.sum((F.col("n_packs_spanned") > 1).cast("long")).alias("_split"),
+    )
+    return per_bucket.agg(
+        F.sum("_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_toks").cast("long").alias("total_tokens"),
+        F.sum("_packs").cast("long").alias("n_packs"),
+        F.round(
+            F.sum("_toks").cast("double") / (F.sum("_packs") * F.lit(int(ctx_len))), 6
+        ).alias("fill_ratio"),
+        F.sum("_split").cast("long").alias("split_docs"),
+    )

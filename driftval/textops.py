@@ -897,9 +897,11 @@ STOPWORDS = {
 }
 
 
-def doc_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc quality features: token/char counts, punctuation ratio, English
-    stopword ratio, mean word length, and a [0,1] quality score."""
+def _quality_exprs(text_col: str) -> dict[str, Column]:
+    """The shared per-doc quality expressions (one fused JVM projection):
+    token/char counts, punctuation + stopword ratios, and the [0,1] score.
+    Consumed by :func:`doc_quality` (per-doc) and
+    :func:`source_quality_report` (per-source aggregate)."""
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks).cast("long")
@@ -915,13 +917,69 @@ def doc_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(stop_ratio >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
     )
+    return {
+        "token_count": n_tok,
+        "char_count": n_chars,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": F.round(score, 2).cast("double"),
+    }
+
+
+def doc_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features: token/char counts, punctuation ratio, English
+    stopword ratio, mean word length, and a [0,1] quality score."""
+    q = _quality_exprs(text_col)
     return df.select(
         F.col(id_col),
-        n_tok.alias("token_count"),
-        n_chars.alias("char_count"),
-        F.round(punct_ratio, 6).cast("double").alias("punct_ratio"),
-        F.round(stop_ratio, 6).cast("double").alias("stopword_ratio"),
-        F.round(score, 2).cast("double").alias("quality_score"),
+        q["token_count"].alias("token_count"),
+        q["char_count"].alias("char_count"),
+        F.round(q["punct_ratio"], 6).cast("double").alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 6).cast("double").alias("stopword_ratio"),
+        q["quality_score"].alias("quality_score"),
+    )
+
+
+def source_quality_report(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    high_quality_at: float = 0.75,
+) -> DataFrame:
+    """Per-source corpus dashboard — the one-pass rollup a pipeline owner
+    reads before setting mixture weights: ``(source, n_docs, total_tokens,
+    total_chars, mean_quality, high_quality_rate, distinct_texts,
+    dup_frac)``.
+
+    ``dup_frac`` is the exact-duplicate share WITHIN the source (1 −
+    distinct md5(text) / docs); ``high_quality_rate`` is the share of docs
+    scoring ≥ ``high_quality_at``.
+
+    Plan shape: ONE projection computes every per-doc feature (text is read
+    once), then ONE hash aggregate per source. The exact distinct-text count
+    uses Spark's Expand rewrite (shuffle carries md5 digests, never bodies);
+    sources are few, so the result frame is tiny. No joins, no windows."""
+    q = _quality_exprs(text_col)
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col).cast("binary")).alias("_g"),
+        q["token_count"].alias("_nt"),
+        q["char_count"].alias("_nc"),
+        q["quality_score"].alias("_q"),
+    )
+    n = F.count(F.lit(1))
+    nd = F.count_distinct(F.col("_g"))
+    return per_doc.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.sum("_nc").cast("long").alias("total_chars"),
+        F.round(F.avg("_q"), 6).alias("mean_quality"),
+        F.round(
+            F.avg((F.col("_q") >= F.lit(float(high_quality_at))).cast("double")), 6
+        ).alias("high_quality_rate"),
+        nd.cast("long").alias("distinct_texts"),
+        F.round(F.lit(1.0) - nd.cast("double") / n, 6).alias("dup_frac"),
     )
 
 

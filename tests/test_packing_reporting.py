@@ -1,0 +1,195 @@
+"""Sequence packing, the per-source quality report, and verdict_diff.
+
+Packing invariants: token conservation per bucket, contiguous offsets in
+hash order, layout determinism under repartitioning (the property that makes
+the plan reproducible on any cluster size), and exact pack-index arithmetic
+around context boundaries. verdict_diff: every transition class from a
+hand-built pair of runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval import packing, textops
+from driftval.checkpoint import verdict_diff
+from driftval.checks.stats import Bounds, NullRate, stats_verdicts
+
+SF = "/root/testdata/sf0.001"
+CTX = 64
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def plan_rows(spark, docs):
+    plan = packing.pack_sequences(docs, "doc_id", "text", ctx_len=CTX, n_buckets=4)
+    return [r.asDict() for r in plan.collect()]
+
+
+def test_pack_offsets_are_contiguous_per_bucket(plan_rows):
+    by_bucket: dict[int, list[dict]] = {}
+    for r in plan_rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["offset"])
+        pos = 0
+        for r in rows:
+            assert r["offset"] == pos, r
+            pos += r["n_tokens"]
+
+
+def test_pack_indices_match_offset_arithmetic(plan_rows):
+    for r in plan_rows:
+        assert r["pack_first"] == r["offset"] // CTX
+        last = r["offset"] + max(r["n_tokens"], 1) - 1
+        assert r["pack_last"] == last // CTX
+        assert r["n_packs_spanned"] == r["pack_last"] - r["pack_first"] + 1
+        assert r["n_packs_spanned"] >= 1
+
+
+def test_pack_layout_is_partitioning_invariant(spark, docs, plan_rows):
+    """The same doc must land at the same (bucket, offset) regardless of the
+    input's physical layout — reproducibility across cluster sizes."""
+    again = packing.pack_sequences(
+        docs.repartition(7, "lang"), "doc_id", "text", ctx_len=CTX, n_buckets=4
+    )
+    got = {r["doc_id"]: (r["bucket"], r["offset"]) for r in again.collect()}
+    want = {r["doc_id"]: (r["bucket"], r["offset"]) for r in plan_rows}
+    assert got == want
+
+
+def test_pack_empty_doc_occupies_zero_width_slot(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "four")], "id long, text string"
+    )
+    rows = {
+        r["id"]: r.asDict()
+        for r in packing.pack_sequences(
+            df, "id", "text", ctx_len=8, n_buckets=1
+        ).collect()
+    }
+    empty = rows[2]
+    assert empty["n_tokens"] == 0
+    assert empty["pack_first"] == empty["pack_last"]
+    # conservation: total stream length ignores the empty doc
+    assert sum(r["n_tokens"] for r in rows.values()) == 4
+
+
+def test_pack_stats_consistent_with_plan(spark, docs, plan_rows):
+    plan = packing.pack_sequences(docs, "doc_id", "text", ctx_len=CTX, n_buckets=4)
+    s = packing.pack_stats(plan, ctx_len=CTX).collect()[0].asDict()
+    assert s["n_docs"] == len(plan_rows)
+    assert s["total_tokens"] == sum(r["n_tokens"] for r in plan_rows)
+    assert s["split_docs"] == sum(1 for r in plan_rows if r["n_packs_spanned"] > 1)
+    assert 0.0 < s["fill_ratio"] <= 1.0
+    # every started window is counted: packs >= ceil(tokens / ctx)
+    assert s["n_packs"] * CTX >= s["total_tokens"]
+
+
+def test_pack_window_is_per_bucket_not_global(spark, docs):
+    """The sort must be partitioned by bucket — a global window would make
+    the layout a single-task stage at corpus scale."""
+    import contextlib
+    import io
+
+    plan = packing.pack_sequences(docs, "doc_id", "text", ctx_len=CTX, n_buckets=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain("formatted")
+    text = buf.getvalue()
+    assert "Window" in text
+    assert "SinglePartition" not in text, text
+
+
+def test_source_quality_report_matches_doc_quality_rollup(spark, docs):
+    rep = {
+        r["source"]: r.asDict()
+        for r in textops.source_quality_report(
+            docs, "source", "doc_id", "text"
+        ).collect()
+    }
+    dq = textops.doc_quality(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    want = {
+        r["source"]: r.asDict()
+        for r in dq.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        )
+        .collect()
+    }
+    assert set(rep) == set(want)
+    for s, w in want.items():
+        assert rep[s]["n_docs"] == w["n_docs"]
+        assert rep[s]["total_tokens"] == w["total_tokens"]
+        assert rep[s]["mean_quality"] == pytest.approx(w["mean_quality"], abs=1e-9)
+        assert 0.0 <= rep[s]["dup_frac"] < 1.0
+        assert rep[s]["distinct_texts"] <= rep[s]["n_docs"]
+
+
+def test_source_quality_report_counts_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "aaa bbb"), (2, "s", "aaa bbb"), (3, "s", "ccc ddd")],
+        "id long, src string, text string",
+    )
+    r = (
+        textops.source_quality_report(df, "src", "id", "text")
+        .collect()[0]
+        .asDict()
+    )
+    assert r["n_docs"] == 3 and r["distinct_texts"] == 2
+    assert r["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_verdict_diff_all_transitions(spark, docs):
+    """Planted runs hit every transition class exactly where expected."""
+    va = stats_verdicts(
+        docs,
+        "source",
+        [
+            Bounds("n_chars", lo=1, hi=10**9, label="nc"),  # pass in A
+            NullRate("lang", 0.0),  # pass both
+            Bounds("doc_id", lo=10**9, hi=10**9, label="bad"),  # fail both
+            NullRate("text", 0.0),  # only in A
+        ],
+    )
+    vb = stats_verdicts(
+        docs,
+        "source",
+        [
+            Bounds("n_chars", lo=1, hi=0, label="nc"),  # now fails: regressed
+            NullRate("lang", 0.0),
+            Bounds("doc_id", lo=10**9, hi=10**9, label="bad"),
+            Bounds("n_chars", lo=1, label="new"),  # only in B
+        ],
+    )
+    d = verdict_diff(va, vb)
+    got = {
+        (r["partition_value"], r["check_name"]): r["transition"]
+        for r in d.collect()
+    }
+    srcs = {pv for pv, _ in got}
+    assert srcs  # at least one source partition
+    for s in srcs:
+        assert got[(s, "bounds:nc")] == "regressed"
+        assert got[(s, "null_rate:lang")] == "stable_pass"
+        assert got[(s, "bounds:bad")] == "still_failing"
+        assert got[(s, "null_rate:text")] == "removed"
+        assert got[(s, "bounds:new")] == "added"
+
+
+def test_verdict_diff_fixed_transition(spark):
+    a = spark.createDataFrame(
+        [("p", "c", False, 1.0)], "partition_value string, check_name string, passed boolean, metric double"
+    )
+    b = spark.createDataFrame(
+        [("p", "c", True, 0.25)], "partition_value string, check_name string, passed boolean, metric double"
+    )
+    r = verdict_diff(a, b).collect()[0].asDict()
+    assert r["transition"] == "fixed"
+    assert r["metric_delta"] == pytest.approx(-0.75)
