@@ -25,7 +25,6 @@ stable.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -152,6 +151,34 @@ def lsh_bucket_histogram(
     )
 
 
+def _table_buckets(
+    df: DataFrame, id_col: str | None, vec_col: str, n_planes: int, n_tables: int
+) -> DataFrame:
+    """(_id, tbl, bucket): each vector's bucket in every LSH table — ONE
+    ``explode`` over an array of per-table (tbl, bucket) structs, not a
+    union of per-table selects (a union re-derives the scan + the
+    n_planes×d hyperplane dot products once per table per consumer side;
+    the explode computes them once per side)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bucket(
+                    F.col(vec_col), n_planes, plane_offset=t * n_planes
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    carry = [F.col(id_col).alias("_id")] if id_col is not None else []
+    exploded = df.select(*carry, F.explode(entries).alias("_e"))
+    return exploded.select(
+        *(["_id"] if id_col is not None else []),
+        F.col("_e.tbl").alias("tbl"),
+        F.col("_e.bucket").alias("bucket"),
+    )
+
+
 def near_dup_candidates(
     df: DataFrame,
     id_col: str,
@@ -169,17 +196,7 @@ def near_dup_candidates(
 
     Recall scales with corpus size by raising ``n_planes`` (≈ log2(N) keeps
     expected bucket size constant) and recovering recall with more tables."""
-    tagged = [
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.lit(t).alias("tbl"),
-            hyperplane_bucket(F.col(vec_col), n_planes, plane_offset=t * n_planes).alias(
-                "bucket"
-            ),
-        )
-        for t in range(n_tables)
-    ]
-    buckets = reduce(DataFrame.unionByName, tagged)
+    buckets = _table_buckets(df, id_col, vec_col, n_planes, n_tables)
     if bucket_cap is not None:
         ok = (
             buckets.groupBy("tbl", "bucket")
@@ -216,17 +233,8 @@ def bucket_overflow(
 ) -> DataFrame:
     """(tbl, bucket, n_vectors) for buckets exceeding the cap — log this
     alongside any capped candidate run so truncation is never silent."""
-    tagged = [
-        df.select(
-            F.lit(t).alias("tbl"),
-            hyperplane_bucket(F.col(vec_col), n_planes, plane_offset=t * n_planes).alias(
-                "bucket"
-            ),
-        )
-        for t in range(n_tables)
-    ]
     return (
-        reduce(DataFrame.unionByName, tagged)
+        _table_buckets(df, None, vec_col, n_planes, n_tables)
         .groupBy("tbl", "bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .where(F.col("n_vectors") > bucket_cap)
