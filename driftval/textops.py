@@ -352,6 +352,7 @@ def minhash_dup_pairs(
     band_rows: int = 2,
     band_cap: int | None = None,
     group_candidates: DataFrame | None = None,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of ``band_rows`` consecutive
     min-hashes. Returns distinct (id_a, id_b) with id_a < id_b.
@@ -366,8 +367,15 @@ def minhash_dup_pairs(
     (never silently: see :func:`minhash_band_overflow`). ``group_candidates``
     accepts a precomputed (ideally persisted) :func:`minhash_group_pairs`
     frame so a session running both the pair list and the verified fuzzy
-    pipeline does the signature + band work once."""
-    members = _md5_members(df, id_col, text_col)
+    pipeline does the signature + band work once.
+
+    The member map (id, md5) is persisted — expansion + intra pairs consume
+    it four times, and each unpersisted consumer re-reads AND re-hashes the
+    full text column; the cached frame is ~50 bytes/doc. ``caches`` owns the
+    unpersist as in :func:`ngram_jaccard_pairs`."""
+    members = _md5_members(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(members)
     gp = (
         group_candidates
         if group_candidates is not None
@@ -470,10 +478,12 @@ def simhash_dup_pairs(
     signed-long-safe weight fold, so 32 is the current ceiling.
 
     The signature frame is persisted (it feeds both band-join sides AND
-    the two verify joins — unpersisted, the tokenize+md5+fold runs ~4×);
-    pass ``caches`` to own the unpersist, as in :func:`ngram_jaccard_pairs`.
+    the two verify joins — unpersisted, the tokenize+md5+fold runs ~4×),
+    and so is the member map (four expansion consumers, each otherwise a
+    full text re-scan + re-hash); pass ``caches`` to own the unpersist, as
+    in :func:`ngram_jaccard_pairs`.
     """
-    members = _md5_members(df, id_col, text_col)
+    members = _md5_members(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     reps = _rep_docs(df, id_col, text_col)
     sig = (
         simhash(reps, "_id", "_text", bits)
@@ -481,6 +491,7 @@ def simhash_dup_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if caches is not None:
+        caches.append(members)
         caches.append(sig)
     bands = _simhash_band_keys(sig, bits, max_hamming + 1)
     if band_cap is not None:
@@ -739,8 +750,12 @@ def fuzzy_dup_pairs(
     behavior). ``group_candidates`` accepts a precomputed
     :func:`minhash_group_pairs` frame so a session computing both the
     candidate list and the verified pairs builds signatures + bands once;
-    ``caches`` works as in :func:`ngram_jaccard_pairs`."""
-    members = _md5_members(df, id_col, text_col)
+    ``caches`` works as in :func:`ngram_jaccard_pairs`. The member map is
+    persisted like the shingle frame (four consumers, each otherwise a full
+    text re-scan + re-hash)."""
+    members = _md5_members(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(members)
     reps = _rep_docs(df, id_col, text_col)
     gp = (
         group_candidates
