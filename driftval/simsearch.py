@@ -710,11 +710,22 @@ def knn_graph(
     scored = (
         cands.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", sim.alias("sim"))
     )
+    # both directions from ONE row via explode — a union of two selects
+    # would derive the candidate + cosine subtree twice
     both = scored.select(
-        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"), "sim"
-    ).unionByName(
-        scored.select(
-            F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id"), "sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("query_id"),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("query_id"),
+                    F.col("id_a").alias("neighbor_id"),
+                    F.col("sim"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.query_id", "_e.neighbor_id", "_e.sim")
     return _topk(both, k)
