@@ -193,25 +193,33 @@ def histogram_drift_verdicts(
     alpha: float = SMOOTH_ALPHA,
 ) -> DataFrame:
     """Verdict rows ``chi_square:<feature>`` and ``kl:<feature>`` per current
-    partition (baseline partitions implicitly pass — they ARE the reference)."""
+    partition (baseline partitions implicitly pass — they ARE the reference).
+
+    Both rows are melted out of ONE stats row via ``stack`` — a union of two
+    selects would derive the histogram aggregate (a scan of the binned
+    column when the input is not cached) once per statistic."""
     stats = drift_stats(histogram(df, partition_col, bin_col, feature_name), baseline_partitions, alpha)
-    chi = stats.select(
+    melted = stats.select(
         "partition_value",
-        F.lit(f"chi_square:{feature_name}").alias("check_name"),
-        (F.col("chi_square") < F.lit(chi_square_threshold)).alias("passed"),
-        F.col("chi_square").alias("metric"),
-        F.lit(float(chi_square_threshold)).alias("threshold"),
-        F.when(F.col("chi_square") < chi_square_threshold, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("violation_count"),
+        F.expr(
+            f"stack(2, 'chi_square:{feature_name}', chi_square,"
+            f" CAST({float(chi_square_threshold)} AS DOUBLE),"
+            f" 'kl:{feature_name}', kl_divergence,"
+            f" CAST({float(kl_threshold)} AS DOUBLE))"
+            " as (check_name, metric, threshold)"
+        ),
     )
-    kl = stats.select(
+    return melted.select(
         "partition_value",
-        F.lit(f"kl:{feature_name}").alias("check_name"),
-        (F.col("kl_divergence") < F.lit(kl_threshold)).alias("passed"),
-        F.col("kl_divergence").alias("metric"),
-        F.lit(float(kl_threshold)).alias("threshold"),
-        F.when(F.col("kl_divergence") < kl_threshold, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("violation_count"),
+        "check_name",
+        (F.col("metric") < F.col("threshold")).alias("passed"),
+        "metric",
+        "threshold",
+        F.when(F.col("metric") < F.col("threshold"), F.lit(0))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("violation_count"),
     )
-    return chi.unionByName(kl)
 
 
 def ks_stats(
@@ -327,21 +335,35 @@ def psi_js_verdicts(
     stats = psi_js_stats(
         histogram(df, partition_col, bin_col, feature_name), baseline_partitions, alpha
     )
-    frames = []
+    entries = []
     if psi_threshold is not None:
-        frames.append(
-            _threshold_verdict(stats, "psi", f"psi:{feature_name}", psi_threshold)
-        )
+        entries.append(("psi", f"psi:{feature_name}", float(psi_threshold)))
     if js_threshold is not None:
-        frames.append(
-            _threshold_verdict(
-                stats, "js_divergence", f"js:{feature_name}", js_threshold
-            )
-        )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+        entries.append(("js_divergence", f"js:{feature_name}", float(js_threshold)))
+    if len(entries) == 1:
+        col, name, thr = entries[0]
+        return _threshold_verdict(stats, col, name, thr)
+    # both enabled: melt from ONE stats row (a union of selects would derive
+    # the histogram aggregate once per statistic — see
+    # histogram_drift_verdicts)
+    pairs = ", ".join(
+        f"'{name}', {col}, CAST({thr} AS DOUBLE)" for col, name, thr in entries
+    )
+    melted = stats.select(
+        "partition_value",
+        F.expr(f"stack({len(entries)}, {pairs}) as (check_name, metric, threshold)"),
+    )
+    return melted.select(
+        "partition_value",
+        "check_name",
+        (F.col("metric") < F.col("threshold")).alias("passed"),
+        "metric",
+        "threshold",
+        F.when(F.col("metric") < F.col("threshold"), F.lit(0))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("violation_count"),
+    )
 
 
 def ks_verdicts(

@@ -1070,32 +1070,36 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Units: a line = '\\n'-delimited, a paragraph = a maximal run split on 2+
     consecutive newlines; both trimmed, empties dropped.
 
-    Plan shape: lines and paragraphs are exploded into ONE union frame keyed
-    by (id, kind, md5(unit)) — the shuffle carries a 16-byte digest per unit,
-    never document bodies — then two groupBys (unit multiplicity, per-doc
-    aggregate) and a left join back onto the id universe so unit-less docs
-    report 0.0 everywhere. At corpus scale every stage is a plain hash
-    aggregate on near-uniform keys.
+    Plan shape: lines and paragraphs are exploded in ONE pass over the text
+    (both unit arrays are built side by side and exploded from a single
+    concatenated struct array — a per-kind union would scan and split every
+    document twice), keyed by (id, kind, md5(unit)) — the shuffle carries a
+    16-byte digest per unit, never document bodies — then two groupBys
+    (unit multiplicity, per-doc aggregate) and a left join back onto the id
+    universe so unit-less docs report 0.0 everywhere. At corpus scale every
+    stage is a plain hash aggregate on near-uniform keys.
     """
     t = F.col(text_col)
 
-    def _units(split_pat: str) -> Column:
+    def _units(split_pat: str, kind: str) -> Column:
         # regex trim, not F.trim: units must shed \t and interior-boundary
         # newlines (a paragraph ends with one), which trim() leaves in place
         arr = F.transform(
             F.split(t, split_pat),
             lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
         )
-        return F.filter(arr, lambda x: x != "")
+        arr = F.filter(arr, lambda x: x != "")
+        return F.transform(
+            arr,
+            lambda x: F.struct(
+                F.lit(kind).alias("k"), F.md5(x.cast("binary")).alias("u")
+            ),
+        )
 
-    def _exploded(split_pat: str, kind: str) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.lit(kind).alias("_kind"),
-            F.explode(_units(split_pat)).alias("_u"),
-        ).select(id_col, "_kind", F.md5(F.col("_u").cast("binary")).alias("_u"))
-
-    units = _exploded("\n", "l").unionByName(_exploded("\n{2,}", "p"))
+    units = df.select(
+        F.col(id_col),
+        F.explode(F.concat(_units("\n", "l"), _units("\n{2,}", "p"))).alias("_e"),
+    ).select(id_col, F.col("_e.k").alias("_kind"), F.col("_e.u").alias("_u"))
     mult = units.groupBy(id_col, "_kind", "_u").agg(F.count(F.lit(1)).alias("_c"))
 
     def _k(kind: str, expr: Column) -> Column:
