@@ -24,6 +24,13 @@ def plan_of(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def n_scans(plan: str) -> int:
+    """Parquet scans in a formatted plan (detail headers only — the tree
+    section prints every node a second time)."""
+    import re as _re
+    return len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M))
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet")
@@ -173,3 +180,53 @@ def test_pii_redact_is_narrow(spark, docs):
     plan = plan_of(pii.pii_redact(docs, "doc_id", "text"))
     assert "Exchange" not in plan, plan
     assert "codegen id" in plan, plan  # whole-stage codegen span
+
+
+def test_band_keys_derive_signatures_once_per_side(spark, docs):
+    """MinHash banding must explode band keys from ONE signature subtree per
+    join side — the old union-of-per-band-selects shape re-derived the
+    tokenize + min-hash computation once per band per side (8 scans for a
+    4-band self-join)."""
+    plan = plan_of(textops.minhash_group_pairs(docs, "doc_id", "text"))
+    assert n_scans(plan) <= 2, plan
+    assert "Generate" in plan and "explode" in plan, plan
+
+
+def test_lsh_tables_derive_buckets_once_per_side(spark):
+    """Multi-table embedding LSH must explode (tbl, bucket) structs from one
+    derivation per side, not union per-table selects."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(
+        simsearch.near_dup_candidates(emb, "vec_id", "embedding", n_tables=2)
+    )
+    assert n_scans(plan) <= 2, plan
+
+
+def test_knn_graph_emits_both_directions_from_one_derivation(spark):
+    """The two edge directions come from one explode — a union would score
+    every candidate pair's cosine twice."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(simsearch.knn_graph(emb, "vec_id", "embedding", k=3))
+    assert n_scans(plan) <= 4, plan
+
+
+def test_histogram_verdicts_scan_input_once(spark, docs):
+    """chi-square + KL verdict rows melt out of ONE stats aggregate via
+    stack(). The smoothing design itself takes two scans (pooled-baseline
+    histogram + per-partition histograms); a union of per-statistic selects
+    would double that to four."""
+    from driftval.checks.histogram import histogram_drift_verdicts
+
+    plan = plan_of(
+        histogram_drift_verdicts(
+            docs, "source", F.col("lang"), "lang", ["src0"], 100.0, 0.5
+        )
+    )
+    assert n_scans(plan) <= 2, plan
+
+
+def test_repetition_signals_scan_text_once(spark, docs):
+    """Line and paragraph units explode from one concatenated struct array —
+    one text scan, not one per unit kind."""
+    plan = plan_of(textops.repetition_signals(docs, "doc_id", "text"))
+    assert n_scans(plan) <= 2, plan
