@@ -659,7 +659,9 @@ def ngram_jaccard_pairs(
     A cross-group pair is missed only if ALL its shared shingles are hotter
     than the cap — pick cap >> 1/threshold·median doc size, or use
     :func:`fuzzy_dup_pairs` for banded candidates."""
-    members = _md5_members(df, id_col, text_col)
+    members = _md5_members(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(members)
     reps = _rep_docs(df, id_col, text_col)
     # The shingle build (tokenize + per-position join + md5) is the single
     # most expensive narrow map here and is consumed by MANY subtrees

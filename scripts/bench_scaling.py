@@ -41,6 +41,29 @@ BLOCK_SIZE = int(os.environ.get("DRIFTVAL_SCALE_BLOCK_SIZE", "5000"))
 MASTERS = os.environ.get("DRIFTVAL_SCALE_MASTERS", "local[6],local[24]").split(",")
 TIMED_REPS = int(os.environ.get("DRIFTVAL_SCALE_REPS", "3"))
 
+# Every harness run appends its raw paired result here; the report pools
+# ACROSS runs. Two different estimators, deliberately: per-level THROUGHPUT
+# is min over all pooled reps (tenant load only ever slows a rep down), but
+# the scaling RATIOS are computed per paired run and summarized as
+# median+range — combining each level's best rep across DIFFERENT runs would
+# ratio two incompatible host states (the 6-core best happens exactly when
+# the host boosts 6 busy cores hardest, a state in which the 24-core time is
+# by definition not its own best).
+HISTORY_PATH = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+
+
+def _load_history() -> list[dict]:
+    if not os.path.exists(HISTORY_PATH):
+        return []
+    with open(HISTORY_PATH) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
 
 def _run_suite_once(spark, files, manifest, dim_repos, dim_commits, ckpt) -> int:
     from driftval.suite import SuiteConfig, run_suite
@@ -227,29 +250,60 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def write_report(results: list[dict]) -> None:
+def write_report(results: list[dict], record: bool = True) -> None:
     """Derive the report (BENCH/BASELINE.md + BENCH/scaling.json) from two
     per-level worker results, with a FRESH Spark-free host calibration —
     callable standalone via --regen so the prose can be re-derived on a new
     host without re-measuring the suite."""
     lo, hi = results[0], results[1]
-    speedup = hi["files_per_sec"] / lo["files_per_sec"]
     core_ratio = hi["cores"] / lo["cores"]
-    eff = speedup / core_ratio
-    probe_speedup = lo["probe_sec"] / hi["probe_sec"]
-    probe_eff = probe_speedup / core_ratio
     cal = host_calibration(lo["cores"], hi["cores"])
-    ceiling = cal["ceiling_efficiency"]
+
+    # record this paired run, then pool across ALL recorded runs
+    if record:
+        entry = {"runs": results, "host_calibration": cal}
+        with open(HISTORY_PATH, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    history = _load_history() or [{"runs": results, "host_calibration": cal}]
+
+    # per-level pooled throughput: min over every rep of every run
+    lo_reps = sorted(t for h in history for t in h["runs"][0]["all_reps_sec"])
+    hi_reps = sorted(t for h in history for t in h["runs"][1]["all_reps_sec"])
+    lo = dict(lo, suite_sec=min(lo_reps), all_reps_sec=lo_reps,
+              files_per_sec=round(lo["files"] / min(lo_reps), 1),
+              probe_sec=min(h["runs"][0]["probe_sec"] for h in history))
+    hi = dict(hi, suite_sec=min(hi_reps), all_reps_sec=hi_reps,
+              files_per_sec=round(hi["files"] / min(hi_reps), 1),
+              probe_sec=min(h["runs"][1]["probe_sec"] for h in history))
+
+    # scaling ratios: per PAIRED run, summarized as median + range
+    paired = []
+    for h in history:
+        l, r = h["runs"][0], h["runs"][1]
+        c = h.get("host_calibration", cal)["ceiling_efficiency"]
+        paired.append({
+            "suite_speedup": round(min(l["all_reps_sec"]) / min(r["all_reps_sec"]), 3),
+            "probe_speedup": round(l["probe_sec"] / r["probe_sec"], 3),
+            "ceiling_efficiency": c,
+        })
+    speedup = _median([p["suite_speedup"] for p in paired])
+    probe_speedup = _median([p["probe_speedup"] for p in paired])
+    eff = speedup / core_ratio
+    probe_eff = probe_speedup / core_ratio
+    ceiling = _median([p["ceiling_efficiency"] for p in paired])
+    norm = _median([p["suite_speedup"] / core_ratio / p["ceiling_efficiency"] for p in paired])
+    probe_norm = _median([p["probe_speedup"] / core_ratio / p["ceiling_efficiency"] for p in paired])
     report = {
-        "rows_per_partition": lo.get("rows_per_partition", ROWS_PP),
-        "block_size": lo.get("block_size", BLOCK_SIZE),
-        "runs": results, "speedup": round(speedup, 3),
+        "rows_per_partition": results[0].get("rows_per_partition", ROWS_PP),
+        "block_size": results[0].get("block_size", BLOCK_SIZE),
+        "runs": [lo, hi], "paired_runs": paired,
+        "speedup": round(speedup, 3),
         "efficiency": round(eff, 3),
         "probe_speedup": round(probe_speedup, 3),
         "probe_efficiency": round(probe_eff, 3),
         "host_calibration": cal,
-        "normalized_efficiency": round(eff / ceiling, 3),
-        "normalized_probe_efficiency": round(probe_eff / ceiling, 3),
+        "normalized_efficiency": round(norm, 3),
+        "normalized_probe_efficiency": round(probe_norm, 3),
     }
     print(json.dumps(report))
 
@@ -276,18 +330,28 @@ instruction): `{lo['master']}` vs `{hi['master']}` on identical input
 untimed warm-up pass per harness run, then timed passes; wall = min over the
 {len(lo['all_reps_sec'])} recorded passes (pooled across harness runs on this
 host — it is a shared VM with bursty tenant load, so per-level min is the
-noise-resistant estimator of the job's actual cost).
+noise-resistant estimator of the job's actual cost). Scaling RATIOS,
+however, are computed per PAIRED harness run and summarized as
+median + range across the {len(paired)} recorded runs — ratioing the
+6-core best of one run against the 24-core best of another would compare
+two incompatible host states (the host boosts 6 busy cores hardest exactly
+when it is otherwise idle).
 
-| parallelism | suite wall (s), min | all timed reps (s) | validated files/sec | compute probe (s) |
+| parallelism | suite wall (s), min | all timed reps (s) | validated files/sec | compute probe (s), min |
 |---|---|---|---|---|
 | {lo['master']} (N) | {lo['suite_sec']} | {lo['all_reps_sec']} | {lo['files_per_sec']:,} | {lo['probe_sec']} |
 | {hi['master']} (4N) | {hi['suite_sec']} | {hi['all_reps_sec']} | {hi['files_per_sec']:,} | {hi['probe_sec']} |
 
-- full-suite speedup (4N vs N): **{speedup:.2f}×**; per-core efficiency **{eff:.2f}**
-- compute-probe speedup: **{probe_speedup:.2f}×**; per-core efficiency **{probe_eff:.2f}**
-- HOST ceiling (Spark-free calibration, below): **{cal['speedup']:.2f}×** / **{ceiling:.2f}**
-- host-normalized efficiency — suite **{eff / ceiling:.2f}**, probe
-  **{probe_eff / ceiling:.2f}** (target ≥ 0.8)
+Per paired run (suite speedup / probe speedup / host ceiling):
+{'; '.join(f"{p['suite_speedup']:.2f}x / {p['probe_speedup']:.2f}x / {p['ceiling_efficiency']:.2f}" for p in paired)}
+
+- full-suite speedup (4N vs N): **{speedup:.2f}×** median
+  (range {min(p['suite_speedup'] for p in paired):.2f}–{max(p['suite_speedup'] for p in paired):.2f}); per-core efficiency **{eff:.2f}**
+- compute-probe speedup: **{probe_speedup:.2f}×** median
+  (range {min(p['probe_speedup'] for p in paired):.2f}–{max(p['probe_speedup'] for p in paired):.2f}); per-core efficiency **{probe_eff:.2f}**
+- HOST ceiling (Spark-free calibration, below): median **{ceiling * core_ratio:.2f}×** / **{ceiling:.2f}**
+- host-normalized efficiency (normalized within each paired run, then
+  median) — suite **{norm:.2f}**, probe **{probe_norm:.2f}** (target ≥ 0.8)
 
 Read the suite ratio together with the ABSOLUTE walls: every round-over-round
 optimization lowers both walls, and once the N config alone approaches this
@@ -304,15 +368,18 @@ points quantifies it below.
 Before judging the engine, measure the box: {lo['cores']} vs
 {hi['cores']} INDEPENDENT OS processes, each chaining `hashlib.sha256`
 flat-out — no Spark, no JVM, no shared data structures. A perfect host
-scales this 4.00×; this one delivers
+scales this 4.00×; the latest calibration delivers
 {cal['lo_mhashes_per_sec']:.1f} → {cal['hi_mhashes_per_sec']:.1f} M-hashes/s
-= **{cal['speedup']:.2f}×** (per-core efficiency **{ceiling:.2f}**): with
+= **{cal['speedup']:.2f}×** (median across runs **{ceiling * core_ratio:.2f}×**,
+per-core efficiency **{ceiling:.2f}**): with
 {hi['cores']} vCPUs busy the cores clock/throttle down, so ~{(1 - ceiling) * 100:.0f}%
 of the ideal speedup is physically unavailable to ANY program on this box.
-That ceiling is the correct denominator for the sandbox measurement. Against
-it, the engine's compute probe ({probe_eff:.2f}) reaches
-**{probe_eff / ceiling:.0%}** of what the host can deliver and the full suite
-({eff:.2f}) reaches **{eff / ceiling:.0%}** — the residual gap is the
+That ceiling is the correct denominator for the sandbox measurement — and it
+moves with tenant load, which is why each paired run is normalized against
+ITS OWN calibration before taking the median. So normalized, the engine's
+compute probe reaches
+**{probe_norm:.0%}** of what the host can deliver and the full suite
+reaches **{norm:.0%}** — the residual gap is the
 suite's scan/shuffle stages sharing ONE memory bus and one VM disk (fitting
 wall = capped + C/cores to the two suite points gives
 C ≈ {c_core_s:.0f} core-s of scalable compute and ~{capped_s:.0f} s of
@@ -340,12 +407,16 @@ Raw JSON: `BENCH/scaling.json`.
 
 
 def regen() -> None:
-    with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
-        saved = json.load(f)
-    runs = saved["runs"]
-    runs[0].setdefault("rows_per_partition", saved.get("rows_per_partition", ROWS_PP))
-    runs[0].setdefault("block_size", saved.get("block_size", BLOCK_SIZE))
-    write_report(runs)
+    """Re-derive the report from the recorded history (fresh host
+    calibration for the prose, no suite re-run, no new history entry)."""
+    history = _load_history()
+    if not history:
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            history = [{"runs": json.load(f)["runs"]}]
+    runs = history[-1]["runs"]
+    runs[0].setdefault("rows_per_partition", ROWS_PP)
+    runs[0].setdefault("block_size", BLOCK_SIZE)
+    write_report(runs, record=False)
 
 
 if __name__ == "__main__":
