@@ -782,6 +782,43 @@ def q_verdict_diff(spark, sf_dir):
     )
 
 
+BAND_OVERFLOW_CAP = 40
+
+
+def q_minhash_band_overflow(spark, sf_dir):
+    """The no-silent-truncation report for capped MinHash banding: band
+    buckets whose exact-dup-collapsed population exceeds the cap — what a
+    capped minhash_dup_pairs run dropped (driftval/textops.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.minhash_band_overflow(
+        d, "doc_id", "text", k=8, band_rows=2, band_cap=BAND_OVERFLOW_CAP
+    )
+
+
+TOKEN_BUDGET_TARGETS = {"src0": 20000, "src1": 8000, "src2": 1000}
+TOKEN_BUDGET_DEFAULT = 0.02
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Mixture planner: per-source keep-rates hitting a TOKEN budget
+    (driftval/sampling.py token_budget_mix) — reported as the per-source
+    (rate, kept docs, kept tokens) plan."""
+    d = _t(spark, sf_dir, "documents")
+    tc = F.size(textops.tokens(F.col("text"))).cast("long")
+    mix = sampling.token_budget_mix(
+        d, "source", "doc_id", tc, TOKEN_BUDGET_TARGETS,
+        default_rate=TOKEN_BUDGET_DEFAULT, salt="budget",
+    )
+    return (
+        mix.select("source", F.col("_rate").alias("rate"), tc.alias("_tc"))
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("_tc").alias("tokens_kept"),
+        )
+    )
+
+
 SOURCE_MIX_RATES = {"src0": 0.8, "src1": 0.4, "src2": 0.15}
 SOURCE_MIX_DEFAULT = 0.05
 
@@ -967,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_constraints_events": q_window_constraints_events,
         "window_drift_events": q_window_drift_events,
         "sample_documents": q_sample_documents,
+        "minhash_band_overflow": q_minhash_band_overflow,
+        "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "pack_stats": q_pack_stats,
         "source_quality_report": q_source_quality_report,
@@ -1116,6 +1155,38 @@ _SHINGLES_REPS = _SHINGLES_TMPL.format(
     "JOIN (SELECT min(doc_id) AS _rid FROM documents GROUP BY md5(text)) r "
     "ON d.doc_id = r._rid)",
 )
+
+
+def _band_overflow_sql() -> str:
+    """minhash_band_overflow twin: rep collapse -> group signatures -> band
+    counts over the SAME 4-band/2-row layout as the dup-pair twins."""
+    from driftval.textops import MINHASH_A, MINHASH_B
+
+    hs = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {_P})) AS h{i}"
+        for i in range(8)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT '{b}:' || h{2 * b} || ':' || h{2 * b + 1} AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH reps AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT min(doc_id) AS _rid FROM documents GROUP BY md5(text)) r
+    ON d.doc_id = r._rid
+), tok AS (
+  SELECT doc_id, list_distinct({_TOK}) AS ts FROM reps
+), hashed AS (
+  SELECT doc_id, list_transform(ts, t -> {_H31}) AS hs FROM tok
+), sig AS (
+  SELECT doc_id, {hs} FROM hashed
+), bands AS (
+  {bands}
+)
+SELECT band_key, count(*)::BIGINT AS n_groups
+FROM bands GROUP BY 1 HAVING count(*) > {BAND_OVERFLOW_CAP}
+"""
 
 
 def _pack_plan_sql() -> str:
@@ -2018,6 +2089,28 @@ FROM ({cdda_melt}) GROUP BY 1, 2, 3
         "sample_documents": f"""
 SELECT doc_id, source, lang FROM documents
 WHERE {sampling.sample_sql_predicate('doc_id', 0.1, 's1')}
+""",
+        "minhash_band_overflow": _band_overflow_sql(),
+        "token_budget_mix": f"""
+WITH tc AS (
+  SELECT doc_id, source, len({_TOK})::BIGINT AS t FROM documents
+), totals AS (
+  SELECT source, sum(t) AS tot FROM tc GROUP BY 1
+), rates AS (
+  SELECT source,
+         CASE source
+           {' '.join(f"WHEN '{s}' THEN least(1.0, {float(t)} / tot)" for s, t in sorted(TOKEN_BUDGET_TARGETS.items()))}
+           ELSE {TOKEN_BUDGET_DEFAULT} END AS rate
+  FROM totals
+), kept AS (
+  SELECT tc.source, tc.t, r.rate
+  FROM tc JOIN rates r ON tc.source = r.source
+  WHERE (('0x' || substr(md5(tc.doc_id::VARCHAR || 'budget'), 1, 15))::BIGINT)
+        < floor(r.rate * {sampling.HASH_SPACE})::BIGINT
+)
+SELECT source, round(rate, 8)::DOUBLE AS rate,
+       count(*)::BIGINT AS n_kept, sum(t)::BIGINT AS tokens_kept
+FROM kept GROUP BY 1, 2
 """,
         "pack_sequences": _pack_plan_sql(),
         "pack_stats": f"""

@@ -126,3 +126,58 @@ def stratified_sample(
         .where(F.col("rank") <= F.lit(int(k)))
         .select(group_col, key_col, F.col("rank").cast("int").alias("rank"))
     )
+
+
+def token_budget_mix(
+    df,
+    source_col: str,
+    key_col: str,
+    token_count: Column,
+    targets: dict[str, int],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """The mixture PLANNER: downsample each source to (in expectation) a
+    target TOKEN budget — the operator behind "2 epochs of wiki, 0.5 of
+    common-crawl"-style training mixes, where budgets are stated in tokens
+    but sampling decisions are per document.
+
+    Two steps, both deterministic:
+
+    1. one tiny aggregate collects per-source total tokens (O(sources)
+       rows to the driver — mixture config is driver-scale by definition);
+       each source's keep-rate is ``min(1, target / total)``;
+    2. rows are kept by the same 60-bit md5 rule as
+       :func:`deterministic_sample`, with the rate folded to an integer
+       threshold DRIVER-SIDE (float→threshold uses one IEEE division, one
+       exact power-of-two scale, one floor — bit-identical in ANSI SQL, so
+       the audit twin reproduces the exact row set).
+
+    Returns the kept rows with a ``_rate`` column (the applied keep-rate).
+    Sources absent from ``targets`` fall back to ``default_rate``.
+
+    Scale shape: one map-side-combined aggregate + one narrow map+filter —
+    the plan never shuffles the corpus.
+    """
+    totals = {
+        r["source"]: int(r["_toks"])
+        for r in df.select(
+            F.col(source_col).alias("source"), token_count.alias("_tc")
+        )
+        .groupBy("source")
+        .agg(F.sum("_tc").alias("_toks"))
+        .collect()
+    }
+    rates = {
+        s: min(1.0, targets[s] / totals[s]) if totals.get(s) else 0.0
+        for s in targets
+    }
+    thresh: Column = F.lit(threshold_for(default_rate))
+    rate_col: Column = F.lit(float(default_rate))
+    for src, rate in sorted(rates.items()):
+        is_src = F.col(source_col) == F.lit(src)
+        thresh = F.when(is_src, F.lit(threshold_for(rate))).otherwise(thresh)
+        rate_col = F.when(is_src, F.lit(round(rate, 8))).otherwise(rate_col)
+    return df.where(hash60(F.col(key_col), salt) < thresh).withColumn(
+        "_rate", rate_col
+    )

@@ -114,3 +114,73 @@ def test_secret_verdicts_aggregate(spark):
         r.violation_count,
         r.match_count,
     ) == ("p1", "secrets:aws_access_key_id", False, 2, 3)
+
+
+def _token_docs(spark):
+    """(doc_id, source, text): src0 tiny, src1 large — text has doc_id+1
+    whitespace tokens so token totals are easy to reason about."""
+    return spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 2).cast("string")).alias("source"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), (F.col("id") % 7 + 1).cast("int"))).alias("text"),
+    )
+
+
+def test_token_budget_mix_rates_and_determinism(spark):
+    d = _token_docs(spark)
+    tc = F.size(F.split(F.col("text"), " ")).cast("long")
+    totals = {
+        r["source"]: r["t"]
+        for r in d.select("source", tc.alias("_t")).groupBy("source").agg(F.sum("_t").alias("t")).collect()
+    }
+    targets = {"src0": totals["src0"] // 3, "src1": 10**9}
+    mix = sampling.token_budget_mix(d, "source", "doc_id", tc, targets, salt="b")
+    rows = mix.select("doc_id", "source", "_rate").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # over-budget source: rate 1.0, everything kept
+    assert all(abs(r["_rate"] - 1.0) < 1e-9 for r in by_src["src1"])
+    assert len(by_src["src1"]) == 150
+    # under-budget source: rate = target/total, subset kept
+    want_rate = targets["src0"] / totals["src0"]
+    assert all(abs(r["_rate"] - round(want_rate, 8)) < 1e-9 for r in by_src["src0"])
+    assert 0 < len(by_src["src0"]) < 150
+    # deterministic under relayout
+    again = sampling.token_budget_mix(
+        d.repartition(5), "source", "doc_id", tc, targets, salt="b"
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(r["doc_id"] for r in rows)
+
+
+def test_token_budget_mix_default_rate_for_unlisted_source(spark):
+    d = _token_docs(spark)
+    tc = F.size(F.split(F.col("text"), " ")).cast("long")
+    mix = sampling.token_budget_mix(
+        d, "source", "doc_id", tc, {"src0": 10**9}, default_rate=0.0, salt="b"
+    )
+    srcs = {r["source"] for r in mix.select("source").distinct().collect()}
+    assert srcs == {"src0"}  # unlisted src1 dropped entirely at rate 0
+
+
+def test_minhash_band_overflow_collapse_and_hot_band(spark):
+    from driftval import textops
+
+    # 1000 IDENTICAL docs: exact-dup collapse -> one group -> NO bucket can
+    # exceed a cap of 1 group per band
+    same = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta gamma").alias("text")
+    )
+    assert textops.minhash_band_overflow(same, "doc_id", "text", band_cap=1).count() == 0
+
+    # two DISTINCT texts over the same token SET (order varies, set equal)
+    # share every min-hash -> every band bucket holds both groups
+    hot = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("alpha beta gamma delta"))
+        .otherwise(F.lit("delta gamma beta alpha"))
+        .alias("text"),
+    )
+    over = textops.minhash_band_overflow(hot, "doc_id", "text", band_cap=1).collect()
+    assert len(over) == 4  # all 4 bands overflow
+    assert all(r["n_groups"] == 2 for r in over)
