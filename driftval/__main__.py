@@ -18,6 +18,11 @@ Subcommands:
 - ``dedup``: write a ``(drop_id, keep_id)`` duplicate drop-list — ``exact``
   (md5 hash groups) or ``fuzzy`` (MinHash-banded candidates verified by
   exact n-gram Jaccard, expanded through connected components).
+- ``diff``: cross-run regression report from the checkpoint table
+  (regressed / fixed / added / removed transitions; exit 1 iff anything
+  regressed — the CI gate for scheduled validation runs).
+- ``pack``: write a deterministic sequence-packing layout plan
+  (``driftval.packing``) and print the fill-ratio summary.
 
 Cluster use (north rule):
 
@@ -198,6 +203,52 @@ def cmd_profile(spark, args) -> int:
     return 0
 
 
+def cmd_diff(spark, args) -> int:
+    """Cross-run regression report from the checkpoint table: what changed
+    between --run-a and --run-b. Exit 1 iff anything REGRESSED (pass -> fail)
+    — the wiring for a CI gate on scheduled validation runs."""
+    from pyspark.sql import functions as F
+
+    from driftval.checkpoint import CheckpointStore, verdict_diff
+
+    store = CheckpointStore(spark, args.checkpoint)
+    ck = store.read()
+    diff = verdict_diff(
+        ck.where(F.col("run_id") == args.run_a),
+        ck.where(F.col("run_id") == args.run_b),
+    ).toPandas()
+    if not args.all:
+        diff = diff[~diff["transition"].isin(["stable_pass", "still_failing"])]
+    diff = diff.sort_values(["transition", "partition_value", "check_name"])
+    if diff.empty:
+        print("no transitions")
+    else:
+        print(diff.to_string(index=False))
+    n_reg = int((diff["transition"] == "regressed").sum()) if not diff.empty else 0
+    print(f"\n{n_reg} regressed")
+    return 1 if n_reg else 0
+
+
+def cmd_pack(spark, args) -> int:
+    """Write the deterministic sequence-packing plan + print the layout
+    summary (pack count, fill ratio, boundary-split docs)."""
+    from driftval.packing import pack_sequences, pack_stats
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    plan = pack_sequences(
+        files, args.id_col, args.text_col,
+        ctx_len=args.ctx_len, n_buckets=args.buckets, salt=args.salt,
+    )
+    plan.write.mode("overwrite").parquet(args.out)
+    s = pack_stats(spark.read.parquet(args.out), ctx_len=args.ctx_len).first()
+    print(
+        f"{s.n_docs} docs, {s.total_tokens} tokens -> {s.n_packs} packs of "
+        f"{args.ctx_len} ({s.fill_ratio:.1%} full, {s.split_docs} docs split); "
+        f"plan -> {args.out}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="driftval")
     ap.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -275,6 +326,24 @@ def main(argv: list[str] | None = None) -> int:
         help="HLL distinct counts (no Expand rewrite — the 100 TB default)",
     )
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("diff", help="cross-run regression report from a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--run-a", required=True, help="earlier run_id")
+    p.add_argument("--run-b", required=True, help="later run_id")
+    p.add_argument("--all", action="store_true", help="include stable rows")
+    p.set_defaults(fn=cmd_diff)
+
+    p = sub.add_parser("pack", help="write a sequence-packing layout plan")
+    p.add_argument("--path")
+    p.add_argument("--table")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--ctx-len", type=int, default=2048)
+    p.add_argument("--buckets", type=int, default=256)
+    p.add_argument("--salt", default="")
+    p.set_defaults(fn=cmd_pack)
 
     args = ap.parse_args(argv)
     spark = build_session("driftval", master=args.master)

@@ -133,3 +133,47 @@ def test_cli_dedup_exact_and_fuzzy(tmp_path):
     # docs 1,2 exact dups; doc 4 shares 2 of 3+... shingles with them
     # (jaccard 2/3 >= 0.5) -> component {1,2,4}, keep 1, drop 2 and 4
     assert "2 dropped (fuzzy)" in r.stdout
+
+
+def test_cli_pack_and_diff(tmp_path, spark):
+    """`pack` writes a plan parquet + summary; `diff` reports transitions
+    between two checkpointed runs and exits 1 on a regression."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * (i % 5 + 1)) for i in range(40)], "doc_id long, text string"
+    )
+    src = tmp_path / "docs"
+    docs.write.parquet(str(src))
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", "pack", "--path", str(src),
+         "--out", str(tmp_path / "plan"), "--ctx-len", "16", "--buckets", "2"],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "packs of 16" in out.stdout
+    plan = pd.read_parquet(tmp_path / "plan")
+    assert len(plan) == 40 and set(plan["bucket"]) == {0, 1}
+
+    # two runs in one checkpoint: run b regresses one check
+    from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore
+
+    ck = tmp_path / "ck"
+    store = CheckpointStore(spark, str(ck))
+    base = dict(metric=0.0, threshold=0.0, violation_count=0, segment_start=None,
+                segment_end=None, rows_scanned=10, content_sha_xor="0",
+                completed_at=pd.Timestamp("2026-01-01"))
+    rows = [
+        dict(base, partition_value="p1", check_name="c1", passed=True, run_id="a"),
+        dict(base, partition_value="p1", check_name="c1", passed=False, run_id="b"),
+    ]
+    store.write(spark.createDataFrame(pd.DataFrame(rows)[[f.name for f in CHECKPOINT_SCHEMA.fields]], CHECKPOINT_SCHEMA))
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", "diff", "--checkpoint", str(ck),
+         "--run-a", "a", "--run-b", "b"],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=300,
+    )
+    assert out.returncode == 1, out.stdout + out.stderr[-500:]
+    assert "regressed" in out.stdout and "1 regressed" in out.stdout
