@@ -181,6 +181,20 @@ def q_drift_len_ks(spark, sf_dir):
     )
 
 
+def q_drift_len_emd(spark, sf_dir):
+    """Exact 1-D Wasserstein (earth mover's) distance of each source's
+    content-length distribution vs src0 — the magnitude-aware companion to
+    KS, in characters; same O(partitions x distinct lengths) cumulative
+    frame."""
+    from driftval.checks.histogram import emd_stats
+
+    d = _t(spark, sf_dir, "documents")
+    s = emd_stats(d, "source", "n_chars", ["src0"])
+    return s.select(
+        F.col("partition_value").alias("source"), "emd", "n_base", "n_cur"
+    )
+
+
 def q_dup_ngram_fraction(spark, sf_dir):
     """Per-doc duplicated-3-gram fraction (share of a doc's shingles that
     appear in >2 docs) — the doc-level memorization-risk proxy of
@@ -957,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_len_chisq_kl": q_drift_len_chisq_kl,
         "drift_lang_psi_js": q_drift_lang_psi_js,
         "drift_len_ks": q_drift_len_ks,
+        "drift_len_emd": q_drift_len_emd,
         "robust_outliers_len": q_robust_outliers_len,
         "lang_entropy": q_lang_entropy,
         "fd_lang_norm": q_fd_lang_norm,
@@ -1424,6 +1439,40 @@ SELECT source, lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2
 """,
         "drift_lang_chisq_kl": _DRIFT_SQL_TMPL.format(bin_expr="lang"),
         "drift_lang_psi_js": _PSI_JS_SQL_TMPL.format(bin_expr="lang"),
+        "drift_len_emd": """
+WITH hist AS (
+  SELECT source AS pv, n_chars::DOUBLE AS v, count(*)::DOUBLE AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), base AS (
+  SELECT v, sum(cnt) AS ob FROM hist WHERE pv = 'src0' GROUP BY 1
+), cur AS (
+  SELECT pv, v, cnt AS oc FROM hist WHERE pv <> 'src0'
+), domain AS (
+  SELECT p.pv, d.v FROM (SELECT DISTINCT pv FROM cur) p
+  CROSS JOIN (SELECT v FROM base UNION SELECT DISTINCT v FROM cur) d
+), joined AS (
+  SELECT dm.pv, dm.v, COALESCE(b.ob, 0)::DOUBLE AS ob, COALESCE(c.oc, 0)::DOUBLE AS oc
+  FROM domain dm
+  LEFT JOIN base b ON dm.v = b.v
+  LEFT JOIN cur c ON dm.pv = c.pv AND dm.v = c.v
+), cum AS (
+  SELECT pv, v,
+         sum(ob) OVER (PARTITION BY pv ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(ob) OVER (PARTITION BY pv) AS cb,
+         sum(oc) OVER (PARTITION BY pv ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(oc) OVER (PARTITION BY pv) AS cc,
+         sum(ob) OVER (PARTITION BY pv) AS nb,
+         sum(oc) OVER (PARTITION BY pv) AS nc
+  FROM joined
+), stepped AS (
+  SELECT pv, nb, nc,
+         COALESCE(abs(cb - cc) * (lead(v) OVER (PARTITION BY pv ORDER BY v) - v), 0) AS c
+  FROM cum
+)
+SELECT pv AS source, round(sum(c), 8) AS emd,
+       first(nb)::BIGINT AS n_base, first(nc)::BIGINT AS n_cur
+FROM stepped GROUP BY pv
+""",
         "drift_len_ks": """
 WITH hist AS (
   SELECT source AS pv, n_chars::DOUBLE AS v, count(*)::DOUBLE AS cnt

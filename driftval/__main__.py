@@ -139,6 +139,7 @@ def cmd_suite(spark, args) -> int:
         psi_threshold=args.psi_threshold,
         js_threshold=args.js_threshold,
         ks_threshold=args.ks_threshold,
+        emd_threshold=args.emd_threshold,
         outlier_rate_threshold=args.outlier_rate_threshold,
         extra_constraints=extra,
     )
@@ -297,6 +298,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable Jensen-Shannon drift verdicts (with --psi-threshold)")
     p.add_argument("--ks-threshold", type=float, default=None,
                    help="enable exact two-sample KS verdicts on content length")
+    p.add_argument("--emd-threshold", type=float, default=None,
+                   help="enable exact Wasserstein-1 verdicts on content length "
+                        "(threshold in characters)")
     p.add_argument("--outlier-rate-threshold", type=float, default=None,
                    help="enable median/MAD modified-z outlier-rate verdicts")
     p.add_argument("--satisfies", action="append", default=[],

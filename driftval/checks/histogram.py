@@ -244,6 +244,25 @@ def ks_stats(
     single global sort and each window partition is at most the value
     domain. For genuinely unbounded continuous columns, quantize first.
     """
+    cum = _cdf_frame(df, partition_col, value_col, baseline_partitions)
+    return cum.groupBy("partition_value").agg(
+        F.round(F.max(F.abs(F.col("cdf_base") - F.col("cdf_cur"))), round_digits).alias("ks_stat"),
+        F.first("n_base").cast("long").alias("n_base"),
+        F.first("n_cur").cast("long").alias("n_cur"),
+    )
+
+
+def _cdf_frame(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    baseline_partitions: list[str],
+) -> DataFrame:
+    """Shared empirical-CDF frame behind :func:`ks_stats` and
+    :func:`emd_stats`: ``(partition_value, v, cdf_base, cdf_cur, n_base,
+    n_cur)`` over the UNION of observed values, one row per (current
+    partition, value). O(partitions x distinct values) after the first
+    aggregate; windows partitioned per partition_value — no global sort."""
     from pyspark.sql import Window
 
     hist = (
@@ -284,15 +303,47 @@ def ks_stats(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tot = Window.partitionBy("partition_value")
-    cum = joined.select(
+    return joined.select(
         "partition_value",
+        "v",
         (F.sum("ob").over(w) / F.sum("ob").over(tot)).alias("cdf_base"),
         (F.sum("oc").over(w) / F.sum("oc").over(tot)).alias("cdf_cur"),
         F.sum("ob").over(tot).alias("n_base"),
         F.sum("oc").over(tot).alias("n_cur"),
     )
-    return cum.groupBy("partition_value").agg(
-        F.round(F.max(F.abs(F.col("cdf_base") - F.col("cdf_cur"))), round_digits).alias("ks_stat"),
+
+
+def emd_stats(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    baseline_partitions: list[str],
+    round_digits: int = 8,
+) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth mover's) distance of every current
+    partition's ``value_col`` distribution vs the pooled baseline:
+    ``(partition_value, emd, n_base, n_cur)``. W1 = the integral of
+    |CDF_base - CDF_cur| — the magnitude-aware companion to KS (KS reports
+    the WORST CDF gap; W1 reports total transported mass x distance, in the
+    column's own units, so a 10-char vs 1000-char length shift scores
+    proportionally instead of both saturating).
+
+    Computed on the SAME O(partitions x distinct values) cumulative frame as
+    :func:`ks_stats`: sum over consecutive support points of
+    |CDF gap| x (next value - value). Exact for the empirical
+    distributions, no binning, no smoothing constant."""
+    from pyspark.sql import Window
+
+    cum = _cdf_frame(df, partition_col, value_col, baseline_partitions)
+    nxt = Window.partitionBy("partition_value").orderBy("v")
+    gap = F.lead("v").over(nxt) - F.col("v")
+    contrib = F.abs(F.col("cdf_base") - F.col("cdf_cur")) * gap
+    stepped = cum.select(
+        "partition_value", "n_base", "n_cur",
+        F.coalesce(contrib, F.lit(0.0)).alias("_c"),
+    )
+    return stepped.groupBy("partition_value").agg(
+        F.round(F.sum("_c"), round_digits).alias("emd"),
         F.first("n_base").cast("long").alias("n_base"),
         F.first("n_cur").cast("long").alias("n_cur"),
     )
@@ -378,3 +429,18 @@ def ks_verdicts(
     KS statistic vs the pooled baseline (binning-free drift)."""
     stats = ks_stats(df, partition_col, value_col, baseline_partitions)
     return _threshold_verdict(stats, "ks_stat", f"ks:{feature_name}", ks_threshold)
+
+
+def emd_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    feature_name: str,
+    baseline_partitions: list[str],
+    emd_threshold: float,
+) -> DataFrame:
+    """Verdict rows ``emd:<feature>`` per current partition: exact 1-D
+    Wasserstein distance vs the pooled baseline — thresholded in the
+    column's own units (e.g. characters for content length)."""
+    stats = emd_stats(df, partition_col, value_col, baseline_partitions)
+    return _threshold_verdict(stats, "emd", f"emd:{feature_name}", emd_threshold)

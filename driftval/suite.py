@@ -48,6 +48,7 @@ from driftval.checks.fidelity import (
     partition_lineage,
 )
 from driftval.checks.histogram import (
+    emd_verdicts,
     histogram_drift_verdicts,
     ks_verdicts,
     length_bin,
@@ -113,6 +114,7 @@ class SuiteConfig:
     psi_threshold: float | None = None
     js_threshold: float | None = None
     ks_threshold: float | None = None
+    emd_threshold: float | None = None
     outlier_rate_threshold: float | None = None
 
     @staticmethod
@@ -604,6 +606,13 @@ def run_suite(
                 ks_verdicts(
                     derived, pcol, LEN_COL, "content_len",
                     cfg.baseline_partitions, cfg.ks_threshold,
+                ).where(F.col("partition_value").isin(pending_current))
+            )
+        if cfg.emd_threshold is not None:
+            frames.append(
+                emd_verdicts(
+                    derived, pcol, LEN_COL, "content_len",
+                    cfg.baseline_partitions, cfg.emd_threshold,
                 ).where(F.col("partition_value").isin(pending_current))
             )
     if cfg.outlier_rate_threshold is not None and pending:

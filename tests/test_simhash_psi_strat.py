@@ -136,6 +136,26 @@ def test_ks_stats_hand_computed(spark):
     assert got["c2"]["n_base"] == 20 and got["c2"]["n_cur"] == 8
 
 
+def test_emd_stats_hand_computed(spark):
+    from driftval.checks.histogram import emd_stats
+
+    # base uniform on {1,2,3,4}; cur identical -> W1 = 0; cur2 all 4s ->
+    # W1 = sum over gaps of |CDF diff| = 0.25 + 0.5 + 0.75 = 1.5 (unit gaps)
+    rows = (
+        [("b", v) for v in (1, 2, 3, 4)] * 5
+        + [("c1", v) for v in (1, 2, 3, 4)] * 3
+        + [("c2", 4)] * 8
+    )
+    df = spark.createDataFrame(rows, "source string, v int")
+    got = {r.partition_value: r.asDict() for r in emd_stats(df, "source", "v", ["b"]).collect()}
+    assert got["c1"]["emd"] == pytest.approx(0.0, abs=1e-12)
+    assert got["c2"]["emd"] == pytest.approx(1.5)
+    # W1 respects value scale: stretch the support 10x -> distance 10x
+    df10 = df.selectExpr("source", "v * 10 AS v")
+    got10 = {r.partition_value: r.asDict() for r in emd_stats(df10, "source", "v", ["b"]).collect()}
+    assert got10["c2"]["emd"] == pytest.approx(15.0)
+
+
 def test_dup_ngram_fraction_values(spark):
     from driftval import textops
 

@@ -345,6 +345,7 @@ def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
         psi_threshold=0.25,
         js_threshold=0.1,
         ks_threshold=0.2,
+        emd_threshold=500.0,
         outlier_rate_threshold=0.12,
     )
     base = tmp_path_factory.mktemp("companions")
@@ -358,7 +359,8 @@ def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
     n_current = n_parts - len(BASELINE)
     for name, expected in [
         ("psi:lang", n_current), ("js:lang", n_current),
-        ("ks:content_len", n_current), ("outliers:content_len", n_parts),
+        ("ks:content_len", n_current), ("emd:content_len", n_current),
+        ("outliers:content_len", n_parts),
     ]:
         sub = v[v["check_name"] == name]
         assert len(sub) == expected, (name, len(sub), expected)
