@@ -2148,7 +2148,7 @@ WITH tc AS (
 ), rates AS (
   SELECT source,
          CASE source
-           {' '.join(f"WHEN '{s}' THEN least(1.0, {float(t)} / tot)" for s, t in sorted(TOKEN_BUDGET_TARGETS.items()))}
+           {' '.join(f"WHEN '{s}' THEN (CASE WHEN tot > 0 THEN least(1.0, {float(t)} / tot) ELSE 0.0 END)" for s, t in sorted(TOKEN_BUDGET_TARGETS.items()))}
            ELSE {TOKEN_BUDGET_DEFAULT} END AS rate
   FROM totals
 ), kept AS (
@@ -2165,7 +2165,7 @@ FROM kept GROUP BY 1, 2
         "pack_stats": f"""
 WITH plan AS ({_pack_plan_sql()}), pb AS (
   SELECT bucket, count(*) AS _docs, sum(n_tokens) AS _toks,
-         max(pack_last) + 1 AS _packs,
+         (sum(n_tokens) + {PACK_CTX} - 1) // {PACK_CTX} AS _packs,
          sum(CASE WHEN n_packs_spanned > 1 THEN 1 ELSE 0 END) AS _split
   FROM plan GROUP BY 1
 )
@@ -2176,34 +2176,17 @@ SELECT sum(_docs)::BIGINT AS n_docs, count(*)::BIGINT AS n_buckets,
 FROM pb
 """,
         "source_quality_report": f"""
-WITH t AS (
-  SELECT source, text, {_TOK} AS toks, md5(text) AS _g FROM documents
-), feat AS (
-  SELECT source, _g,
-         len(toks)::BIGINT AS nt, length(text)::BIGINT AS nc,
-         len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS punct,
-         len(list_intersect(toks, {_STOP_EN}))::DOUBLE AS stop
-  FROM t
-), r AS (
-  SELECT source, _g, nt, nc,
-         CASE WHEN nc > 0 THEN punct / nc ELSE 0.0 END AS punct_ratio,
-         CASE WHEN nt > 0 THEN stop / nt ELSE 0.0 END AS stopword_ratio,
-         CASE WHEN nt > 0 THEN (nc - nt + 1.0) / nt ELSE 0.0 END AS mean_wl
-  FROM feat
-), s AS (
-  SELECT source, _g, nt, nc,
-         round((CASE WHEN nt BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END) +
-               (CASE WHEN mean_wl BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END) +
-               (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0 END) +
-               (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0 END), 2)::DOUBLE AS q
-  FROM r
-)
-SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS total_tokens,
-       sum(nc)::BIGINT AS total_chars, round(avg(q), 6) AS mean_quality,
-       round(avg(CASE WHEN q >= 0.75 THEN 1.0 ELSE 0.0 END), 6) AS high_quality_rate,
-       count(DISTINCT _g)::BIGINT AS distinct_texts,
-       round(1.0 - count(DISTINCT _g)::DOUBLE / count(*), 6) AS dup_frac
-FROM s GROUP BY 1
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(q.token_count)::BIGINT AS total_tokens,
+       sum(q.char_count)::BIGINT AS total_chars,
+       round(avg(q.quality_score), 6) AS mean_quality,
+       round(avg(CASE WHEN q.quality_score >= 0.75 THEN 1.0 ELSE 0.0 END), 6)
+         AS high_quality_rate,
+       count(DISTINCT md5(d.text))::BIGINT AS distinct_texts,
+       round(1.0 - count(DISTINCT md5(d.text))::DOUBLE / count(*), 6) AS dup_frac
+FROM ({_quality_sql()}) q JOIN documents d ON q.doc_id = d.doc_id
+GROUP BY 1
 """,
         "verdict_diff": """
 WITH agg AS (

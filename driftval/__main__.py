@@ -242,10 +242,11 @@ def cmd_pack(spark, args) -> int:
     )
     plan.write.mode("overwrite").parquet(args.out)
     s = pack_stats(spark.read.parquet(args.out), ctx_len=args.ctx_len).first()
+    fill = f"{s.fill_ratio:.1%}" if s.fill_ratio is not None else "n/a"
     print(
-        f"{s.n_docs} docs, {s.total_tokens} tokens -> {s.n_packs} packs of "
-        f"{args.ctx_len} ({s.fill_ratio:.1%} full, {s.split_docs} docs split); "
-        f"plan -> {args.out}"
+        f"{s.n_docs or 0} docs, {s.total_tokens or 0} tokens -> "
+        f"{s.n_packs or 0} packs of {args.ctx_len} ({fill} full, "
+        f"{s.split_docs or 0} docs split); plan -> {args.out}"
     )
     return 0
 

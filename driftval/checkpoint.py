@@ -59,17 +59,28 @@ def verdict_diff(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
     (O(partitions × checks) rows each) — at any corpus scale this is
     metadata-sized; AQE broadcasts the smaller side."""
     keys = ["partition_value", "check_name"]
+    # explicit presence markers: a verdict row can carry passed=NULL (e.g. a
+    # Bounds check over an all-NULL column), so "row absent" must not be
+    # inferred from a NULL passed column — a pass -> NULL degradation is a
+    # regression, not a removal
     a = run_a.select(
-        *keys, F.col("passed").alias("passed_a"), F.col("metric").alias("metric_a")
+        *keys,
+        F.col("passed").alias("passed_a"),
+        F.col("metric").alias("metric_a"),
+        F.lit(True).alias("_in_a"),
     )
     b = run_b.select(
-        *keys, F.col("passed").alias("passed_b"), F.col("metric").alias("metric_b")
+        *keys,
+        F.col("passed").alias("passed_b"),
+        F.col("metric").alias("metric_b"),
+        F.lit(True).alias("_in_b"),
     )
     j = a.join(b, keys, "full_outer")
-    pa, pb = F.col("passed_a"), F.col("passed_b")
+    pa = F.coalesce(F.col("passed_a"), F.lit(False))  # NULL verdict != pass
+    pb = F.coalesce(F.col("passed_b"), F.lit(False))
     transition = (
-        F.when(pa.isNull(), F.lit("added"))
-        .when(pb.isNull(), F.lit("removed"))
+        F.when(F.col("_in_a").isNull(), F.lit("added"))
+        .when(F.col("_in_b").isNull(), F.lit("removed"))
         .when(pa & ~pb, F.lit("regressed"))
         .when(~pa & pb, F.lit("fixed"))
         .when(pa & pb, F.lit("stable_pass"))

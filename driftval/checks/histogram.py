@@ -23,6 +23,25 @@ from pyspark.sql import functions as F
 SMOOTH_ALPHA = 0.5
 
 
+def _sql_str(s: str) -> str:
+    """Single-quote-escape a value interpolated into a SQL string literal
+    (the stack() melts build raw expressions)."""
+    return s.replace("'", "''")
+
+
+def _sql_double(x: float) -> str:
+    """A double literal safe for non-finite values (CAST(inf AS DOUBLE)
+    does not parse)."""
+    import math
+
+    x = float(x)
+    if math.isinf(x):
+        return "double('Infinity')" if x > 0 else "double('-Infinity')"
+    if math.isnan(x):
+        return "double('NaN')"
+    return f"CAST({x} AS DOUBLE)"
+
+
 def length_bin(col: str | Column) -> Column:
     """Log2-width content-length bins (deterministic, portable to ANSI SQL)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -199,13 +218,14 @@ def histogram_drift_verdicts(
     selects would derive the histogram aggregate (a scan of the binned
     column when the input is not cached) once per statistic."""
     stats = drift_stats(histogram(df, partition_col, bin_col, feature_name), baseline_partitions, alpha)
+    fn = _sql_str(feature_name)
     melted = stats.select(
         "partition_value",
         F.expr(
-            f"stack(2, 'chi_square:{feature_name}', chi_square,"
-            f" CAST({float(chi_square_threshold)} AS DOUBLE),"
-            f" 'kl:{feature_name}', kl_divergence,"
-            f" CAST({float(kl_threshold)} AS DOUBLE))"
+            f"stack(2, 'chi_square:{fn}', chi_square,"
+            f" {_sql_double(chi_square_threshold)},"
+            f" 'kl:{fn}', kl_divergence,"
+            f" {_sql_double(kl_threshold)})"
             " as (check_name, metric, threshold)"
         ),
     )
@@ -398,7 +418,7 @@ def psi_js_verdicts(
     # the histogram aggregate once per statistic — see
     # histogram_drift_verdicts)
     pairs = ", ".join(
-        f"'{name}', {col}, CAST({thr} AS DOUBLE)" for col, name, thr in entries
+        f"'{_sql_str(name)}', {col}, {_sql_double(thr)}" for col, name, thr in entries
     )
     melted = stats.select(
         "partition_value",

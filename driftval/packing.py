@@ -115,12 +115,16 @@ def pack_stats(plan: DataFrame, ctx_len: int) -> DataFrame:
     token efficiency of the layout), ``split_docs`` = documents the chunker
     will split across a pack boundary.
 
-    Two tiny hash aggregates over the plan frame (per-bucket max, then a
-    one-row reduce) — never touches text."""
+    Two tiny hash aggregates over the plan frame (per-bucket sums, then a
+    one-row reduce) — never touches text. Packs per bucket =
+    ceil(tokens / ctx_len), NOT max(pack_last)+1: a zero-width empty-doc
+    slot sitting exactly on a window boundary has pack_last one past the
+    last token-bearing window and must not count as a started pack."""
+    c = int(ctx_len)
     per_bucket = plan.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("_docs"),
         F.sum("n_tokens").alias("_toks"),
-        (F.max("pack_last") + 1).alias("_packs"),
+        F.expr(f"(sum(n_tokens) + {c} - 1) div {c}").alias("_packs"),
         F.sum((F.col("n_packs_spanned") > 1).cast("long")).alias("_split"),
     )
     return per_bucket.agg(

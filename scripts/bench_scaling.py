@@ -259,12 +259,30 @@ def write_report(results: list[dict], record: bool = True) -> None:
     core_ratio = hi["cores"] / lo["cores"]
     cal = host_calibration(lo["cores"], hi["cores"])
 
-    # record this paired run, then pool across ALL recorded runs
+    # record this paired run, then pool across comparable recorded runs
+    rows_pp = results[0].get("rows_per_partition", ROWS_PP)
+    block_size = results[0].get("block_size", BLOCK_SIZE)
     if record:
-        entry = {"runs": results, "host_calibration": cal}
+        entry = {
+            "runs": results, "host_calibration": cal,
+            "rows_per_partition": rows_pp, "block_size": block_size,
+        }
         with open(HISTORY_PATH, "a") as f:
             f.write(json.dumps(entry) + "\n")
-    history = _load_history() or [{"runs": results, "host_calibration": cal}]
+    # pooling is only valid across runs of the SAME workload at the SAME
+    # core counts — a run recorded under different env config must not mix
+    # into the estimate (its walls measure a different job)
+    cfg_of = lambda h: (  # noqa: E731
+        h["runs"][0]["cores"], h["runs"][1]["cores"], h["runs"][0]["files"],
+    )
+    want = (lo["cores"], hi["cores"], lo["files"])
+    history = [h for h in _load_history() if cfg_of(h) == want]
+    skipped = sum(1 for h in _load_history() if cfg_of(h) != want)
+    if skipped:
+        print(f"[scaling] skipped {skipped} history entries with a different "
+              f"cores/files config", file=sys.stderr)
+    if not history:
+        history = [{"runs": results, "host_calibration": cal}]
 
     # per-level pooled throughput: min over every rep of every run
     lo_reps = sorted(t for h in history for t in h["runs"][0]["all_reps_sec"])
@@ -412,10 +430,16 @@ def regen() -> None:
     history = _load_history()
     if not history:
         with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
-            history = [{"runs": json.load(f)["runs"]}]
-    runs = history[-1]["runs"]
-    runs[0].setdefault("rows_per_partition", ROWS_PP)
-    runs[0].setdefault("block_size", BLOCK_SIZE)
+            saved = json.load(f)
+            history = [dict(saved, runs=saved["runs"])]
+    last = history[-1]
+    runs = last["runs"]
+    # workload provenance comes from the RECORDED entry, never env defaults —
+    # a regen must not relabel runs with a config they were not measured at
+    runs[0].setdefault(
+        "rows_per_partition", last.get("rows_per_partition", ROWS_PP)
+    )
+    runs[0].setdefault("block_size", last.get("block_size", BLOCK_SIZE))
     write_report(runs, record=False)
 
 
