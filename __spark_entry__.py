@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from driftval import multimodal, packing, pii, sampling, simsearch, textops
+from driftval import multimodal, packing, pii, repodedup, sampling, simsearch, textops
 from driftval.blocks import with_block_id
 from driftval.checkpoint import verdict_diff
 from driftval.checks import drift_cdcstream, drift_cdda
@@ -796,6 +796,51 @@ def q_verdict_diff(spark, sf_dir):
     )
 
 
+OVERLAP_DF_CAP = 5  # shingles present in more sources than this carry no signal
+SNAP_T1 = sampling.threshold_for(0.04)  # below: doc exists only in snapshot B
+SNAP_T2 = sampling.threshold_for(0.08)  # [t1, t2): doc exists only in snapshot A
+SNAP_T3 = sampling.threshold_for(0.14)  # [t2, t3): text edited between A and B
+
+
+def q_source_overlap_pairs(spark, sf_dir):
+    """Repo-level fork/overlap detection, demonstrated at source
+    granularity: exact pairwise Jaccard + containment between sources over
+    an inverted (3-gram shingle -> source) index, with ubiquitous shingles
+    (present in > OVERLAP_DF_CAP sources) excluded from the universe
+    (driftval/repodedup.py group_overlap_pairs). On the files table the
+    same operator runs with item = md5(content) to find forked repos."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "source",
+        F.explode(textops.word_shingles(F.col("text"), 3)).alias("sh"),
+    )
+    return repodedup.group_overlap_pairs(
+        sh, "source", F.col("sh"), min_shared=1, df_cap=OVERLAP_DF_CAP
+    )
+
+
+def q_snapshot_diff_docs(spark, sf_dir):
+    """Iceberg-style snapshot diff: added / removed / changed rows between
+    two deterministic synthetic snapshots of the documents table (disjoint
+    hash60 windows pick the add / remove / edit sets), keyed by doc_id with
+    md5(text) as the change identity (driftval/repodedup.py snapshot_diff).
+    Output is O(changes): unchanged rows never leave the join."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_h", sampling.hash60(F.col("doc_id"), "snap")
+    )
+    old = d.where(F.col("_h") >= SNAP_T1)
+    new = d.where(~((F.col("_h") >= SNAP_T1) & (F.col("_h") < SNAP_T2))).withColumn(
+        "text",
+        F.when(
+            (F.col("_h") >= SNAP_T2) & (F.col("_h") < SNAP_T3),
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    return repodedup.snapshot_diff(
+        old, new, ["doc_id"], F.md5(F.col("text").cast("binary"))
+    )
+
+
 BAND_OVERFLOW_CAP = 40
 
 
@@ -1025,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "source_quality_report": q_source_quality_report,
         "verdict_diff": q_verdict_diff,
+        "source_overlap_pairs": q_source_overlap_pairs,
+        "snapshot_diff_docs": q_snapshot_diff_docs,
         "hash_bucket_split": q_hash_bucket_split,
         "stratified_sample": q_stratified_sample,
         "embedding_centroids": q_embedding_centroids,
@@ -2221,6 +2268,52 @@ SELECT partition_value, check_name,
             ELSE 'still_failing' END AS transition,
        round(b.metric - a.metric, 6) AS metric_delta
 FROM a FULL OUTER JOIN b USING (partition_value, check_name)
+""",
+        "source_overlap_pairs": f"""
+WITH tok AS (
+  SELECT source, {_TOK} AS ts FROM documents WHERE source IS NOT NULL
+), inv AS (
+  SELECT DISTINCT source AS grp,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS item
+  FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+), hot AS (
+  SELECT item FROM inv GROUP BY 1 HAVING count(*) > {OVERLAP_DF_CAP}
+), inv2 AS (
+  SELECT * FROM inv WHERE item NOT IN (SELECT item FROM hot)
+), sizes AS (
+  SELECT grp, count(*)::BIGINT AS n FROM inv2 GROUP BY 1
+), pairs AS (
+  SELECT a.grp AS group_a, b.grp AS group_b, count(*)::BIGINT AS n_shared
+  FROM inv2 a JOIN inv2 b ON a.item = b.item AND a.grp < b.grp
+  GROUP BY 1, 2 HAVING count(*) >= 1
+)
+SELECT group_a, group_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 8) AS jaccard,
+       round(n_shared::DOUBLE / least(sa.n, sb.n), 8) AS containment
+FROM pairs
+JOIN sizes sa ON pairs.group_a = sa.grp
+JOIN sizes sb ON pairs.group_b = sb.grp
+""",
+        "snapshot_diff_docs": f"""
+WITH h AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(doc_id::VARCHAR || 'snap'), 1, 15))::BIGINT) AS _h
+  FROM documents
+), o AS (
+  SELECT doc_id, md5(text) AS old_hash FROM h WHERE _h >= {SNAP_T1}
+), n AS (
+  SELECT doc_id,
+         md5(CASE WHEN _h >= {SNAP_T2} AND _h < {SNAP_T3}
+                  THEN text || ' v2' ELSE text END) AS new_hash
+  FROM h WHERE NOT (_h >= {SNAP_T1} AND _h < {SNAP_T2})
+)
+SELECT doc_id,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       old_hash, new_hash
+FROM o FULL OUTER JOIN n USING (doc_id)
+WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
 """,
         "hash_bucket_split": f"""
 SELECT ((('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT) % 10)::INT AS bucket,

@@ -1,0 +1,174 @@
+"""Group-level (repo-level) overlap detection and snapshot diffing.
+
+For source-code corpora the dominant duplication is not file-level — it is
+REPO-level: forks, vendored trees, and mirrored projects share most of their
+files verbatim (the reference's stream model never sees this; it is a corpus
+operator). The overlap operator here lifts exact file identity (a content
+hash) to set similarity between groups:
+
+    Jaccard(A, B)     = |A ∩ B| / |A ∪ B|
+    containment(A, B) = |A ∩ B| / min(|A|, |B|)
+
+computed EXACTLY from an inverted index ``(item_hash → group)``, never by
+comparing groups pairwise: groups sharing zero items never meet in the plan.
+
+Scale shape (the part that must survive 100 TB):
+
+- The inverted index is ``distinct (group, hash)`` — a hash-partitioned
+  shuffle of ~50-byte rows, one per (group, distinct file).
+- The pair join self-joins the index ON THE ITEM HASH, so the shuffle key is
+  the 16-byte digest and the join output is one row per co-occurrence —
+  Σ_h n_h·(n_h−1)/2 over items. That sum is quadratic in n_h for items
+  present in MANY groups (LICENSE files, empty ``__init__.py``, vendored
+  lockfiles — every real code corpus has them), which is why ``df_cap``
+  exists: items in more than ``df_cap`` groups are removed from the UNIVERSE
+  (index, sizes, and pairs consistently, so Jaccard/containment stay exact
+  over the capped universe — ubiquitous items carry no fork signal anyway).
+  Report what the cap dropped with :func:`group_overlap_overflow`; never cap
+  silently.
+- Per-group sizes are O(groups) rows; Spark broadcasts them onto the pair
+  aggregate (AQE sees the tiny side).
+- ``min_shared`` prunes the pair aggregate BEFORE the size join: a pair
+  sharing one boilerplate file is noise, and at corpus scale the 1-shared
+  tail dominates the pair count.
+
+Snapshot diffing (:func:`snapshot_diff`) is the Iceberg-style incremental
+question — "what changed between two table states?" — answered row-by-key:
+a full outer join on the key columns emits ONLY added / removed / changed
+rows (payload hash inequality), so the output is O(changes), not O(corpus).
+Co-partitioned on the same key layout both sides, it is one sort-merge join
+with no skew (keys are unique per side by contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _index(df: DataFrame, group_col: str, item: Column) -> DataFrame:
+    """The inverted index: distinct ``(_grp, _item)``, null-free."""
+    return (
+        df.select(F.col(group_col).alias("_grp"), item.alias("_item"))
+        .where(F.col("_grp").isNotNull() & F.col("_item").isNotNull())
+        .distinct()
+    )
+
+
+def _hot_items(inv: DataFrame, df_cap: int) -> DataFrame:
+    """Items present in more than ``df_cap`` groups (the pair-explosion set)."""
+    return (
+        inv.groupBy("_item")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .where(F.col("n_groups") > df_cap)
+    )
+
+
+def group_overlap_pairs(
+    df: DataFrame,
+    group_col: str,
+    item: Column,
+    min_shared: int = 1,
+    min_jaccard: float = 0.0,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact pairwise set overlap between groups: ``(group_a, group_b,
+    n_shared, n_a, n_b, jaccard, containment)`` with ``group_a < group_b``,
+    ``n_shared >= min_shared`` and ``jaccard >= min_jaccard``.
+
+    ``item`` is the item-identity column expression evaluated against
+    ``df`` — pass ``F.md5(F.col("content").cast("binary"))`` for
+    content-identity fork detection, or ``F.concat_ws("\\x00", path, sha)``
+    for path-sensitive mirroring. Sizes count DISTINCT items per group, so
+    duplicate rows inside a group don't inflate similarity.
+
+    With ``df_cap`` set, items in more than ``df_cap`` groups are excluded
+    from the universe (index AND sizes — similarity stays exact over the
+    capped universe); audit the exclusions with
+    :func:`group_overlap_overflow`.
+    """
+    inv = _index(df, group_col, item)
+    if df_cap is not None:
+        inv = inv.join(
+            _hot_items(inv, df_cap).select("_item"), "_item", "left_anti"
+        )
+    sizes = inv.groupBy("_grp").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "_item")
+        .where(F.col("a._grp") < F.col("b._grp"))
+        .groupBy(
+            F.col("a._grp").alias("group_a"), F.col("b._grp").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    out = (
+        pairs.join(
+            sizes.select(F.col("_grp").alias("group_a"), F.col("_n").alias("n_a")),
+            "group_a",
+        )
+        .join(
+            sizes.select(F.col("_grp").alias("group_b"), F.col("_n").alias("n_b")),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(jac, 8).alias("jaccard"),
+            F.round(
+                F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")), 8
+            ).alias("containment"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.where(F.col("jaccard") >= F.lit(float(min_jaccard)))
+    return out
+
+
+def group_overlap_overflow(
+    df: DataFrame, group_col: str, item: Column, df_cap: int
+) -> DataFrame:
+    """The no-silent-truncation report for :func:`group_overlap_pairs`:
+    ``(item, n_groups)`` for items a ``df_cap`` run excluded (ubiquitous
+    boilerplate — the set itself is usually worth human eyes)."""
+    return (
+        _hot_items(_index(df, group_col, item), df_cap)
+        .select(F.col("_item").alias("item"), "n_groups")
+    )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_cols: list[str],
+    payload: Column,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table: one row per
+    difference — ``(*key_cols, status, old_hash, new_hash)`` with status
+    ``added`` (key only in new), ``removed`` (key only in old) or
+    ``changed`` (key in both, payload hash differs). Unchanged rows are
+    dropped in the join output, so the result is O(changes).
+
+    ``payload`` is the change-identity expression evaluated against each
+    side (e.g. ``F.md5(F.col("content").cast("binary"))`` — the same
+    sha-fidelity contract the validation suite enforces). Keys must be
+    unique per side; both sides shuffle once on the key columns (identical
+    layout → one co-partitioned sort-merge join, no skew)."""
+    o = old_df.select(*key_cols, payload.alias("old_hash"))
+    n = new_df.select(*key_cols, payload.alias("new_hash"))
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.where(
+        F.col("old_hash").isNull()
+        | F.col("new_hash").isNull()
+        | (F.col("old_hash") != F.col("new_hash"))
+    ).select(*key_cols, status.alias("status"), "old_hash", "new_hash")

@@ -1,0 +1,94 @@
+"""Group-level overlap (fork detection) and snapshot diff — exact semantics
+on hand-built fixtures where every Jaccard/containment value is checkable by
+hand, plus the df_cap universe-consistency property."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from driftval import repodedup
+
+
+def _inv(spark, rows):
+    return spark.createDataFrame(rows, "grp string, item string")
+
+
+@pytest.fixture(scope="module")
+def groups(spark):
+    # r1 = {a,b,c,d}, r2 = {a,b,c}   (fork: 3 shared)
+    # r3 = {x,y}                     (disjoint from r1/r2 except hot item L)
+    # item L lives in ALL groups (the LICENSE analogue)
+    rows = []
+    for it in "abcd":
+        rows.append(("r1", it))
+    for it in "abc":
+        rows.append(("r2", it))
+    for it in "xy":
+        rows.append(("r3", it))
+    rows += [("r1", "L"), ("r2", "L"), ("r3", "L")]
+    rows.append(("r2", "a"))  # duplicate row: must not inflate sizes
+    return _inv(spark, rows)
+
+
+def test_overlap_exact_values(spark, groups):
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in repodedup.group_overlap_pairs(
+            groups, "grp", F.col("item"), min_shared=1
+        ).collect()
+    }
+    # with L in the universe: r1={a,b,c,d,L} (5), r2={a,b,c,L} (4), r3={x,y,L} (3)
+    r12 = out[("r1", "r2")]
+    assert (r12["n_shared"], r12["n_a"], r12["n_b"]) == (4, 5, 4)
+    assert r12["jaccard"] == pytest.approx(4 / 5)
+    assert r12["containment"] == pytest.approx(1.0)
+    assert out[("r1", "r3")]["n_shared"] == 1  # only L
+    assert out[("r2", "r3")]["n_shared"] == 1
+
+
+def test_overlap_df_cap_consistent_universe(spark, groups):
+    # cap=2 drops L (3 groups) from index AND sizes: r3 now shares nothing
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in repodedup.group_overlap_pairs(
+            groups, "grp", F.col("item"), min_shared=1, df_cap=2
+        ).collect()
+    }
+    assert set(out) == {("r1", "r2")}
+    r12 = out[("r1", "r2")]
+    assert (r12["n_shared"], r12["n_a"], r12["n_b"]) == (3, 4, 3)
+    assert r12["jaccard"] == pytest.approx(3 / 4)
+    overflow = repodedup.group_overlap_overflow(
+        groups, "grp", F.col("item"), df_cap=2
+    ).collect()
+    assert [(r["item"], r["n_groups"]) for r in overflow] == [("L", 3)]
+
+
+def test_overlap_min_filters(spark, groups):
+    out = repodedup.group_overlap_pairs(
+        groups, "grp", F.col("item"), min_shared=2
+    ).collect()
+    assert {(r["group_a"], r["group_b"]) for r in out} == {("r1", "r2")}
+    out2 = repodedup.group_overlap_pairs(
+        groups, "grp", F.col("item"), min_shared=1, min_jaccard=0.5
+    ).collect()
+    assert {(r["group_a"], r["group_b"]) for r in out2} == {("r1", "r2")}
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("k1", "same"), ("k2", "before"), ("k3", "gone")], "k string, v string"
+    )
+    new = spark.createDataFrame(
+        [("k1", "same"), ("k2", "after"), ("k4", "fresh")], "k string, v string"
+    )
+    out = {
+        r["k"]: r
+        for r in repodedup.snapshot_diff(
+            old, new, ["k"], F.md5(F.col("v").cast("binary"))
+        ).collect()
+    }
+    assert set(out) == {"k2", "k3", "k4"}  # k1 unchanged -> dropped
+    assert out["k2"]["status"] == "changed"
+    assert out["k2"]["old_hash"] != out["k2"]["new_hash"]
+    assert out["k3"]["status"] == "removed" and out["k3"]["new_hash"] is None
+    assert out["k4"]["status"] == "added" and out["k4"]["old_hash"] is None
