@@ -144,28 +144,59 @@ def component_size_histogram(comps: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sig_cols(text: Column, k: int) -> list[Column]:
-    """The k affine min-hash columns h0..h{k-1} over the distinct-token set —
-    pure array expressions, no explode, no shuffle."""
+def _sig_array(text: Column, k: int) -> Column:
+    """The k-element min-hash signature ARRAY over the distinct-token set —
+    pure array expressions, no explode, no shuffle. One fold computes all k
+    minima, so each token is md5-hashed ONCE (k separate ``array_min``
+    columns would each inline the token-hash subtree — 8× the md5 work,
+    same trap the simhash fold avoids). Callers must materialize the array
+    in its own projection before extracting h0..h{k-1} (CollapseProject
+    keeps a non-cheap, multiply-referenced expression staged)."""
     assert k <= len(MINHASH_A)
     toks = F.array_distinct(tokens(text))
     hashed = F.transform(toks, lambda t: token_hash64(t) % MERSENNE_31)
-    cols = []
-    for i in range(k):
-        h = F.transform(
-            hashed, lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % MERSENNE_31
-        )
-        cols.append(F.array_min(h).alias(f"h{i}"))
-    return cols
+    wa = F.array(*[F.lit(MINHASH_A[i]).cast("long") for i in range(k)])
+    wb = F.array(*[F.lit(MINHASH_B[i]).cast("long") for i in range(k)])
+    init = F.array(*[F.lit(MERSENNE_31).cast("long") for _ in range(k)])
+    one = F.lit(1)
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, x: F.transform(
+            acc,
+            lambda v, i: F.least(
+                v,
+                (F.element_at(wa, i + one) * x + F.element_at(wb, i + one))
+                % MERSENNE_31,
+            ),
+        ),
+    )
+
+
+def _h_cols(k: int, sig_col: str = "_sig") -> list[Column]:
+    """h0..h{k-1} extracted from a staged signature array column. A real
+    affine hash is always < MERSENNE_31, so a slot still at the fold's init
+    value means the token set was empty — reported as NULL, matching both
+    the pre-fold ``array_min``-per-column behavior and the oracle's
+    ``list_min`` of an empty list."""
+    return [
+        F.when(
+            F.element_at(sig_col, i + 1) < MERSENNE_31,
+            F.element_at(sig_col, i + 1),
+        ).alias(f"h{i}")
+        for i in range(k)
+    ]
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:
-    """(id, h0..h{k-1}): k affine min-hashes over the distinct-token set.
-
-    Computed entirely inside array expressions — no explode, no shuffle."""
-    return df.select(F.col(id_col), *_sig_cols(F.col(text_col), k))
+    """(id, h0..h{k-1}): k affine min-hashes over the distinct-token set
+    (NULLs for an empty token set)."""
+    staged = df.select(
+        F.col(id_col), _sig_array(F.col(text_col), k).alias("_sig")
+    )
+    return staged.select(F.col(id_col), *_h_cols(k))
 
 
 def _band_keys(sig: DataFrame, k: int, band_rows: int, carry: list[str]) -> DataFrame:
@@ -193,11 +224,12 @@ def _rep_signatures(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
     collapse shuffles md5 + id + k longs per doc — never the text. Identical
     texts have identical min-hashes, so ``min(h_i)`` within a group is simply
     "the" group signature."""
-    per_doc = df.select(
+    staged = df.select(
         F.md5(F.col(text_col).cast("binary")).alias("_g"),
         F.col(id_col).alias("_id"),
-        *_sig_cols(F.col(text_col), k),
+        _sig_array(F.col(text_col), k).alias("_sig"),
     )
+    per_doc = staged.select("_g", "_id", *_h_cols(k))
     return per_doc.groupBy("_g").agg(
         F.min("_id").alias("_id"), *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
     )
