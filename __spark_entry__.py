@@ -745,6 +745,27 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping character windows per document — the
+    long-document splitting step (driftval/packing.py). One projection +
+    explode, zero shuffles; rows carry window digests, never bodies."""
+    d = _t(spark, sf_dir, "documents")
+    return packing.chunk_documents(
+        d, "doc_id", "text", chunk_chars=CHUNK_CHARS, overlap_chars=CHUNK_OVERLAP
+    )
+
+
+def q_chunk_stats(spark, sf_dir):
+    """One-row chunk-layout summary: windows, distinct window bodies
+    (the substring-dedup working set), tail fraction."""
+    chunks = q_doc_chunks(spark, sf_dir)
+    return packing.chunk_stats(chunks, chunk_chars=CHUNK_CHARS)
+
+
 def q_source_quality_report(spark, sf_dir):
     """Per-source corpus dashboard: docs, tokens, mean quality, exact-dup
     share — ONE projection + ONE aggregate."""
@@ -1068,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "pack_sequences": q_pack_sequences,
         "pack_stats": q_pack_stats,
+        "doc_chunks": q_doc_chunks,
+        "chunk_stats": q_chunk_stats,
         "source_quality_report": q_source_quality_report,
         "verdict_diff": q_verdict_diff,
         "source_overlap_pairs": q_source_overlap_pairs,
@@ -1248,6 +1271,30 @@ WITH reps AS (
 )
 SELECT band_key, count(*)::BIGINT AS n_groups
 FROM bands GROUP BY 1 HAVING count(*) > {BAND_OVERFLOW_CAP}
+"""
+
+
+def _chunks_sql() -> str:
+    """chunk_documents DuckDB twin: identical integer window count,
+    1-based substr offsets, md5 of each window body (also the chunk source
+    for the chunk_stats twin)."""
+    c, stride = CHUNK_CHARS, CHUNK_CHARS - CHUNK_OVERLAP
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text)::BIGINT AS _l FROM documents
+), n AS (
+  SELECT doc_id, text,
+         (CASE WHEN _l <= {c} THEN 1
+               ELSE 1 + ((_l - {c} + {stride} - 1) // {stride}) END)::INT AS _nc
+  FROM d
+), e AS (
+  SELECT doc_id, text, unnest(range(_nc))::INT AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id,
+       (chunk_id::BIGINT * {stride}) AS chunk_start,
+       length(substr(text, chunk_id * {stride} + 1, {c}))::INT AS chunk_len,
+       md5(substr(text, chunk_id * {stride} + 1, {c})) AS chunk_md5
+FROM e
 """
 
 
@@ -2207,6 +2254,18 @@ WITH tc AS (
 SELECT source, round(rate, 8)::DOUBLE AS rate,
        count(*)::BIGINT AS n_kept, sum(t)::BIGINT AS tokens_kept
 FROM kept GROUP BY 1, 2
+""",
+        "doc_chunks": _chunks_sql(),
+        "chunk_stats": f"""
+WITH chunks AS ({_chunks_sql()})
+SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_chunks,
+       count(DISTINCT chunk_md5)::BIGINT AS distinct_chunks,
+       round(1.0 - count(DISTINCT chunk_md5)::DOUBLE / count(*), 6) AS dup_chunk_fraction,
+       round(avg(chunk_len), 6) AS mean_chunk_len,
+       round(sum(CASE WHEN chunk_len < {CHUNK_CHARS} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS tail_fraction
+FROM chunks
 """,
         "pack_sequences": _pack_plan_sql(),
         "pack_stats": f"""

@@ -107,6 +107,88 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 200,
+    overlap_chars: int = 50,
+) -> DataFrame:
+    """Split every document into fixed-size overlapping character windows —
+    the long-document splitting step of a training / retrieval pipeline
+    (each chunk becomes its own training row or index entry; the overlap
+    preserves context across boundaries).
+
+    Returns ``(id, chunk_id, chunk_start, chunk_len, chunk_md5)``:
+
+    - ``chunk_id`` — 0-based window index within the document;
+    - ``chunk_start`` — 0-based character offset (``chunk_id × stride``
+      where ``stride = chunk_chars − overlap_chars``);
+    - ``chunk_len`` — actual window length (the tail window may be short;
+      every document yields ≥ 1 chunk, an empty doc one empty chunk);
+    - ``chunk_md5`` — digest of the window body, so downstream dedup /
+      fidelity checks never re-read the text.
+
+    Chunk count for a doc of length L is ``1 + ceil((L − chunk)/stride)``
+    (1 when L ≤ chunk) — pure integer arithmetic, so the DuckDB twin
+    reproduces the exact row set. Plan shape: ONE narrow projection over the
+    text (``sequence`` + ``explode`` generate window indices; ``substring``
+    + ``md5`` reduce each window to 16 bytes in the same stage) — zero
+    shuffles, embarrassingly parallel at any corpus size, and the exploded
+    rows carry digests, never bodies.
+    """
+    c, o = int(chunk_chars), int(overlap_chars)
+    stride = c - o
+    if c <= 0 or o < 0 or stride <= 0:
+        raise ValueError(f"need chunk_chars > overlap_chars >= 0, got {c}, {o}")
+    text = F.col(text_col)
+    n_chunks = F.when(F.length(text) <= c, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(length({text_col}) - {c} + {stride} - 1) div {stride}")
+    )
+    staged = df.select(
+        F.col(id_col),
+        text,
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id").cast("long") * stride).alias("chunk_start")
+    body = F.substring(text, F.col("chunk_id") * stride + 1, c)
+    return staged.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int"),
+        start,
+        F.length(body).cast("int").alias("chunk_len"),
+        F.md5(body.cast("binary")).alias("chunk_md5"),
+    )
+
+
+def chunk_stats(chunks: DataFrame, chunk_chars: int) -> DataFrame:
+    """ONE-row summary of a :func:`chunk_documents` frame:
+    ``(n_docs, n_chunks, distinct_chunks, dup_chunk_fraction,
+    mean_chunk_len, tail_fraction)`` — ``distinct_chunks`` counts unique
+    window bodies by digest (overlap + boilerplate make chunk-level
+    duplication FAR higher than doc-level; this is the number substring
+    dedup acts on), ``tail_fraction`` = share of windows shorter than the
+    full ``chunk_chars`` width (the ragged tails).
+
+    One hash aggregate on 16-byte digests; the Expand rewrite serves the
+    exact distincts alongside the plain counts in a single pass."""
+    c = int(chunk_chars)
+    return chunks.agg(
+        F.countDistinct(chunks.columns[0]).alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("chunk_md5").alias("distinct_chunks"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("chunk_md5") / F.count(F.lit(1)), 6
+        ).alias("dup_chunk_fraction"),
+        F.round(F.avg("chunk_len"), 6).alias("mean_chunk_len"),
+        F.round(
+            F.sum((F.col("chunk_len") < F.lit(c)).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("tail_fraction"),
+    )
+
+
 def pack_stats(plan: DataFrame, ctx_len: int) -> DataFrame:
     """ONE-row layout summary from a :func:`pack_sequences` plan:
     ``(n_docs, n_buckets, total_tokens, n_packs, fill_ratio,

@@ -193,3 +193,84 @@ def test_verdict_diff_fixed_transition(spark):
     r = verdict_diff(a, b).collect()[0].asDict()
     assert r["transition"] == "fixed"
     assert r["metric_delta"] == pytest.approx(-0.75)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents / chunk_stats
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_reconstruct_python_slicing(spark):
+    """Every (start, len, md5) must equal Python slicing with the same
+    chunk/stride arithmetic — including the short tail window."""
+    import hashlib
+
+    texts = {
+        1: "a" * 200,          # exactly one full window
+        2: "b" * 201,          # 2 windows: tail of len 51
+        3: "c" * 49,           # shorter than chunk -> 1 window
+        4: "",                 # empty doc -> 1 empty window
+        5: "d" * 500,          # 3 windows (stride 150: 0,150,300)
+    }
+    df = spark.createDataFrame(list(texts.items()), "id long, text string")
+    out = packing.chunk_documents(df, "id", "text", chunk_chars=200, overlap_chars=50)
+    got = {(r["id"], r["chunk_id"]): r.asDict() for r in out.collect()}
+    stride = 150
+    for i, t in texts.items():
+        n = 1 if len(t) <= 200 else 1 + -(-(len(t) - 200) // stride)
+        chunk_ids = sorted(ci for (d, ci) in got if d == i)
+        assert chunk_ids == list(range(n)), (i, chunk_ids)
+        for ci in chunk_ids:
+            body = t[ci * stride : ci * stride + 200]
+            r = got[(i, ci)]
+            assert r["chunk_start"] == ci * stride
+            assert r["chunk_len"] == len(body)
+            assert r["chunk_md5"] == hashlib.md5(body.encode()).hexdigest()
+
+
+def test_chunk_overlap_regions_share_text(spark):
+    """Consecutive windows overlap by overlap_chars: the digest of window
+    i's suffix equals window i+1's prefix (checked via reconstruction)."""
+    t = "".join(chr(97 + (i % 26)) for i in range(450))
+    df = spark.createDataFrame([(1, t)], "id long, text string")
+    out = packing.chunk_documents(df, "id", "text", chunk_chars=200, overlap_chars=50)
+    rows = sorted((r["chunk_id"], r["chunk_start"]) for r in out.collect())
+    assert rows == [(0, 0), (1, 150), (2, 300)]
+    # window 1 starts 50 chars before window 0 ends
+    assert rows[1][1] == 200 - 50
+
+
+def test_chunk_rejects_degenerate_stride(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, "id", "text", chunk_chars=50, overlap_chars=50)
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, "id", "text", chunk_chars=0, overlap_chars=0)
+
+
+def test_chunk_plan_has_no_shuffle(spark, docs):
+    """Chunking is a pure narrow map+explode — any Exchange in the plan
+    means a refactor added a corpus-wide shuffle to an embarrassingly
+    parallel operator."""
+    import contextlib
+    import io
+
+    out = packing.chunk_documents(docs, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    text = buf.getvalue()
+    assert "Exchange" not in text, text
+    assert "Generate" in text  # the explode
+
+
+def test_chunk_stats_matches_chunk_frame(spark, docs):
+    chunks = packing.chunk_documents(docs, "doc_id", "text", 200, 50)
+    rows = chunks.collect()
+    s = packing.chunk_stats(chunks, chunk_chars=200).collect()[0].asDict()
+    assert s["n_docs"] == len({r["doc_id"] for r in rows})
+    assert s["n_chunks"] == len(rows)
+    assert s["distinct_chunks"] == len({r["chunk_md5"] for r in rows})
+    tails = sum(1 for r in rows if r["chunk_len"] < 200)
+    # operator rounds to 6 dp
+    assert abs(s["tail_fraction"] - tails / len(rows)) < 1e-6
