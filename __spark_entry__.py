@@ -290,9 +290,9 @@ def _shared_group_candidates(spark, sf_dir):
     gp = _GP_CACHE.get(key)
     if gp is None:
         d = _t(spark, sf_dir, "documents")
-        gp = textops.minhash_group_pairs(d, "doc_id", "text", k=8, band_rows=2).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        gp = textops.minhash_group_pairs(
+            d, "doc_id", "text", k=8, band_rows=2, n=3
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         _GP_CACHE[key] = gp
     return gp
 
@@ -300,7 +300,10 @@ def _shared_group_candidates(spark, sf_dir):
 def q_minhash_group_pairs(spark, sf_dir):
     """Exact-dup-collapsed LSH candidates: (group md5, representative id)
     pairs whose group signatures share a band — the sub-quadratic core that
-    minhash_dup_pairs / fuzzy_dup_pairs expand (driftval/textops.py)."""
+    minhash_dup_pairs / fuzzy_dup_pairs expand (driftval/textops.py).
+    Signatures hash 3-word shingles (n=3): unigram signatures saturate on a
+    shared-vocabulary corpus (78% of ALL pairs collided at sf0.1 = 9.8M
+    candidates; trigram banding emits 972)."""
     return _shared_group_candidates(spark, sf_dir)
 
 
@@ -309,6 +312,21 @@ def q_minhash_dup_pairs(spark, sf_dir):
     return textops.minhash_dup_pairs(
         d, "doc_id", "text", k=8, band_rows=2,
         group_candidates=_shared_group_candidates(spark, sf_dir),
+    )
+
+
+def q_dedup_against_index(spark, sf_dir):
+    """Incremental ingest dedup: docs with doc_id % 10 == 0 play the new
+    daily batch, the rest play the already-indexed corpus (minhash_index —
+    one signature row per distinct text, no corpus text re-read). Matches are
+    exact md5 hits plus LSH-banded signature-agreement hits >= 0.5 over
+    3-shingle signatures (driftval/textops.py dedup_against_index)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    idx = textops.minhash_index(corpus, "doc_id", "text", k=8, n=3)
+    return textops.dedup_against_index(
+        batch, idx, "doc_id", "text", k=8, band_rows=2, min_sig_sim=0.5, n=3
     )
 
 
@@ -862,7 +880,7 @@ def q_snapshot_diff_docs(spark, sf_dir):
     )
 
 
-BAND_OVERFLOW_CAP = 40
+BAND_OVERFLOW_CAP = 2
 
 
 def q_minhash_band_overflow(spark, sf_dir):
@@ -871,7 +889,7 @@ def q_minhash_band_overflow(spark, sf_dir):
     capped minhash_dup_pairs run dropped (driftval/textops.py)."""
     d = _t(spark, sf_dir, "documents")
     return textops.minhash_band_overflow(
-        d, "doc_id", "text", k=8, band_rows=2, band_cap=BAND_OVERFLOW_CAP
+        d, "doc_id", "text", k=8, band_rows=2, band_cap=BAND_OVERFLOW_CAP, n=3
     )
 
 
@@ -1048,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_group_pairs": q_minhash_group_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "dedup_against_index": q_dedup_against_index,
         "simhash": q_simhash,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1125,7 +1144,22 @@ _H31 = f"({_H64} % 2147483647)"
 _P = 2_147_483_647
 
 
-def _minhash_sql() -> str:
+def _units_sql(n: int) -> str:
+    """The distinct hash-unit list over a ``toks`` token-array column:
+    n=1 -> the token set, n>=2 -> space-joined n-word shingles (the same
+    1-based slice construction as the ngram-Jaccard twins / Spark's
+    ``word_shingles``)."""
+    if n == 1:
+        return "list_distinct(toks)"
+    return (
+        "list_distinct(list_filter("
+        f"list_transform(toks, (x, i) -> CASE WHEN i + {n - 1} <= len(toks) "
+        f"THEN array_to_string(list_slice(toks, i, i + {n - 1}), ' ') END), "
+        "s -> s IS NOT NULL))"
+    )
+
+
+def _minhash_sql(n: int = 1) -> str:
     from driftval.textops import MINHASH_A, MINHASH_B
 
     hs = ",\n    ".join(
@@ -1134,9 +1168,11 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, list_distinct({_TOK}) AS ts FROM documents
+  SELECT doc_id, {_TOK} AS toks FROM documents
+), units AS (
+  SELECT doc_id, {_units_sql(n)} AS ts FROM tok
 ), hashed AS (
-  SELECT doc_id, list_transform(ts, t -> {_H31}) AS hs FROM tok
+  SELECT doc_id, list_transform(ts, t -> {_H31}) AS hs FROM units
 )
 SELECT doc_id, {hs} FROM hashed
 """
@@ -1261,9 +1297,11 @@ WITH reps AS (
   JOIN (SELECT min(doc_id) AS _rid FROM documents GROUP BY md5(text)) r
     ON d.doc_id = r._rid
 ), tok AS (
-  SELECT doc_id, list_distinct({_TOK}) AS ts FROM reps
+  SELECT doc_id, {_TOK} AS toks FROM reps
+), units AS (
+  SELECT doc_id, {_units_sql(3)} AS ts FROM tok
 ), hashed AS (
-  SELECT doc_id, list_transform(ts, t -> {_H31}) AS hs FROM tok
+  SELECT doc_id, list_transform(ts, t -> {_H31}) AS hs FROM units
 ), sig AS (
   SELECT doc_id, {hs} FROM hashed
 ), bands AS (
@@ -1362,7 +1400,7 @@ def _fuzzy_sql() -> str:
     """The fuzzy_dup_pairs DuckDB twin as a reusable fragment (also the
     pair source for the dedup_components recursive-CTE twin)."""
     return f"""
-WITH sig AS ({_minhash_sql()}),
+WITH sig AS ({_minhash_sql(3)}),
 bands AS (
   SELECT doc_id AS _id, '0:' || h0 || ':' || h1 AS band_key FROM sig
   UNION ALL SELECT doc_id, '1:' || h2 || ':' || h3 FROM sig
@@ -1677,7 +1715,7 @@ SELECT (SELECT count(DISTINCT md5(text))::BIGINT FROM documents) AS distinct_tex
 """,
         "minhash_signatures": _minhash_sql(),
         "minhash_group_pairs": f"""
-WITH sig AS ({_minhash_sql()}),
+WITH sig AS ({_minhash_sql(3)}),
 g AS (
   SELECT md5(text) AS _g, min(doc_id) AS _id FROM documents GROUP BY 1
 ), rsig AS (
@@ -1693,7 +1731,7 @@ SELECT DISTINCT l._g AS ga, l._id AS ra, r._g AS gb, r._id AS rb
 FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
 """,
         "minhash_dup_pairs": f"""
-WITH sig AS ({_minhash_sql()}),
+WITH sig AS ({_minhash_sql(3)}),
 bands AS (
   SELECT doc_id AS _id, '0:' || h0 || ':' || h1 AS band_key FROM sig
   UNION ALL SELECT doc_id, '1:' || h2 || ':' || h3 FROM sig
@@ -1702,6 +1740,56 @@ bands AS (
 )
 SELECT DISTINCT l._id AS id_a, r._id AS id_b
 FROM bands l JOIN bands r ON l.band_key = r.band_key AND l._id < r._id
+""",
+        "dedup_against_index": f"""
+WITH sig AS ({_minhash_sql(3)}),
+ig AS (
+  SELECT md5(text) AS _g, min(doc_id) AS _id FROM documents
+  WHERE doc_id % 10 <> 0 GROUP BY 1
+), isig AS (
+  SELECT ig._g, ig._id, s.h0, s.h1, s.h2, s.h3, s.h4, s.h5, s.h6, s.h7
+  FROM ig JOIN sig s ON s.doc_id = ig._id
+), ng AS (
+  SELECT md5(text) AS _g, min(doc_id) AS _id FROM documents
+  WHERE doc_id % 10 = 0 GROUP BY 1
+), nsig AS (
+  SELECT ng._g, ng._id, s.h0, s.h1, s.h2, s.h3, s.h4, s.h5, s.h6, s.h7
+  FROM ng JOIN sig s ON s.doc_id = ng._id
+), members AS (
+  SELECT md5(text) AS _g, doc_id AS _id FROM documents WHERE doc_id % 10 = 0
+), exact AS (
+  SELECT n._g, i._id AS index_id, 'exact' AS match_kind, 1.0::DOUBLE AS sig_sim
+  FROM nsig n JOIN isig i ON n._g = i._g
+), ibands AS (
+  SELECT _g, _id, '0:' || h0 || ':' || h1 AS band_key FROM isig
+  UNION ALL SELECT _g, _id, '1:' || h2 || ':' || h3 FROM isig
+  UNION ALL SELECT _g, _id, '2:' || h4 || ':' || h5 FROM isig
+  UNION ALL SELECT _g, _id, '3:' || h6 || ':' || h7 FROM isig
+), nbands AS (
+  SELECT _g, '0:' || h0 || ':' || h1 AS band_key FROM nsig
+  UNION ALL SELECT _g, '1:' || h2 || ':' || h3 FROM nsig
+  UNION ALL SELECT _g, '2:' || h4 || ':' || h5 FROM nsig
+  UNION ALL SELECT _g, '3:' || h6 || ':' || h7 FROM nsig
+), cand AS (
+  SELECT DISTINCT n._g, i._g AS _ig, i._id AS index_id
+  FROM nbands n JOIN ibands i ON n.band_key = i.band_key AND n._g <> i._g
+), banded AS (
+  SELECT * FROM (
+    SELECT c._g, c.index_id, 'banded' AS match_kind,
+           ((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END))::DOUBLE / 8 AS sig_sim
+    FROM cand c JOIN nsig a ON a._g = c._g JOIN isig b ON b._g = c._ig
+  ) WHERE sig_sim >= 0.5
+)
+SELECT m._id AS new_id, x.index_id, x.match_kind, x.sig_sim
+FROM members m
+JOIN (SELECT * FROM exact UNION ALL SELECT * FROM banded) x ON m._g = x._g
 """,
         "simhash": _simhash_sql(16),
         "simhash_dup_pairs": _simhash_pairs_sql(32, 2),

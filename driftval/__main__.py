@@ -176,7 +176,8 @@ def cmd_dedup(spark, args) -> int:
         )
     else:  # fuzzy: banded MinHash candidates + exact Jaccard verify
         pairs = textops.fuzzy_dup_pairs(
-            files, idc, txt, n=args.ngram, threshold=args.threshold
+            files, idc, txt, n=args.ngram, threshold=args.threshold,
+            band_rows=args.band_rows,
         )
         comps = textops.dup_components(pairs)
         drops = comps.where(F.col("doc_id") != F.col("component_id")).select(
@@ -318,6 +319,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="content")
     p.add_argument("--ngram", type=int, default=3, help="fuzzy: shingle width")
     p.add_argument("--threshold", type=float, default=0.8, help="fuzzy: Jaccard cut")
+    p.add_argument(
+        "--band-rows", type=int, default=1,
+        help="fuzzy: min-hashes per LSH band; 1 = eight single-hash bands "
+        "(recall-first, P(miss) = (1-J)^8 — right for a one-shot drop-list); "
+        "raise to 2+ to trade recall for fewer candidates on huge corpora",
+    )
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("profile", help="one-pass multi-column table profile")

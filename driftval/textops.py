@@ -144,16 +144,26 @@ def component_size_histogram(comps: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sig_array(text: Column, k: int) -> Column:
-    """The k-element min-hash signature ARRAY over the distinct-token set —
-    pure array expressions, no explode, no shuffle. One fold computes all k
-    minima, so each token is md5-hashed ONCE (k separate ``array_min``
-    columns would each inline the token-hash subtree — 8× the md5 work,
-    same trap the simhash fold avoids). Callers must materialize the array
-    in its own projection before extracting h0..h{k-1} (CollapseProject
-    keeps a non-cheap, multiply-referenced expression staged)."""
+def _sig_array(text: Column, k: int, n: int = 1) -> Column:
+    """The k-element min-hash signature ARRAY over the distinct shingle set
+    (``n``-word shingles; ``n=1`` = the distinct-token set) — pure array
+    expressions, no explode, no shuffle. One fold computes all k minima, so
+    each unit is md5-hashed ONCE (k separate ``array_min`` columns would
+    each inline the unit-hash subtree — 8× the md5 work, same trap the
+    simhash fold avoids). Callers must materialize the array in its own
+    projection before extracting h0..h{k-1} (CollapseProject keeps a
+    non-cheap, multiply-referenced expression staged).
+
+    ``n`` matters at corpus scale: unigram sets of web documents overlap
+    heavily through shared vocabulary, so unigram-MinHash LSH candidates
+    degenerate toward all-pairs (measured 78% of ALL pairs colliding on the
+    synthetic corpus); shingles (n>=3, à la Broder '97 / Lee et al. 2022)
+    keep the estimated Jaccard aligned with the n-gram Jaccard the verify
+    step computes AND make banding selective."""
     assert k <= len(MINHASH_A)
-    toks = F.array_distinct(tokens(text))
+    toks = (
+        F.array_distinct(tokens(text)) if n == 1 else word_shingles(text, n)
+    )
     hashed = F.transform(toks, lambda t: token_hash64(t) % MERSENNE_31)
     wa = F.array(*[F.lit(MINHASH_A[i]).cast("long") for i in range(k)])
     wb = F.array(*[F.lit(MINHASH_B[i]).cast("long") for i in range(k)])
@@ -189,12 +199,12 @@ def _h_cols(k: int, sig_col: str = "_sig") -> list[Column]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 1
 ) -> DataFrame:
-    """(id, h0..h{k-1}): k affine min-hashes over the distinct-token set
-    (NULLs for an empty token set)."""
+    """(id, h0..h{k-1}): k affine min-hashes over the distinct ``n``-word
+    shingle set (``n=1`` = the token set; NULLs for an empty set)."""
     staged = df.select(
-        F.col(id_col), _sig_array(F.col(text_col), k).alias("_sig")
+        F.col(id_col), _sig_array(F.col(text_col), k, n).alias("_sig")
     )
     return staged.select(F.col(id_col), *_h_cols(k))
 
@@ -217,7 +227,9 @@ def _band_keys(sig: DataFrame, k: int, band_rows: int, carry: list[str]) -> Data
     return sig.select(*carry, F.explode(F.array(*keys)).alias("band_key"))
 
 
-def _rep_signatures(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _rep_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int, n: int = 1
+) -> DataFrame:
     """Exact-duplicate groups with one signature per group: ``(_g, _id,
     h0..h{k-1})`` where ``_g`` = md5(text) and ``_id`` = the group's
     representative (min doc id). The per-doc stage is a narrow map; the
@@ -227,7 +239,7 @@ def _rep_signatures(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
     staged = df.select(
         F.md5(F.col(text_col).cast("binary")).alias("_g"),
         F.col(id_col).alias("_id"),
-        _sig_array(F.col(text_col), k).alias("_sig"),
+        _sig_array(F.col(text_col), k, n).alias("_sig"),
     )
     per_doc = staged.select("_g", "_id", *_h_cols(k))
     return per_doc.groupBy("_g").agg(
@@ -285,11 +297,12 @@ def minhash_band_overflow(
     k: int = 8,
     band_rows: int = 2,
     band_cap: int = 10_000,
+    n: int = 1,
 ) -> DataFrame:
     """(band_key, n_groups) for band buckets whose EXACT-DUP-COLLAPSED
     population exceeds the cap — log this alongside any capped
     :func:`minhash_dup_pairs` run so truncation is never silent."""
-    reps = _rep_signatures(df, id_col, text_col, k)
+    reps = _rep_signatures(df, id_col, text_col, k, n)
     return (
         _band_keys(reps, k, band_rows, ["_id"])
         .groupBy("band_key")
@@ -305,6 +318,7 @@ def minhash_group_pairs(
     k: int = 8,
     band_rows: int = 2,
     band_cap: int | None = None,
+    n: int = 1,
 ) -> DataFrame:
     """LSH candidates at EXACT-DUP-GROUP granularity: distinct ``(ga, ra,
     gb, rb)`` — group keys + representative ids for groups whose signatures
@@ -315,8 +329,10 @@ def minhash_group_pairs(
     #2). ``band_cap`` additionally drops band buckets with more than
     ``band_cap`` distinct GROUPS before the join (the hot-bucket list is
     anti-joined; tiny by definition, AQE broadcasts it) — report dropped
-    buckets with :func:`minhash_band_overflow`."""
-    reps = _rep_signatures(df, id_col, text_col, k)
+    buckets with :func:`minhash_band_overflow`. ``n`` is the shingle size
+    the signatures hash (see :func:`_sig_array` — n>=3 keeps candidate
+    selectivity on shared-vocabulary corpora; n=1 is the token set)."""
+    reps = _rep_signatures(df, id_col, text_col, k, n)
     bands = _band_keys(reps, k, band_rows, ["_g", "_id"])
     if band_cap is not None:
         hot = (
@@ -385,9 +401,11 @@ def minhash_dup_pairs(
     band_cap: int | None = None,
     group_candidates: DataFrame | None = None,
     caches: list[DataFrame] | None = None,
+    n: int = 1,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of ``band_rows`` consecutive
-    min-hashes. Returns distinct (id_a, id_b) with id_a < id_b.
+    min-hashes over the ``n``-shingle set. Returns distinct (id_a, id_b)
+    with id_a < id_b.
 
     Internally exact duplicates are collapsed to one representative per
     md5(text) group before the band self-join (see
@@ -411,10 +429,142 @@ def minhash_dup_pairs(
     gp = (
         group_candidates
         if group_candidates is not None
-        else minhash_group_pairs(df, id_col, text_col, k, band_rows, band_cap)
+        else minhash_group_pairs(df, id_col, text_col, k, band_rows, band_cap, n)
     )
     cross = _expand_group_pairs(gp.select("ga", "ra", "gb", "rb"), members)
     return cross.unionByName(_intra_group_pairs(members))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: persistent MinHash index + new-batch matching
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 1
+) -> DataFrame:
+    """The persistable corpus dedup index: ``(_g, _id, h0..h{k-1})`` — one row
+    per exact-duplicate group (``_g`` = md5(text), ``_id`` = min doc id, the
+    group representative) with the group's min-hash signature. Write this to
+    parquet once per corpus snapshot; each new ingest then dedups against it
+    with :func:`dedup_against_index` WITHOUT re-reading corpus text — the
+    index is ~60 bytes per distinct document, so a 10^12-file corpus indexes
+    in tens of TB of parquet while the texts stay untouched. Appending a
+    validated batch = union of this frame over the batch (identical layout).
+    ``n`` is the shingle size the signatures hash (use the same value at
+    index-build and match time)."""
+    return _rep_signatures(df, id_col, text_col, k, n)
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    band_rows: int = 2,
+    min_sig_sim: float = 0.5,
+    band_cap: int | None = None,
+    caches: list[DataFrame] | None = None,
+    n: int = 1,
+) -> DataFrame:
+    """Match every doc of a NEW batch against an existing :func:`minhash_index`
+    — the daily-ingest dedup path: the corpus is never re-scanned, only its
+    signature index (one row per distinct historical text) joins the batch.
+
+    Returns ``(new_id, index_id, match_kind, sig_sim)``:
+
+    - ``exact`` — the new doc's md5(text) already exists in the index
+      (equi-join on the group key; ``sig_sim`` = 1.0);
+    - ``banded`` — a different text whose signature shares an LSH band with
+      an indexed group, verified by SIGNATURE AGREEMENT (fraction of the k
+      min-hashes equal — the standard unbiased Jaccard estimate, and the only
+      verification possible without corpus text), kept at
+      ``sig_sim >= min_sig_sim``. Same-group pairs are excluded (they are the
+      exact branch).
+
+    The new batch is exact-dup-collapsed before any join (identical new texts
+    band once) and matches are re-expanded to every member doc; the index
+    side stays at representative granularity by construction. ``band_cap``
+    drops index band buckets holding more than that many groups (hot
+    boilerplate buckets) before the join — never silently, report them with
+    :func:`minhash_band_overflow` over the corpus. Scale shape: narrow map
+    over the batch, then equi-joins keyed on md5/band_key — batch-sized left
+    against index-sized right, no self-join over the corpus, so a small daily
+    batch against a 10^12-file index shuffles O(batch × bands) rows.
+
+    ``caches`` receives the persisted new-batch signature frame (three
+    consumers: exact join, band keys, verify join); callers own the
+    unpersist as in :func:`ngram_jaccard_pairs`. ``n`` must match the value
+    the index was built with."""
+    new_reps = _rep_signatures(new_df, id_col, text_col, k, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if caches is not None:
+        caches.append(new_reps)
+    members = _md5_members(new_df, id_col, text_col)
+    idx_sig = index.select("_g", "_id", *[f"h{i}" for i in range(k)])
+
+    exact = (
+        new_reps.select("_g")
+        .join(idx_sig.select("_g", F.col("_id").alias("index_id")), "_g")
+        .select(
+            "_g",
+            "index_id",
+            F.lit("exact").alias("match_kind"),
+            F.lit(1.0).alias("sig_sim"),
+        )
+    )
+
+    ib = _band_keys(idx_sig, k, band_rows, ["_g", "_id"]).select(
+        F.col("_g").alias("_ig"), F.col("_id").alias("index_id"), "band_key"
+    )
+    if band_cap is not None:
+        hot = (
+            ib.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > band_cap)
+            .select("band_key")
+        )
+        ib = ib.join(hot, "band_key", "left_anti")
+    nb = _band_keys(new_reps, k, band_rows, ["_g"])
+    cand = (
+        nb.join(ib, "band_key")
+        .where(F.col("_g") != F.col("_ig"))
+        .select("_g", "_ig", "index_id")
+        .distinct()
+    )
+
+    na = new_reps.select("_g", *[F.col(f"h{i}").alias(f"_a{i}") for i in range(k)])
+    ia = idx_sig.select(
+        F.col("_g").alias("_ig"), *[F.col(f"h{i}").alias(f"_b{i}") for i in range(k)]
+    )
+    # NULL slots (empty token set) never count as agreeing — `when` falls to 0
+    # on a NULL comparison, matching the oracle's CASE WHEN.
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    banded = (
+        cand.join(na, "_g")
+        .join(ia, "_ig")
+        .select(
+            "_g",
+            "index_id",
+            F.lit("banded").alias("match_kind"),
+            (agree / F.lit(float(k))).alias("sig_sim"),
+        )
+        .where(F.col("sig_sim") >= min_sig_sim)
+    )
+
+    return (
+        members.join(exact.unionByName(banded), "_g")
+        .select(
+            F.col("_id").alias("new_id"),
+            "index_id",
+            "match_kind",
+            F.col("sig_sim").cast("double").alias("sig_sim"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -794,10 +944,12 @@ def fuzzy_dup_pairs(
     gp = (
         group_candidates
         if group_candidates is not None
-        else minhash_group_pairs(df, id_col, text_col, k, band_rows, band_cap)
+        else minhash_group_pairs(df, id_col, text_col, k, band_rows, band_cap, n)
     )
     # shingles are built for REPRESENTATIVES only — verification happens once
-    # per distinct text, never per duplicate
+    # per distinct text, never per duplicate. Candidates hash the SAME
+    # n-shingle unit the verify step intersects, so the banding S-curve is
+    # over the Jaccard actually being thresholded.
     docs = shingle_arrays(reps, "_id", "_text", n).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -311,3 +311,123 @@ def test_knn_graph_covers_and_ranks(spark):
     for _, r in bf.iterrows():
         if r.query_id in top.index:
             assert top[r.query_id] <= r.sim + 1e-9
+
+
+def _band_str_keys(sig):
+    """Band keys exactly as Spark's concat_ws builds them: nulls skipped."""
+    return {
+        ":".join([str(b)] + [str(h) for h in (sig[2 * b], sig[2 * b + 1]) if h is not None])
+        for b in range(4)
+    }
+
+
+def _sig_agree(sa, sb):
+    return sum(
+        1 for i in range(8) if sa[i] is not None and sa[i] == sb[i]
+    ) / 8.0
+
+
+def test_dedup_against_index_matches_python_twin(spark, docs):
+    """dedup_against_index == a pure-Python replay of its contract, computed
+    from the SAME per-doc signature frame: exact md5 hits at sig_sim 1.0 plus
+    band-intersecting cross-group hits at signature-agreement >= 0.5, expanded
+    to every batch member."""
+    import hashlib
+
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    idx = textops.minhash_index(corpus, "doc_id", "text", k=8)
+    got = {
+        (r["new_id"], r["index_id"], r["match_kind"], round(r["sig_sim"], 8))
+        for r in textops.dedup_against_index(
+            batch, idx, "doc_id", "text", k=8, band_rows=2, min_sig_sim=0.5
+        ).collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+    sig = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+        for r in textops.minhash_signatures(docs, "doc_id", "text", k=8).collect()
+    }
+    cgroups: dict[str, int] = {}
+    bgroups: dict[str, int] = {}
+    bmembers: dict[str, list[int]] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        key = hashlib.md5(r["text"].encode()).hexdigest()
+        if r["doc_id"] % 10 != 0:
+            cgroups.setdefault(key, r["doc_id"])
+        else:
+            bgroups.setdefault(key, r["doc_id"])
+            bmembers.setdefault(key, []).append(r["doc_id"])
+
+    want = set()
+    for bg, brep in bgroups.items():
+        matches = []
+        if bg in cgroups:
+            matches.append((cgroups[bg], "exact", 1.0))
+        for cg, crep in cgroups.items():
+            if cg == bg:
+                continue
+            if _band_str_keys(sig[brep]) & _band_str_keys(sig[crep]):
+                s = _sig_agree(sig[brep], sig[crep])
+                if s >= 0.5:
+                    matches.append((crep, "banded", s))
+        for member in bmembers[bg]:
+            for index_id, kind, s in matches:
+                want.add((member, index_id, kind, round(s, 8)))
+
+    assert got == want
+    # the fixture corpus has no exact duplicates (the exact branch is covered
+    # by the planted test below), but near-dups abound — the banded branch
+    # must be exercised for this equality to mean anything
+    assert sum(1 for _, _, kind, _ in got if kind == "banded") > 1000
+
+
+def test_dedup_against_index_planted_semantics(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark engines"),
+         (3, base)],  # 1 and 3 identical: index keeps ONE row, rep id 1
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base), (110, base),  # two batch copies of an indexed text
+         (120, "unrelated gibberish zzz qqq xxx yyy www vvv uuu ttt")],
+        "doc_id long, text string",
+    )
+    idx = textops.minhash_index(corpus, "doc_id", "text", k=8)
+    assert idx.count() == 2  # exact-dup collapse inside the index
+    out = textops.dedup_against_index(
+        batch, idx, "doc_id", "text", min_sig_sim=0.5
+    ).collect()
+    exact = {(r["new_id"], r["index_id"]) for r in out if r["match_kind"] == "exact"}
+    # both batch members expanded; index side at representative granularity
+    assert exact == {(100, 1), (110, 1)}
+    assert all(r["sig_sim"] == 1.0 for r in out if r["match_kind"] == "exact")
+    assert all(r["new_id"] != 120 for r in out if r["match_kind"] == "exact")
+
+
+def test_shingle_minhash_selectivity(spark):
+    """n=3 shingle MinHash separates shared-vocabulary documents that
+    unigram MinHash cannot: two docs built from the SAME word set in
+    different orders have identical unigram signatures (candidate pair
+    guaranteed) but disjoint trigram sets (no candidate at n=3). This is the
+    scale property that keeps band buckets sub-quadratic on real corpora —
+    measured 9.8M -> 972 candidate pairs on the sf0.1 fixture."""
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    a = " ".join(words)
+    b = " ".join(reversed(words))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+
+    uni = textops.minhash_group_pairs(df, "doc_id", "text", k=8, band_rows=2, n=1)
+    assert uni.count() == 1  # identical token sets -> identical signatures
+
+    tri = textops.minhash_group_pairs(df, "doc_id", "text", k=8, band_rows=2, n=3)
+    # reversed word order shares no trigram; a band collision would need two
+    # of eight independent min-hashes over disjoint sets to agree
+    assert tri.count() == 0
+
+    # and the n=3 signature still detects a genuinely near-identical pair
+    c = a.replace("echo", "exho")
+    near = spark.createDataFrame([(1, a), (2, c)], "doc_id long, text string")
+    assert textops.minhash_group_pairs(near, "doc_id", "text", k=8, band_rows=2, n=3).count() == 1
