@@ -572,16 +572,24 @@ def dedup_against_index(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """(id, simhash): ``bits``-bit SimHash over token hashes (±1 votes/bit).
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, n: int = 1
+) -> DataFrame:
+    """(id, simhash): ``bits``-bit SimHash over unit hashes (±1 votes/bit);
+    units are ``n``-word shingles (n=1 = the distinct-token set — shingles
+    keep bit-vector proximity aligned with n-gram similarity and selective
+    on shared-vocabulary corpora, exactly as in :func:`_sig_array`).
 
-    Single pass over the token array: md5 each token ONCE into a materialized
+    Single pass over the unit array: md5 each unit ONCE into a materialized
     hash column, then fold all per-bit votes in one ``aggregate`` with an
-    array accumulator (a naive per-bit loop re-hashes every token ``bits``
+    array accumulator (a naive per-bit loop re-hashes every unit ``bits``
     times — 16× the md5 work; measured 40s → ~1s at sf0.1)."""
-    hashed = F.transform(
-        F.array_distinct(tokens(F.col(text_col))), lambda t: token_hash64(t) % MERSENNE_31
+    units = (
+        F.array_distinct(tokens(F.col(text_col)))
+        if n == 1
+        else word_shingles(F.col(text_col), n)
     )
+    hashed = F.transform(units, lambda t: token_hash64(t) % MERSENNE_31)
     staged = df.select(F.col(id_col), hashed.alias("_hs"))
 
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
@@ -627,6 +635,7 @@ def simhash_dup_pairs(
     max_hamming: int = 2,
     band_cap: int | None = None,
     caches: list[DataFrame] | None = None,
+    n: int = 1,
 ) -> DataFrame:
     """Hamming-ball near-dup pairs over SimHash signatures: distinct
     ``(id_a, id_b, hamming)`` with ``popcount(sig_a XOR sig_b) <=
@@ -668,7 +677,7 @@ def simhash_dup_pairs(
     members = _md5_members(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     reps = _rep_docs(df, id_col, text_col)
     sig = (
-        simhash(reps, "_id", "_text", bits)
+        simhash(reps, "_id", "_text", bits, n)
         .join(reps.select("_id", "_g"), "_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -742,12 +751,13 @@ def simhash_band_overflow(
     bits: int = 32,
     max_hamming: int = 2,
     band_cap: int = 10_000,
+    n: int = 1,
 ) -> DataFrame:
     """(band_key, n_groups) for simhash bit-blocks whose exact-dup-collapsed
     population exceeds the cap — the non-silent-truncation report for a
     capped :func:`simhash_dup_pairs` run."""
     reps = _rep_docs(df, id_col, text_col)
-    sig = simhash(reps, "_id", "_text", bits).join(reps.select("_id", "_g"), "_id")
+    sig = simhash(reps, "_id", "_text", bits, n).join(reps.select("_id", "_g"), "_id")
     return (
         _simhash_band_keys(sig, bits, max_hamming + 1)
         .groupBy("band_key")
