@@ -391,11 +391,30 @@ def _shared_fuzzy_pairs(spark, sf_dir):
     return fz
 
 
+# The component list is itself shared: three catalog queries (components,
+# size histogram, canonical docs) otherwise each re-run the iterative
+# min-label propagation over the same pair frame.
+_COMP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shared_components(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    key = (id(spark), sf_dir)
+    comps = _COMP_CACHE.get(key)
+    if comps is None:
+        comps = textops.dup_components(_shared_fuzzy_pairs(spark, sf_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _COMP_CACHE[key] = comps
+    return comps
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the verified fuzzy near-dup pairs:
     (doc_id, component_id) with the min-id representative — the keep/drop
     list a dedup pipeline consumes (keep doc_id == component_id)."""
-    return textops.dup_components(_shared_fuzzy_pairs(spark, sf_dir))
+    return _shared_components(spark, sf_dir)
 
 
 def q_dedup_stats(spark, sf_dir):
@@ -407,8 +426,7 @@ def q_dedup_stats(spark, sf_dir):
 
 def q_component_size_histogram(spark, sf_dir):
     """Near-dup cluster-size distribution over the shared component list."""
-    comps = textops.dup_components(_shared_fuzzy_pairs(spark, sf_dir))
-    return textops.component_size_histogram(comps)
+    return textops.component_size_histogram(_shared_components(spark, sf_dir))
 
 
 def q_canonical_docs(spark, sf_dir):
@@ -417,8 +435,9 @@ def q_canonical_docs(spark, sf_dir):
     list a training pipeline actually ships (fuzzy_dup_pairs ->
     dup_components -> doc_quality -> max_by per component)."""
     d = _t(spark, sf_dir, "documents")
-    comps = textops.dup_components(_shared_fuzzy_pairs(spark, sf_dir))
-    return textops.canonical_docs(comps, textops.doc_quality(d, "doc_id", "text"))
+    return textops.canonical_docs(
+        _shared_components(spark, sf_dir), textops.doc_quality(d, "doc_id", "text")
+    )
 
 
 def q_topk_ngrams(spark, sf_dir):
