@@ -431,3 +431,36 @@ def test_shingle_minhash_selectivity(spark):
     c = a.replace("echo", "exho")
     near = spark.createDataFrame([(1, a), (2, c)], "doc_id long, text string")
     assert textops.minhash_group_pairs(near, "doc_id", "text", k=8, band_rows=2, n=3).count() == 1
+
+
+def test_minhash_index_parquet_roundtrip(spark, tmp_path):
+    """The index is genuinely persistable: write minhash_index to parquet,
+    read it back in a fresh frame, and dedup a batch against the READ copy —
+    identical matches to the in-memory index (the daily-ingest contract:
+    corpus text is never needed once the index exists)."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "a completely different corpus text about spark engines today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base), (120, "unrelated gibberish zzz qqq xxx yyy www vvv uuu ttt")],
+        "doc_id long, text string",
+    )
+    idx = textops.minhash_index(corpus, "doc_id", "text", k=8, n=3)
+    path = str(tmp_path / "minhash_index")
+    idx.write.parquet(path)
+
+    def matches(index_df):
+        return sorted(
+            (r["new_id"], r["index_id"], r["match_kind"], round(r["sig_sim"], 8))
+            for r in textops.dedup_against_index(
+                batch, index_df, "doc_id", "text", k=8, band_rows=2,
+                min_sig_sim=0.5, n=3,
+            ).collect()
+        )
+
+    from_disk = matches(spark.read.parquet(path))
+    assert from_disk == matches(idx)
+    assert (100, 1, "exact", 1.0) in from_disk
+    assert all(m[0] != 120 for m in from_disk)
