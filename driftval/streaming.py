@@ -479,3 +479,121 @@ def stream_exact_dedup(
             list(key_cols)
         )
     return df.dropDuplicates(list(key_cols))
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup against a growing MinHash index (foreachBatch)
+# ---------------------------------------------------------------------------
+
+
+class IncrementalDedupRunner:
+    """The daily-ingest dedup loop as a ``foreachBatch`` stream: each
+    micro-batch is matched against the persisted MinHash index (exact md5
+    hits + LSH-banded signature-agreement hits, see
+    :func:`driftval.textops.dedup_against_index`), matches land in
+    ``matches_path``, and the batch's genuinely NEW distinct texts (no exact
+    hit in the index) are appended to ``index_path`` — so later batches
+    dedup against everything earlier batches brought in, while corpus TEXT
+    is never re-read: only the ~60-byte-per-distinct-text signature index
+    grows.
+
+    Scale shape per micro-batch: a narrow signature map over the batch, then
+    equi-joins of the batch-sized side against the index — AQE broadcasts
+    the small batch side, so the index is never shuffled. The local parquet
+    append stands in for an Iceberg/Delta table append at production scale
+    (same layout, same semantics). Granularity note: matches are reported at
+    batch-vs-index granularity; near-dup pairs WITHIN one micro-batch are
+    the batch operators' job (``minhash_dup_pairs`` on the batch) — exact
+    duplicates within a batch are collapsed and re-expanded as usual.
+    """
+
+    def __init__(
+        self,
+        index_path: str,
+        matches_path: str,
+        id_col: str,
+        text_col: str,
+        k: int = 8,
+        band_rows: int = 2,
+        min_sig_sim: float = 0.5,
+        n: int = 3,
+        band_cap: int | None = None,
+    ):
+        self.index_path = index_path
+        self.matches_path = matches_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.band_rows = band_rows
+        self.min_sig_sim = min_sig_sim
+        self.n = n
+        self.band_cap = band_cap
+        self.n_batches = 0
+
+    def _read_index(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.index_path)
+        except Exception:  # first batch: no index written yet
+            return None
+
+    def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from driftval import textops
+
+        spark = batch_df.sparkSession
+        # foreachBatch may re-deliver a frame across actions — pin it so the
+        # signature map runs once for matching and once for the append, not
+        # per downstream subtree
+        batch_df = batch_df.persist()
+        try:
+            idx = self._read_index(spark)
+            if idx is not None:
+                matches = textops.dedup_against_index(
+                    batch_df,
+                    idx,
+                    self.id_col,
+                    self.text_col,
+                    k=self.k,
+                    band_rows=self.band_rows,
+                    min_sig_sim=self.min_sig_sim,
+                    band_cap=self.band_cap,
+                    n=self.n,
+                ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+                matches.write.mode("append").parquet(self.matches_path)
+            new_reps = textops.minhash_index(
+                batch_df, self.id_col, self.text_col, k=self.k, n=self.n
+            )
+            if idx is not None:
+                # only texts with NO exact hit enter the index (anti-join on
+                # the md5 group key); banded near-dups are still new texts
+                new_reps = new_reps.join(
+                    idx.select("_g"), "_g", "left_anti"
+                )
+            new_reps.write.mode("append").parquet(self.index_path)
+            self.n_batches += 1
+        finally:
+            batch_df.unpersist()
+
+
+def run_incremental_dedup_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> IncrementalDedupRunner:
+    """Drain an available-now document stream through
+    :class:`IncrementalDedupRunner`; returns the runner (matches are in
+    ``matches_path``, the grown index in ``index_path``)."""
+    runner = IncrementalDedupRunner(
+        index_path, matches_path, id_col, text_col, **kwargs
+    )
+    query = (
+        stream_df.writeStream.foreachBatch(runner.on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return runner

@@ -424,3 +424,82 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     got = spark.table("dedup_stream_out").toPandas()
     assert set(got["digest"]) == batch_keys
     assert len(got) == 20  # exactly one survivor per key
+
+
+def test_incremental_dedup_stream_matches_sequential_replay(spark, tmp_path):
+    """run_incremental_dedup_stream over 3 single-file micro-batches ==
+    driver-side sequential replay (dedup_against_index per batch with a
+    growing minhash_index): identical match sets, identical final index.
+    Chunks are crafted so every path fires: an exact hit on an earlier
+    batch's text, a banded near-dup hit, an intra-batch exact dup, and a
+    brand-new text per batch."""
+    from driftval import textops
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    near = base.replace("lazy", "sleepy")  # high trigram overlap with base
+    other = "completely unrelated sentence about distributed query engines and parquet"
+    chunks = [
+        [(1, base), (2, other)],
+        [(10, base), (11, base), (12, "fresh text first seen in batch two only")],
+        [(20, near), (21, other), (22, "another novel body for the third batch")],
+    ]
+    schema = "doc_id long, text string"
+
+    src = str(tmp_path / "docs-src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src + f"/part-{i:05d}")
+        time.sleep(1.05)  # distinct mtimes -> file source preserves order
+
+    kw = dict(k=8, band_rows=1, min_sig_sim=0.5, n=3)
+    stream_df = streaming.read_chunk_stream(
+        spark, src + "/part-*", spark.createDataFrame([], schema).schema
+    )
+    streaming.run_incremental_dedup_stream(
+        stream_df,
+        str(tmp_path / "index"),
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        "doc_id",
+        "text",
+        **kw,
+    )
+    got = {
+        (r["new_id"], r["index_id"], r["match_kind"], round(r["sig_sim"], 8))
+        for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    }
+
+    # sequential replay with the batch operators
+    idx = None
+    want = set()
+    for rows in chunks:
+        bdf = spark.createDataFrame(rows, schema)
+        if idx is not None:
+            want |= {
+                (r["new_id"], r["index_id"], r["match_kind"], round(r["sig_sim"], 8))
+                for r in textops.dedup_against_index(
+                    bdf, idx, "doc_id", "text", **kw
+                ).collect()
+            }
+            new = textops.minhash_index(bdf, "doc_id", "text", k=8, n=3).join(
+                idx.select("_g"), "_g", "left_anti"
+            )
+            idx = idx.unionByName(new)
+        else:
+            idx = textops.minhash_index(bdf, "doc_id", "text", k=8, n=3)
+    assert got == want
+
+    # every intended path fired
+    kinds = {(m[0], m[2]) for m in got}
+    assert (10, "exact") in kinds and (11, "exact") in kinds  # cross-batch + intra-batch dup
+    assert (20, "banded") in kinds  # near-dup vs batch-1 text
+    assert (21, "exact") in kinds  # exact hit on the other batch-1 text
+
+    # final index == replay index: one row per distinct text, no dup groups
+    stream_idx = spark.read.parquet(str(tmp_path / "index"))
+    assert {r["_g"] for r in stream_idx.select("_g").collect()} == {
+        r["_g"] for r in idx.select("_g").collect()
+    }
+    assert stream_idx.groupBy("_g").count().where(F.col("count") > 1).count() == 0
