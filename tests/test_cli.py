@@ -177,3 +177,57 @@ def test_cli_pack_and_diff(tmp_path, spark):
     )
     assert out.returncode == 1, out.stdout + out.stderr[-500:]
     assert "regressed" in out.stdout and "1 regressed" in out.stdout
+
+
+def test_cli_index_and_ingest(tmp_path):
+    """`index` builds the signature parquet once; `ingest` reports exact +
+    banded hits against it and grows it, so a re-ingest of the same batch
+    turns banded/new texts into exact hits."""
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    pd.DataFrame(
+        {"doc_id": [1, 2], "content": [base, "totally different corpus body about engines"]}
+    ).to_parquet(corpus + "/part-0.parquet")
+    batch = str(tmp_path / "batch")
+    os.makedirs(batch, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "content": [base, base.replace("lazy", "sleepy"), "a brand new body"],
+        }
+    ).to_parquet(batch + "/part-0.parquet")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    idx = str(tmp_path / "sigidx")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "index", "--path", corpus, "--out", idx],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "2 distinct texts indexed" in r.stdout
+
+    out = str(tmp_path / "matches")
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "ingest", "--path", batch,
+         "--index", idx, "--out", out, "--band-rows", "1"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # doc 10 = exact hit; doc 11 = banded near-dup; docs 11, 12 new texts
+    assert "1 exact hits" in r.stdout
+    assert "1 banded hits" in r.stdout
+    assert "2 new texts appended" in r.stdout
+
+    # the grown index makes a re-ingest see its own texts as exact hits
+    out2 = str(tmp_path / "matches2")
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "ingest", "--path", batch,
+         "--index", idx, "--out", out2, "--band-rows", "1", "--no-append"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "3 exact hits" in r.stdout
+    assert "0 new texts appended" in r.stdout
