@@ -18,6 +18,11 @@ Subcommands:
 - ``dedup``: write a ``(drop_id, keep_id)`` duplicate drop-list — ``exact``
   (md5 hash groups) or ``fuzzy`` (MinHash-banded candidates verified by
   exact n-gram Jaccard, expanded through connected components).
+- ``index`` / ``ingest``: the incremental dedup pair — ``index`` reads the
+  corpus text ONCE into a persistent per-distinct-text MinHash signature
+  index; each later ``ingest`` matches a new batch against that parquet
+  (exact md5 + banded signature-agreement hits) and appends the batch's new
+  texts, never re-reading corpus text.
 - ``diff``: cross-run regression report from the checkpoint table
   (regressed / fixed / added / removed transitions; exit 1 iff anything
   regressed — the CI gate for scheduled validation runs).
@@ -194,6 +199,56 @@ def cmd_dedup(spark, args) -> int:
     return 0
 
 
+def cmd_index(spark, args) -> int:
+    """Build (or rebuild) the persistent MinHash dedup index for a corpus:
+    one ~60-byte row per distinct text. Corpus text is read ONCE here;
+    every later ``ingest`` matches against this parquet only."""
+    from driftval import textops
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    textops.minhash_index(
+        files, args.id_col, args.text_col, k=args.k, n=args.ngram
+    ).write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} distinct texts indexed -> {args.out}")
+    return 0
+
+
+def cmd_ingest(spark, args) -> int:
+    """Match a new batch against an existing index (exact md5 + banded
+    signature-agreement hits), write the match list, and — unless
+    ``--no-append`` — append the batch's genuinely-new distinct texts to the
+    index so the next ingest dedups against them. ``--k``/``--ngram`` must
+    match the values the index was built with."""
+    from pyspark.sql import functions as F
+
+    from driftval import textops
+
+    batch = read_files_table(spark, path=args.path, table=args.table)
+    idx = spark.read.parquet(args.index)
+    textops.dedup_against_index(
+        batch, idx, args.id_col, args.text_col,
+        k=args.k, band_rows=args.band_rows,
+        min_sig_sim=args.min_sig_sim, n=args.ngram,
+    ).write.mode("overwrite").parquet(args.out)
+    m = spark.read.parquet(args.out)
+    n_exact = m.where(F.col("match_kind") == "exact").count()
+    n_banded = m.where(F.col("match_kind") == "banded").count()
+    n_new = 0
+    if not args.no_append:
+        new = textops.minhash_index(
+            batch, args.id_col, args.text_col, k=args.k, n=args.ngram
+        ).join(idx.select("_g"), "_g", "left_anti")
+        n_new = new.count()
+        new.write.mode("append").parquet(args.index)
+    print(
+        f"{batch.count()} docs ingested: {n_exact} exact hits, "
+        f"{n_banded} banded hits, {n_new} new texts appended; "
+        f"matches -> {args.out}"
+    )
+    return 0
+
+
 def cmd_profile(spark, args) -> int:
     from driftval.checks.stats import profile_columns
 
@@ -326,6 +381,40 @@ def main(argv: list[str] | None = None) -> int:
         "raise to 2+ to trade recall for fewer candidates on huge corpora",
     )
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("index", help="build the persistent MinHash dedup index")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--out", required=True, help="parquet output: the signature index")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--k", type=int, default=8, help="min-hashes per signature")
+    p.add_argument("--ngram", type=int, default=3, help="shingle width")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser(
+        "ingest", help="dedup a new batch against an index (and grow it)"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset (the new batch)")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--index", required=True, help="the index written by `index`")
+    p.add_argument("--out", required=True, help="parquet output: match list")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--k", type=int, default=8, help="min-hashes (match the index)")
+    p.add_argument("--ngram", type=int, default=3, help="shingle width (match the index)")
+    p.add_argument("--band-rows", type=int, default=2, help="min-hashes per LSH band")
+    p.add_argument(
+        "--min-sig-sim", type=float, default=0.5,
+        help="keep banded hits with signature agreement >= this",
+    )
+    p.add_argument(
+        "--no-append", action="store_true",
+        help="report matches only; do not grow the index",
+    )
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("profile", help="one-pass multi-column table profile")
     src = p.add_mutually_exclusive_group(required=True)
