@@ -230,3 +230,23 @@ def test_repetition_signals_scan_text_once(spark, docs):
     one text scan, not one per unit kind."""
     plan = plan_of(textops.repetition_signals(docs, "doc_id", "text"))
     assert n_scans(plan) <= 2, plan
+
+
+def test_dedup_against_index_never_shuffles_text(spark, docs):
+    """The incremental-dedup join graph must carry only signature-width rows:
+    no document text in any Exchange (the batch side collapses to md5-group
+    signatures before every join, the index side IS signatures), and no
+    nested-loop/cartesian join anywhere — a 10^12-row index can only be
+    equi-joined."""
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    idx = textops.minhash_index(corpus, "doc_id", "text", k=8, n=3)
+    plan = plan_of(
+        textops.dedup_against_index(
+            batch, idx, "doc_id", "text", k=8, band_rows=2, min_sig_sim=0.5, n=3
+        )
+    )
+    exchange_sections = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_sections, plan
+    assert all("text#" not in l for l in exchange_sections), exchange_sections
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
