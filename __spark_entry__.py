@@ -448,6 +448,17 @@ def q_topk_ngrams(spark, sf_dir):
     return textops.topk_ngrams(d, "doc_id", "text", n=3, k=20)
 
 
+def q_topk_ngrams_sketched(spark, sf_dir):
+    """The bounded-shuffle variant of the same census: per-partition exact
+    sketches (Arrow mapInPandas) -> driver threshold merge -> exact recount
+    of the provably-sufficient candidate set, with a sound fallback to the
+    full census when the distribution has no prunable skew. Provably equal
+    to topk_ngrams (same oracle SQL); the operator for a 100 TB corpus
+    whose distinct-shingle census shuffle doesn't fit."""
+    d = _t(spark, sf_dir, "documents")
+    return textops.topk_ngrams_sketched(d, "doc_id", "text", n=3, k=20)
+
+
 def q_length_percentiles(spark, sf_dir):
     """Exact per-lang length percentiles (p25/p50/p75/p90/p99) — exactness
     is O(distinct lengths) aggregation state, free on a bounded-domain
@@ -1098,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_size_histogram": q_component_size_histogram,
         "canonical_docs": q_canonical_docs,
         "topk_ngrams": q_topk_ngrams,
+        "topk_ngrams_sketched": q_topk_ngrams_sketched,
         "length_percentiles": q_length_percentiles,
         "doc_quality": q_doc_quality,
         "boilerplate_lines": q_boilerplate_lines,
@@ -1972,6 +1984,16 @@ SELECT s.doc_id, s.component_id, c.canonical_id,
 FROM scored s JOIN canon c ON s.component_id = c.component_id
 """,
         "topk_ngrams": f"""
+WITH s AS ({_SHINGLES}),
+ex AS (SELECT unnest(shingles) AS ngram FROM s)
+SELECT ngram, count(*)::BIGINT AS doc_freq
+FROM ex GROUP BY 1
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT 20
+""",
+        # identical SQL by design: the sketched operator is provably equal
+        # to the exact census, so it shares the oracle
+        "topk_ngrams_sketched": f"""
 WITH s AS ({_SHINGLES}),
 ex AS (SELECT unnest(shingles) AS ngram FROM s)
 SELECT ngram, count(*)::BIGINT AS doc_freq

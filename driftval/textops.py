@@ -1,7 +1,9 @@
 """Training-data text operators: dedup, fingerprints, quality, lang-id.
 
 Everything here is expressed with built-in ``pyspark.sql.functions`` (JVM-side,
-whole-stage codegen) — no Python UDFs. Hash primitives are chosen to be
+whole-stage codegen) — no per-row Python UDFs (the one Arrow ``mapInPandas``
+use is :func:`topk_ngrams_sketched`'s per-partition sketch, a deliberate
+bounded-shuffle alternative). Hash primitives are chosen to be
 bit-identical in ANSI SQL (DuckDB oracle twins): token hash = first 15 hex
 digits of md5 as a BIGINT, folded into 31-bit space for overflow-free affine
 hashing on both engines.
@@ -1419,6 +1421,117 @@ def topk_ngrams(
     )
     counts = grams.groupBy("ngram").agg(F.count("*").cast("long").alias("doc_freq"))
     return counts.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc()).limit(k)
+
+
+def topk_ngrams_sketched(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 20,
+    sketch_size: int = 4096,
+    diag: dict | None = None,
+) -> DataFrame:
+    """EXACT global top-``k`` n-grams with BOUNDED shuffle — the census to
+    run when :func:`topk_ngrams`' full ``groupBy`` shuffle (every distinct
+    shingle × partial count) is the bottleneck; same ``(ngram, doc_freq)``
+    output, provably identical rows.
+
+    Two passes, classic threshold/heavy-hitter shape:
+
+    1. NO shuffle: each partition computes its exact shingle
+       document-frequency table in one Arrow ``mapInPandas`` stream and
+       keeps only its ``sketch_size`` most frequent entries plus the count
+       of its largest DROPPED entry (``err``) — for any shingle absent from
+       a partition's kept list, its count there is <= that partition's err.
+       Only O(partitions × sketch_size) rows reach the driver. Merged:
+       LB(g) = Σ kept counts <= true(g) <= UB(g) = LB(g) + Σ err over the
+       partitions that did NOT keep g.
+    2. Any g with UB(g) < the k-th largest LB cannot be top-k (true(g) <=
+       UB(g) < kth LB <= kth true count — the top-k LBs belong to items
+       whose true counts are at least those LBs), and every item tied at
+       the k-th true count T has UB >= T >= kth LB, so the candidate set
+       provably contains the exact top k INCLUDING ties. The exact recount
+       runs over candidates only (broadcast semi-join BEFORE the
+       aggregate — the shuffle carries candidate shingles, not the corpus
+       census), then the same deterministic (doc_freq DESC, ngram ASC)
+       ordering as :func:`topk_ngrams`.
+
+    A shingle kept by NO partition has LB 0 and UB = Σ all err, so the
+    pruning is only safe while ``total_err < kth LB``; when an undersized
+    sketch (or a flat, heavy-hitter-free distribution) breaks that, the
+    operator FALLS BACK to the full :func:`topk_ngrams` census — exact
+    always, bounded-shuffle exactly when the distribution has the skew that
+    makes sketching worthwhile. ``diag`` (optional dict) reports which path
+    ran and the candidate count. The driver merge makes this operator EAGER
+    (pass 1 runs when called). Cite: Misra-Gries merge bounds (Misra &
+    Gries '82; the PODS'23 MG-sketch line) adapted to exact two-pass form."""
+    from pyspark import TaskContext
+
+    units = _spread(df.select(id_col, text_col)).select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
+    )
+
+    def _partition_sketch(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(Counter(dict(pdf["ngram"].value_counts())))
+        pid = TaskContext.get().partitionId()
+        top = counts.most_common()
+        kept, dropped = top[:sketch_size], top[sketch_size:]
+        err = dropped[0][1] if dropped else 0
+        yield pd.DataFrame(
+            {
+                "pid": pid,
+                "ngram": [g for g, _ in kept],
+                "cnt": [c for _, c in kept],
+                "err": err,
+            }
+            if kept
+            else {"pid": [], "ngram": [], "cnt": [], "err": []}
+        )
+
+    rows = units.mapInPandas(
+        _partition_sketch, "pid int, ngram string, cnt long, err long"
+    ).collect()
+
+    lb: dict[str, int] = {}
+    kept_err: dict[str, int] = {}
+    part_err: dict[int, int] = {}
+    for r in rows:
+        lb[r["ngram"]] = lb.get(r["ngram"], 0) + int(r["cnt"])
+        kept_err[r["ngram"]] = kept_err.get(r["ngram"], 0) + int(r["err"])
+        part_err[int(r["pid"])] = int(r["err"])
+    total_err = sum(part_err.values())
+    kth_lb = sorted(lb.values(), reverse=True)[k - 1] if len(lb) >= k else 0
+    if len(lb) < k or total_err >= kth_lb:
+        # an all-partitions-dropped shingle could reach UB=total_err >= kth
+        # LB — pruning would be unsound, so run the full census instead
+        if diag is not None:
+            diag.update(fallback=True, total_err=total_err, kth_lb=kth_lb)
+        return topk_ngrams(df, id_col, text_col, n, k)
+    cands = [g for g in lb if lb[g] + total_err - kept_err[g] >= kth_lb]
+    if diag is not None:
+        diag.update(
+            fallback=False,
+            total_err=total_err,
+            kth_lb=kth_lb,
+            n_candidates=len(cands),
+            n_sketched=len(lb),
+        )
+
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame([(g,) for g in cands], "ngram string")
+    exact = (
+        units.join(F.broadcast(cand_df), "ngram")
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+    )
+    return exact.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc()).limit(k)
 
 
 def length_percentiles(

@@ -267,3 +267,52 @@ def test_read_jsonl_does_not_mutate_caller_schema(spark, tmp_path):
     assert schema.fieldNames() == ["a"]  # caller's object untouched
     # second call with the same object behaves identically
     assert read_jsonl(spark, str(p), schema).columns == ["a", "_corrupt_record"]
+
+
+def test_topk_sketched_equals_exact_all_paths(spark, docs):
+    """topk_ngrams_sketched == topk_ngrams on the fixture via BOTH paths:
+    an adequate sketch (pruned two-pass) and an undersized sketch (sound
+    fallback to the full census)."""
+    from driftval import textops
+
+    exact = [
+        (r["ngram"], r["doc_freq"])
+        for r in textops.topk_ngrams(docs, "doc_id", "text", n=3, k=3).collect()
+    ]
+    for sketch_size, want_fallback in ((100_000, False), (1, True)):
+        diag = {}
+        got = [
+            (r["ngram"], r["doc_freq"])
+            for r in textops.topk_ngrams_sketched(
+                docs, "doc_id", "text", n=3, k=3, sketch_size=sketch_size, diag=diag
+            ).collect()
+        ]
+        assert got == exact, (sketch_size, diag)
+        assert diag["fallback"] is want_fallback, diag
+
+
+def test_topk_sketched_prunes_on_skew(spark):
+    """On a heavy-hitter distribution the sketch path engages and recounts
+    only a provably-sufficient candidate set (here: the 8 hot trigrams),
+    not the full census — the bounded-shuffle contract."""
+    from driftval import textops
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, hot + f" unique{i} filler{i} tail{i}") for i in range(400)]
+    rows += [(i, f"rare{i} words{i} only{i} here{i}") for i in range(400, 500)]
+    sk = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = [
+        (r["ngram"], r["doc_freq"])
+        for r in textops.topk_ngrams(sk, "doc_id", "text", n=3, k=5).collect()
+    ]
+    diag = {}
+    got = [
+        (r["ngram"], r["doc_freq"])
+        for r in textops.topk_ngrams_sketched(
+            sk, "doc_id", "text", n=3, k=5, sketch_size=64, diag=diag
+        ).collect()
+    ]
+    assert got == exact
+    assert diag["fallback"] is False
+    assert diag["n_candidates"] < 20 < diag["n_sketched"]
+    assert all(df == 400 for _, df in got)  # the hot trigrams, exactly
