@@ -1297,15 +1297,13 @@ SELECT * FROM expanded UNION ALL SELECT * FROM intra
 """
 
 
-_SHINGLES_TMPL = """
-  SELECT doc_id, list_distinct(
-    list_filter(
-      list_transform(toks, (x, i) -> CASE WHEN i + 2 <= len(toks)
-        THEN array_to_string(list_slice(toks, i, i + 2), ' ') END),
-      s -> s IS NOT NULL)
-  ) AS shingles
-  FROM (SELECT doc_id, {tok} AS toks FROM {src})
-"""
+# one source of truth for the n-gram construction: the same _units_sql
+# fragment the minhash/simhash twins hash (a drift between the two would
+# silently desynchronize the dedup oracles from the jaccard/census oracles)
+_SHINGLES_TMPL = (
+    "\n  SELECT doc_id, " + _units_sql(3) + " AS shingles"
+    "\n  FROM (SELECT doc_id, {tok} AS toks FROM {src})\n"
+)
 _SHINGLES = _SHINGLES_TMPL.format(tok=_TOK, src="documents")
 # shingles over exact-dup-group representatives (min doc_id per md5(text))
 _SHINGLES_REPS = _SHINGLES_TMPL.format(

@@ -224,26 +224,39 @@ def cmd_ingest(spark, args) -> int:
 
     from driftval import textops
 
-    batch = read_files_table(spark, path=args.path, table=args.table)
-    idx = spark.read.parquet(args.index)
-    textops.dedup_against_index(
-        batch, idx, args.id_col, args.text_col,
-        k=args.k, band_rows=args.band_rows,
-        min_sig_sim=args.min_sig_sim, n=args.ngram,
-    ).write.mode("overwrite").parquet(args.out)
-    m = spark.read.parquet(args.out)
-    n_exact = m.where(F.col("match_kind") == "exact").count()
-    n_banded = m.where(F.col("match_kind") == "banded").count()
-    n_new = 0
-    if not args.no_append:
-        new = textops.minhash_index(
-            batch, args.id_col, args.text_col, k=args.k, n=args.ngram
-        ).join(idx.select("_g"), "_g", "left_anti")
-        n_new = new.count()
-        new.write.mode("append").parquet(args.index)
+    batch = read_files_table(spark, path=args.path, table=args.table).persist()
+    try:
+        n_docs = batch.count()
+        idx = spark.read.parquet(args.index)
+        caches = []
+        textops.dedup_against_index(
+            batch, idx, args.id_col, args.text_col,
+            k=args.k, band_rows=args.band_rows,
+            min_sig_sim=args.min_sig_sim, caches=caches, n=args.ngram,
+        ).write.mode("overwrite").parquet(args.out)
+        for c in caches:
+            c.unpersist()
+        m = spark.read.parquet(args.out)
+        by_kind = {
+            r["match_kind"]: r["n"]
+            for r in m.groupBy("match_kind").agg(F.count("*").alias("n")).collect()
+        }
+        n_new = 0
+        if not args.no_append:
+            # write first, count the written parquet — one execution of the
+            # anti-join plan, as in cmd_index
+            index_before = spark.read.parquet(args.index).count()
+            textops.minhash_index(
+                batch, args.id_col, args.text_col, k=args.k, n=args.ngram
+            ).join(idx.select("_g"), "_g", "left_anti").write.mode(
+                "append"
+            ).parquet(args.index)
+            n_new = spark.read.parquet(args.index).count() - index_before
+    finally:
+        batch.unpersist()
     print(
-        f"{batch.count()} docs ingested: {n_exact} exact hits, "
-        f"{n_banded} banded hits, {n_new} new texts appended; "
+        f"{n_docs} docs ingested: {by_kind.get('exact', 0)} exact hits, "
+        f"{by_kind.get('banded', 0)} banded hits, {n_new} new texts appended; "
         f"matches -> {args.out}"
     )
     return 0

@@ -500,11 +500,18 @@ class IncrementalDedupRunner:
     Scale shape per micro-batch: a narrow signature map over the batch, then
     equi-joins of the batch-sized side against the index — AQE broadcasts
     the small batch side, so the index is never shuffled. The local parquet
-    append stands in for an Iceberg/Delta table append at production scale
-    (same layout, same semantics). Granularity note: matches are reported at
-    batch-vs-index granularity; near-dup pairs WITHIN one micro-batch are
-    the batch operators' job (``minhash_dup_pairs`` on the batch) — exact
-    duplicates within a batch are collapsed and re-expanded as usual.
+    datasets stand in for Iceberg/Delta tables at production scale (same
+    layout). Delivery semantics: ``foreachBatch`` is at-least-once, so the
+    runner is replay-safe — matches are written per-batch
+    (``matches_path/batch_id=N``, overwrite: a re-delivered batch replaces
+    its own rows), the index append anti-joins the current index so a text
+    is never indexed twice, and a re-delivered batch excludes index rows
+    whose representative id belongs to itself (requires globally-unique doc
+    ids across the stream) so the recompute sees first-attempt state.
+    Granularity note: matches are reported at batch-vs-index granularity;
+    near-dup pairs WITHIN one micro-batch are the batch operators' job
+    (``minhash_dup_pairs`` on the batch) — exact duplicates within a batch
+    are collapsed and re-expanded as usual.
     """
 
     def __init__(
@@ -531,9 +538,15 @@ class IncrementalDedupRunner:
         self.n_batches = 0
 
     def _read_index(self, spark: SparkSession) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(self.index_path)
-        except Exception:  # first batch: no index written yet
+        except AnalysisException:  # first batch: no index written yet.
+            # ONLY path-not-found-style analysis errors mean "fresh index" —
+            # a transient read failure (FS hiccup, corrupt footer) must
+            # propagate and fail the batch, or the runner would silently
+            # drop matches AND re-append already-indexed texts.
             return None
 
     def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -544,9 +557,18 @@ class IncrementalDedupRunner:
         # signature map runs once for matching and once for the append, not
         # per downstream subtree
         batch_df = batch_df.persist()
+        caches: list[DataFrame] = []
         try:
             idx = self._read_index(spark)
             if idx is not None:
+                # Replay protection (foreachBatch is at-least-once): a crash
+                # after the index append re-delivers this batch with its own
+                # texts already indexed — exclude index rows whose
+                # representative id belongs to this batch (doc ids are
+                # globally unique across the stream), so the recompute sees
+                # the same index state as the first attempt.
+                own = batch_df.select(F.col(self.id_col).alias("_id")).distinct()
+                idx = idx.join(F.broadcast(own), "_id", "left_anti")
                 matches = textops.dedup_against_index(
                     batch_df,
                     idx,
@@ -556,21 +578,39 @@ class IncrementalDedupRunner:
                     band_rows=self.band_rows,
                     min_sig_sim=self.min_sig_sim,
                     band_cap=self.band_cap,
+                    caches=caches,
                     n=self.n,
-                ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-                matches.write.mode("append").parquet(self.matches_path)
+                )
+            else:
+                matches = spark.createDataFrame(
+                    [], "new_id long, index_id long, match_kind string, sig_sim double"
+                )
+            # per-batch subdirectory + overwrite = idempotent under replay
+            # (a re-delivered batch overwrites its own rows, never appends
+            # duplicates); readers load matches_path and get batch_id as a
+            # partition column
+            matches.write.mode("overwrite").parquet(
+                f"{self.matches_path}/batch_id={int(batch_id)}"
+            )
             new_reps = textops.minhash_index(
                 batch_df, self.id_col, self.text_col, k=self.k, n=self.n
             )
             if idx is not None:
                 # only texts with NO exact hit enter the index (anti-join on
-                # the md5 group key); banded near-dups are still new texts
+                # the md5 group key); banded near-dups are still new texts.
+                # Under replay the raw index may already hold this batch's
+                # texts — anti-join against the UNFILTERED index so they are
+                # not appended twice.
                 new_reps = new_reps.join(
-                    idx.select("_g"), "_g", "left_anti"
+                    spark.read.parquet(self.index_path).select("_g"),
+                    "_g",
+                    "left_anti",
                 )
             new_reps.write.mode("append").parquet(self.index_path)
             self.n_batches += 1
         finally:
+            for c in caches:
+                c.unpersist()
             batch_df.unpersist()
 
 

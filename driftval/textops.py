@@ -219,14 +219,23 @@ def _band_keys(sig: DataFrame, k: int, band_rows: int, carry: list[str]) -> Data
     selects: a union duplicates the whole signature subtree (tokenize + k
     min-hashes + the group collapse) once per band per join side — 8 scans
     for a 4-band self-join — while the explode derives it once per side
-    (same rows, measured 3× faster at sf0.1)."""
+    (same rows, measured 3× faster at sf0.1).
+
+    Rows with an EMPTY unit set (all-NULL signature — e.g. a doc shorter
+    than the shingle width at n>=2) emit NO band keys: ``concat_ws`` would
+    otherwise collapse every such doc into the same four global buckets
+    ('0'..'3'), making S contentless docs pairwise candidates (O(S²)) while
+    the SQL twins' NULL-propagating ``||`` emits nothing. A fold over one
+    array leaves h0..h{k-1} all-NULL or all-set, so testing h0 suffices."""
     keys = [
         F.concat_ws(
             ":", F.lit(b), *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
         )
         for b in range(k // band_rows)
     ]
-    return sig.select(*carry, F.explode(F.array(*keys)).alias("band_key"))
+    return sig.where(F.col("h0").isNotNull()).select(
+        *carry, F.explode(F.array(*keys)).alias("band_key")
+    )
 
 
 def _rep_signatures(

@@ -314,9 +314,12 @@ def test_knn_graph_covers_and_ranks(spark):
 
 
 def _band_str_keys(sig):
-    """Band keys exactly as Spark's concat_ws builds them: nulls skipped."""
+    """Band keys as the operator builds them: an all-NULL signature (empty
+    unit set) emits no keys at all; otherwise every slot is set."""
+    if sig[0] is None:
+        return set()
     return {
-        ":".join([str(b)] + [str(h) for h in (sig[2 * b], sig[2 * b + 1]) if h is not None])
+        ":".join([str(b), str(sig[2 * b]), str(sig[2 * b + 1])])
         for b in range(4)
     }
 
@@ -520,3 +523,35 @@ def test_minhash_collapse_equals_naive_band_join(spark):
     n_intra = sum(len(m) * (len(m) - 1) // 2 for m in members.values())
     assert n_intra > 10  # intra-group expansion fired
     assert len(naive) > n_intra  # and cross-group band pairs exist too
+
+
+def test_empty_shingle_set_docs_never_band_match(spark):
+    """Docs shorter than the shingle width have empty trigram sets and
+    all-NULL signatures; they must emit NO band keys (not collapse into
+    shared '0'..'3' buckets), so S contentless docs produce zero candidate
+    pairs — and the SQL twins' NULL-propagating band keys agree."""
+    rows = [(i, f"w{i}") for i in range(10)]  # 1 token each: no trigram
+    rows.append((100, "a proper document with enough words for trigrams"))
+    rows.append((101, "a proper document with enough words for trigrams too"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["ga"], r["gb"])
+        for r in textops.minhash_group_pairs(df, "doc_id", "text", n=3).collect()
+    }
+    # only the genuinely-similar long pair may band-match; no short-doc pair
+    sigs = {
+        r["doc_id"]: r["h0"]
+        for r in textops.minhash_signatures(df, "doc_id", "text", n=3).collect()
+    }
+    assert all(sigs[i] is None for i in range(10))
+    assert len(got) <= 1
+    # and the incremental path inherits the guard
+    idx = textops.minhash_index(
+        spark.createDataFrame(rows[:5], "doc_id long, text string"),
+        "doc_id", "text", n=3,
+    )
+    out = textops.dedup_against_index(
+        spark.createDataFrame(rows[5:10], "doc_id long, text string"),
+        idx, "doc_id", "text", n=3,
+    )
+    assert out.where(F.col("match_kind") == "banded").count() == 0
