@@ -659,6 +659,19 @@ def q_media_decode_features(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """REAL BMP resize: decode -> nearest-neighbor resample -> re-encode
+    (driftval/multimodal.py resize_images). The twin value-checks dims,
+    the resized flag, and the exact re-encoded container size per doc;
+    pixel-level equality vs an independent NumPy resample is pinned in
+    tests/test_multimodal.py."""
+    r = multimodal.resize_images(_media(spark, sf_dir), 8, 8)
+    return r.select(
+        "doc_id", "orig_width", "orig_height",
+        "width", "height", "n_bytes", "resized",
+    )
+
+
 def q_krimp_combo_histogram(spark, sf_dir):
     """V11's distributed input layer: the (partition × attr-combo) weighted
     histogram the Krimp codetable builder consumes (the suite's combos frame,
@@ -1076,7 +1089,49 @@ def q_window_drift_events(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Catalog rotation (round 4): the driver's correctness gate covers a
+    # prefix of this dict.  Rounds 1-3 recorded green rows for the 50
+    # original entries (see CORRECTNESS_r03.json); this round fronts the 32
+    # entries added late in round 3 that the r3 gate did not reach, so that
+    # across CORRECTNESS_r03 + CORRECTNESS_r04 every catalog entry has a
+    # driver-verified row.  The previously-covered 50 follow in their
+    # original order.
     return {
+        # --- rotation front: entries without a driver-side green row yet ---
+        "knn_graph": q_knn_graph,
+        "semantic_dedup": q_semantic_dedup,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_multiprobe": q_knn_ivf_multiprobe,
+        "knn_ivf_trained": q_knn_ivf_trained,
+        "cdda_change_degrees": q_cdda_change_degrees,
+        "cdda_equivalence_counts": q_cdda_equivalence_counts,
+        "cdcstream_block_summaries": q_cdcstream_block_summaries,
+        "window_constraints_events": q_window_constraints_events,
+        "window_drift_events": q_window_drift_events,
+        "sample_documents": q_sample_documents,
+        "minhash_band_overflow": q_minhash_band_overflow,
+        "token_budget_mix": q_token_budget_mix,
+        "pack_sequences": q_pack_sequences,
+        "pack_stats": q_pack_stats,
+        "doc_chunks": q_doc_chunks,
+        "chunk_stats": q_chunk_stats,
+        "source_quality_report": q_source_quality_report,
+        "verdict_diff": q_verdict_diff,
+        "source_overlap_pairs": q_source_overlap_pairs,
+        "snapshot_diff_docs": q_snapshot_diff_docs,
+        "hash_bucket_split": q_hash_bucket_split,
+        "stratified_sample": q_stratified_sample,
+        "embedding_centroids": q_embedding_centroids,
+        "source_mix_documents": q_source_mix_documents,
+        "secret_scan_documents": q_secret_scan_documents,
+        "repetition_signals": q_repetition_signals,
+        "decontamination": q_decontamination,
+        "pii_redact_documents": q_pii_redact_documents,
+        "krimp_combo_histogram": q_krimp_combo_histogram,
+        "violation_rows_lang": q_violation_rows_lang,
+        "violation_rows_uniqueness": q_violation_rows_uniqueness,
+        "media_resize": q_media_resize,  # new in round 4 (real BMP codec)
+        # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
         "type_conformance_lang": q_type_conformance_lang,
@@ -1127,38 +1182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "centroid_drift": q_centroid_drift,
-        "knn_graph": q_knn_graph,
-        "semantic_dedup": q_semantic_dedup,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_multiprobe": q_knn_ivf_multiprobe,
-        "knn_ivf_trained": q_knn_ivf_trained,
-        "cdda_change_degrees": q_cdda_change_degrees,
-        "cdda_equivalence_counts": q_cdda_equivalence_counts,
-        "cdcstream_block_summaries": q_cdcstream_block_summaries,
-        "window_constraints_events": q_window_constraints_events,
-        "window_drift_events": q_window_drift_events,
-        "sample_documents": q_sample_documents,
-        "minhash_band_overflow": q_minhash_band_overflow,
-        "token_budget_mix": q_token_budget_mix,
-        "pack_sequences": q_pack_sequences,
-        "pack_stats": q_pack_stats,
-        "doc_chunks": q_doc_chunks,
-        "chunk_stats": q_chunk_stats,
-        "source_quality_report": q_source_quality_report,
-        "verdict_diff": q_verdict_diff,
-        "source_overlap_pairs": q_source_overlap_pairs,
-        "snapshot_diff_docs": q_snapshot_diff_docs,
-        "hash_bucket_split": q_hash_bucket_split,
-        "stratified_sample": q_stratified_sample,
-        "embedding_centroids": q_embedding_centroids,
-        "source_mix_documents": q_source_mix_documents,
-        "secret_scan_documents": q_secret_scan_documents,
-        "repetition_signals": q_repetition_signals,
-        "decontamination": q_decontamination,
-        "pii_redact_documents": q_pii_redact_documents,
-        "krimp_combo_histogram": q_krimp_combo_histogram,
-        "violation_rows_lang": q_violation_rows_lang,
-        "violation_rows_uniqueness": q_violation_rows_uniqueness,
     }
 
 
@@ -1344,7 +1367,8 @@ WITH reps AS (
   {bands}
 )
 SELECT band_key, count(*)::BIGINT AS n_groups
-FROM bands GROUP BY 1 HAVING count(*) > {BAND_OVERFLOW_CAP}
+FROM bands WHERE band_key IS NOT NULL
+GROUP BY 1 HAVING count(*) > {BAND_OVERFLOW_CAP}
 """
 
 
@@ -2128,36 +2152,75 @@ FROM scored GROUP BY source
         "media_conformance": """
 WITH m AS (
   SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-         octet_length(encode(text))::BIGINT AS payload_len,
-         octet_length(encode(text))::BIGINT AS n_bytes,
-         (16 + doc_id % 32)::INT AS width, (16 + doc_id % 24)::INT AS height,
-         (8000 + (doc_id % 4) * 8000)::INT AS sample_rate, (1 + doc_id % 30)::INT AS n_frames
+         (16 + doc_id % 32)::BIGINT AS w, (16 + doc_id % 24)::BIGINT AS h,
+         (8000 + (doc_id % 4) * 8000)::BIGINT AS rate, (1 + doc_id % 30)::INT AS n_frames,
+         octet_length(encode(text))::BIGINT AS nb
   FROM documents
+), sized AS (
+  -- true encoded payload sizes: BMP = 54 + stride*h (stride = w*3 padded to
+  -- 4 bytes); WAV = 44 + 2*samples (samples = rate // 100); video = raw blob
+  SELECT media_type, n_frames,
+         CASE media_type
+           WHEN 'image' THEN 54 + ((w * 3 + 3) // 4 * 4) * h
+           WHEN 'audio' THEN 44 + 2 * (rate // 100)
+           ELSE nb END AS payload_len,
+         w AS width, h AS height, rate AS sample_rate
+  FROM m
 )
 SELECT media_type, count(*)::BIGINT AS n_rows,
-       sum(CASE WHEN payload_len <> n_bytes OR width <= 0 OR height <= 0
+       sum(CASE WHEN width <= 0 OR height <= 0
                      OR sample_rate <= 0 OR n_frames <= 0 THEN 1 ELSE 0 END)::BIGINT AS violation_count,
-       (sum(CASE WHEN payload_len <> n_bytes OR width <= 0 OR height <= 0
+       (sum(CASE WHEN width <= 0 OR height <= 0
                       OR sample_rate <= 0 OR n_frames <= 0 THEN 1 ELSE 0 END) = 0) AS passed,
-       sum(n_bytes)::BIGINT AS total_bytes
-FROM m GROUP BY media_type
+       sum(payload_len)::BIGINT AS total_bytes
+FROM sized GROUP BY media_type
 """,
         "media_frame_sample": """
 SELECT doc_id, unnest(range(0, (1 + doc_id % 30)::BIGINT, 5))::BIGINT AS frame_idx,
        md5(text || '#' || unnest(range(0, (1 + doc_id % 30)::BIGINT, 5))::VARCHAR) AS frame_sig
 FROM documents WHERE doc_id % 3 = 2
 """,
+        "media_resize": """
+SELECT doc_id,
+       (16 + doc_id % 32)::INT AS orig_width, (16 + doc_id % 24)::INT AS orig_height,
+       8::INT AS width, 8::INT AS height,
+       (54 + ((8 * 3 + 3) // 4 * 4) * 8)::BIGINT AS n_bytes,
+       true AS resized
+FROM documents WHERE doc_id % 3 = 0
+""",
         "media_decode_features": """
 WITH m AS (
   SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-         hex(encode(text)) AS hx, octet_length(encode(text))::BIGINT AS nb
+         hex(encode(text)) AS hx, octet_length(encode(text))::BIGINT AS nb,
+         (16 + doc_id % 32)::BIGINT AS w, (16 + doc_id % 24)::BIGINT AS h,
+         (8000 + (doc_id % 4) * 8000)::BIGINT AS rate
   FROM documents
-), per AS (
-  SELECT media_type, nb,
-         list_avg(list_transform(range(0, nb::INT), i -> ('0x' || substr(hx, 2*i+1, 2))::INT)) AS mean_b
+), sized AS (
+  -- decoded-signal length: image = pixel bytes (w*h*3), audio = PCM sample
+  -- count (rate // 100), video = stub byte view of the raw blob
+  SELECT *, CASE media_type WHEN 'image' THEN w * h * 3
+                            WHEN 'audio' THEN rate // 100
+                            ELSE nb END AS L
   FROM m
+), sums AS (
+  -- decoded signal = text bytes CYCLED to length L (audio samples byte-view
+  -- back to the source bytes exactly), so mean over L units has the closed
+  -- form (full_cycles * S + prefix_sum(L mod nb)) / L — no L-sized list
+  SELECT media_type, L,
+         list_sum(list_transform(range(0, nb::INT),
+                  i -> ('0x' || substr(hx, 2*i+1, 2))::INT)) AS S,
+         list_sum(list_transform(range(0, (CASE WHEN nb > 0 THEN L % nb ELSE 0 END)::INT),
+                  i -> ('0x' || substr(hx, 2*i+1, 2))::INT)) AS P,
+         nb
+  FROM sized
+), per AS (
+  SELECT media_type, L,
+         CASE WHEN L > 0 AND nb > 0
+              THEN ((L // nb) * coalesce(S, 0) + coalesce(P, 0))::DOUBLE / L
+              ELSE 0.0 END AS mean_b
+  FROM sums
 )
-SELECT media_type, count(*)::BIGINT AS n_media, sum(nb)::BIGINT AS decoded_bytes,
+SELECT media_type, count(*)::BIGINT AS n_media, sum(L)::BIGINT AS decoded_bytes,
        round(avg(mean_b), 6) AS avg_intensity
 FROM per GROUP BY media_type
 """,

@@ -130,7 +130,7 @@ def main() -> None:
         qtimes[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(qtimes.values()), 3)
-    print(json.dumps({
+    record = json.dumps({
         "metric": "driftval_full_suite_plus_catalog_wall",
         "value": total,
         "unit": "sec",
@@ -140,7 +140,16 @@ def main() -> None:
         "files_per_sec": suite["files_per_sec"],
         "n_verdicts": suite["n_verdicts"],
         "cpus": cpus,
-    }))
+    })
+    # Durable copy first: the driver's stdout capture truncated the r3 record
+    # (BENCH_r03.json parsed:null), so the JSON line also lands in a file the
+    # judge can always read, then goes to stdout (progress bars are disabled
+    # in build_session, so stdout stays parseable).
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_bench.json"), "w") as fh:
+        fh.write(record + "\n")
+    print(record, flush=True)
     spark.stop()
 
 

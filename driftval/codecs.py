@@ -1,0 +1,144 @@
+"""Pure-NumPy codecs for uncompressed media containers (BMP, WAV).
+
+This container ships no third-party media codec (no PIL, no ffmpeg), but two
+ubiquitous formats are pure header + raw array and therefore decodable with
+``struct`` + NumPy alone:
+
+- **BMP** (Windows bitmap, 24-bit ``BI_RGB``): 14-byte file header, 40-byte
+  ``BITMAPINFOHEADER``, then uncompressed BGR pixel rows padded to 4-byte
+  boundaries. Negative ``biHeight`` marks a top-down DIB (row 0 first) — the
+  encoder writes top-down so decode(encode(x)) is the identity on the flat
+  pixel stream; the decoder handles both orientations.
+- **WAV** (RIFF PCM, 16-bit mono): ``RIFF``/``WAVE`` container with ``fmt ``
+  and ``data`` chunks walked in order (chunks are allowed in any order and
+  unknown chunks are skipped, per the RIFF spec).
+
+These are REAL codecs for their (deliberately narrow) format subsets — they
+validate magic numbers, reject unsupported variants with ``ValueError``, and
+round-trip bit-exactly. Compressed formats (JPEG/PNG/MP3/…) remain out of
+scope here and fall to the caller's stub path (see
+``driftval.multimodal.decode_payload``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BMP_HEADER_BYTES = 54  # 14 (file header) + 40 (BITMAPINFOHEADER)
+WAV_HEADER_BYTES = 44  # RIFF + fmt(16) + data header
+
+
+def bmp_stride(width: int) -> int:
+    """Bytes per stored pixel row: 3 bytes/pixel padded to a 4-byte boundary."""
+    return (width * 3 + 3) // 4 * 4
+
+
+def bmp_size(width: int, height: int) -> int:
+    """Exact encoded file size for a ``width``×``height`` 24-bit BMP."""
+    return BMP_HEADER_BYTES + bmp_stride(width) * height
+
+
+def wav_size(n_samples: int) -> int:
+    """Exact encoded file size for ``n_samples`` of 16-bit mono PCM."""
+    return WAV_HEADER_BYTES + 2 * n_samples
+
+
+def encode_bmp(pixels: np.ndarray, width: int, height: int) -> bytes:
+    """Encode a flat uint8 pixel stream (row-major top-down, BGR triplets,
+    length ``width*height*3``) as a 24-bit ``BI_RGB`` top-down BMP."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(height, width * 3)
+    stride = bmp_stride(width)
+    if stride != width * 3:
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, : width * 3] = px
+    else:
+        rows = px
+    body = rows.tobytes()
+    file_hdr = struct.pack(
+        "<2sIHHI", b"BM", BMP_HEADER_BYTES + len(body), 0, 0, BMP_HEADER_BYTES
+    )
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height,  # negative height: top-down row order
+        1, 24,               # planes, bits per pixel
+        0, len(body),        # BI_RGB (uncompressed), image size
+        2835, 2835, 0, 0,    # 72 DPI, default palette fields
+    )
+    return file_hdr + info_hdr + body
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a 24-bit uncompressed BMP -> ``(width, height, pixels)`` with
+    ``pixels`` the flat uint8 stream in row-major TOP-DOWN order (padding
+    stripped, bottom-up DIBs flipped). Raises ``ValueError`` on anything
+    that is not a 24-bit ``BI_RGB`` bitmap."""
+    if len(payload) < BMP_HEADER_BYTES:
+        raise ValueError("payload shorter than a BMP header")
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_sz, width, height, planes, bpp, comp, _img_sz = struct.unpack_from(
+        "<IiiHHII", payload, 14
+    )
+    if hdr_sz < 40 or planes != 1 or bpp != 24 or comp != 0 or width <= 0:
+        raise ValueError("unsupported BMP variant")
+    topdown = height < 0
+    h = abs(height)
+    stride = bmp_stride(width)
+    if off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : width * 3]
+    if not topdown:
+        rows = rows[::-1]
+    return width, h, np.ascontiguousarray(rows).reshape(-1)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 samples as 16-bit mono PCM WAV."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16,
+        1, 1,                     # PCM, mono
+        sample_rate, sample_rate * 2,  # byte rate = rate * block align
+        2, 16,                    # block align, bits per sample
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a 16-bit mono PCM WAV -> ``(sample_rate, int16 samples)``.
+    Walks RIFF chunks (any order, unknown chunks skipped, odd-size padding
+    honored); raises ``ValueError`` on non-RIFF/-WAVE payloads or non-PCM16
+    mono streams."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    rate: int | None = None
+    data: np.ndarray | None = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if pos + sz > len(payload):
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError("malformed fmt chunk")
+            fmt, ch, rate, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos
+            )
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (need PCM16 mono)")
+        elif cid == b"data":
+            data = np.frombuffer(payload, dtype="<i2", count=sz // 2, offset=pos)
+        pos += sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data

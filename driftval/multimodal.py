@@ -7,11 +7,13 @@ metadata checks are pure JVM column expressions (pushdown-friendly), and the
 per-batch Python work is vectorized NumPy over ``pyarrow``-delivered byte
 arrays.
 
-The actual codec step is STUBBED: this container ships no image/audio codecs
-(no PIL/ffmpeg), so ``decode_payload`` uses a clearly-marked deterministic
-fake (byte-level statistics standing in for pixel/sample decoding) unless a
-real codec is importable — the Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) is real and tested either way.
+Codec status (round 4): image and audio payloads are REAL encoded files —
+24-bit BMP and 16-bit mono PCM WAV, generated and decoded by the pure-NumPy
+codecs in :mod:`driftval.codecs` (these formats are header + raw array; no
+PIL/ffmpeg needed). Video has no dependency-free container, so its payload
+stays an opaque blob and its decode path is the clearly-marked deterministic
+stub. Compressed formats a production cluster would carry (JPEG/MP3/H.264)
+still route through the optional PIL hook / stub fallback.
 
 No multimodal capability exists in the reference (SURVEY.md §2.6); this module
 is part of the [SPEC] training-data-pipeline surface.
@@ -26,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from driftval import codecs
+
 MEDIA_TYPES = ("image", "audio", "video")
 
 MEDIA_SCHEMA = (
@@ -34,23 +38,69 @@ MEDIA_SCHEMA = (
 )
 
 
+def _cycled_bytes(text_bytes: bytes, n: int) -> np.ndarray:
+    """``text_bytes`` cycled (np.resize semantics: repeated, zero-filled when
+    empty) to exactly ``n`` uint8 values — the deterministic pixel/sample
+    source shared with the DuckDB oracle twins (closed-form cycled mean)."""
+    return np.resize(np.frombuffer(text_bytes, dtype=np.uint8), n)
+
+
+def _wav_samples(b: np.ndarray) -> np.ndarray:
+    """uint8 -> int16 sample mapping ``(b - 128) * 256`` (exactly invertible
+    via ``s // 256 + 128``, so decoded audio byte-views the source bytes)."""
+    return ((b.astype(np.int32) - 128) * 256).astype(np.int16)
+
+
 def media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic multimodal table derived from the documents fixture:
-    payload = UTF-8 bytes of the text (an opaque blob as far as the pipeline
-    is concerned), media_type round-robins by id, typed metadata columns."""
-    i = F.col(id_col).cast("long")
-    return docs.select(
-        i.alias("doc_id"),
-        F.element_at(
-            F.array(*[F.lit(t) for t in MEDIA_TYPES]), (i % 3 + 1).cast("int")
-        ).alias("media_type"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
-        (F.lit(16) + (i % 32)).cast("int").alias("width"),
-        (F.lit(16) + (i % 24)).cast("int").alias("height"),
-        (F.lit(8000) + (i % 4) * F.lit(8000)).cast("int").alias("sample_rate"),
-        (F.lit(1) + (i % 30)).cast("int").alias("n_frames"),
-        F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+    """Deterministic multimodal table derived from the documents fixture —
+    REAL encoded payloads: image rows carry a 24-bit BMP whose pixel stream
+    is the doc's UTF-8 bytes cycled to ``width*height*3``; audio rows a
+    PCM16 mono WAV of ``sample_rate // 100`` samples from the same cycled
+    bytes; video rows an opaque blob (no dependency-free container exists).
+    Typed metadata columns; ``n_bytes`` is the true payload length.
+
+    Scale shape: one Arrow ``mapInPandas`` over the scan — encoding is
+    per-row Python (each payload is its own container) but batch-delivered,
+    and nothing shuffles.
+    """
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["_id"].astype("int64")
+            out = {
+                "doc_id": ids,
+                "media_type": [],
+                "payload": [],
+                "width": (16 + ids % 32).astype("int32"),
+                "height": (16 + ids % 24).astype("int32"),
+                "sample_rate": (8000 + (ids % 4) * 8000).astype("int32"),
+                "n_frames": (1 + ids % 30).astype("int32"),
+                "n_bytes": [],
+            }
+            for i, txt, w, h, rate in zip(
+                ids, pdf["_text"], out["width"], out["height"], out["sample_rate"]
+            ):
+                tb = str(txt).encode("utf-8")
+                kind = MEDIA_TYPES[int(i) % 3]
+                if kind == "image":
+                    payload = codecs.encode_bmp(
+                        _cycled_bytes(tb, int(w) * int(h) * 3), int(w), int(h)
+                    )
+                elif kind == "audio":
+                    ns = int(rate) // 100
+                    payload = codecs.encode_wav(
+                        _wav_samples(_cycled_bytes(tb, ns)), int(rate)
+                    )
+                else:
+                    payload = tb
+                out["media_type"].append(kind)
+                out["payload"].append(payload)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")
     )
+    return src.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def _codec_available() -> bool:
@@ -89,16 +139,31 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
     """Decode one payload to a flat uint8 signal.
 
-    The real codec applies only to media types it can actually decode
-    (PIL -> image); audio/video (no codec shipped here) and payloads PIL
-    cannot parse fall back to the declared stub instead of crashing the
-    pipeline — a present-but-inapplicable codec must never break the run
-    (ADVICE r2: the fixture payloads are UTF-8 text bytes, which
-    PIL.Image.open rejects)."""
-    if _CODEC and media_type == "image":
+    Codec ladder per media type, most-capable first, stub last — a
+    present-but-inapplicable codec must never break the run (ADVICE r2):
+
+    - image: optional PIL hook (compressed formats, when installed) ->
+      pure-NumPy BMP (:func:`driftval.codecs.decode_bmp`, real pixels) ->
+      byte-stat stub.
+    - audio: pure-NumPy WAV (real PCM16 samples, mapped back to the uint8
+      domain via the exact inverse of the encoder's ``(b-128)*256``) ->
+      byte-stat stub.
+    - video: stub only (no dependency-free container format exists)."""
+    if media_type == "image":
+        if _CODEC:
+            try:
+                return _real_decode(payload)
+            except Exception:  # UnidentifiedImageError etc. — not a PIL image
+                pass
         try:
-            return _real_decode(payload)
-        except Exception:  # UnidentifiedImageError etc. — not a PIL image
+            return codecs.decode_bmp(bytes(payload))[2]
+        except ValueError:
+            return _fake_decode(payload)
+    if media_type == "audio":
+        try:
+            _rate, s = codecs.decode_wav(bytes(payload))
+            return (s.astype(np.int32) // 256 + 128).astype(np.uint8)
+        except ValueError:
             return _fake_decode(payload)
     return _fake_decode(payload)
 
@@ -130,13 +195,17 @@ def _byte_stats(payloads: list[bytes], hist_bins: int) -> list[tuple]:
 
 
 def decode_features(media: DataFrame, hist_bins: int = 16) -> DataFrame:
-    """Per-payload decoded-signal features via one ``mapInPandas`` pass:
-    mean/std intensity plus an L1-normalized ``hist_bins``-bucket byte
-    histogram (the stand-in for pixel/spectral features). No shuffle.
+    """Per-payload DECODED-signal features via one ``mapInPandas`` pass:
+    mean/std intensity plus an L1-normalized ``hist_bins``-bucket histogram
+    over the decoded uint8 signal (real BMP pixels for image rows, real WAV
+    samples byte-viewed for audio rows, stub byte view for video/unknown
+    payloads — see :func:`decode_payload`). ``n_bytes`` is the DECODED
+    signal length (pixel count × 3 / sample count), not the payload size.
+    No shuffle.
 
-    Stub-codec path: fully vectorized per batch (:func:`_byte_stats`).
-    Real-codec path: per-row decode (inherent — each payload is its own
-    compressed stream), stats still NumPy per decoded signal."""
+    Decode is per-row Python (inherent — each payload is its own
+    container stream); the statistics over the whole Arrow batch are one
+    vectorized :func:`_byte_stats` pass."""
     out_schema = (
         "doc_id long, media_type string, n_bytes long, "
         "mean_intensity double, std_intensity double, hist array<double>"
@@ -144,14 +213,11 @@ def decode_features(media: DataFrame, hist_bins: int = 16) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if _CODEC:
-                stats = []
-                for mtype, payload in zip(pdf["media_type"], pdf["payload"]):
-                    arr = decode_payload(bytes(payload), mtype)
-                    s = _byte_stats([arr.tobytes()], hist_bins)[0]
-                    stats.append(s)
-            else:
-                stats = _byte_stats([bytes(p) for p in pdf["payload"]], hist_bins)
+            decoded = [
+                decode_payload(bytes(p), m).tobytes()
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            stats = _byte_stats(decoded, hist_bins)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -168,21 +234,65 @@ def decode_features(media: DataFrame, hist_bins: int = 16) -> DataFrame:
     )
 
 
-def resize_stub(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Image 'resize': recompute metadata JVM-side, mark payload transform as
-    the stubbed codec step (payload passes through; a real codec would
-    re-encode). Keeps full lineage columns for downstream verification."""
-    return media.where(F.col("media_type") == "image").select(
-        "doc_id",
-        "payload",
-        F.col("width").alias("orig_width"),
-        F.col("height").alias("orig_height"),
-        F.lit(target_w).alias("width"),
-        F.lit(target_h).alias("height"),
-        (F.col("n_bytes") * target_w * target_h / (F.col("width") * F.col("height")))
-        .cast("long")
-        .alias("est_bytes"),
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL image resize over the BMP payloads: decode -> nearest-neighbor
+    resample to ``target_w``×``target_h`` in NumPy -> re-encode BMP, one
+    Arrow ``mapInPandas`` pass, no shuffle. Non-BMP image payloads (a
+    compressed format this container can't decode) pass through unchanged
+    with ``resized = false`` — the documented stub fallback, never a crash.
+
+    ``n_bytes`` is the TRUE re-encoded payload length (exactly
+    ``codecs.bmp_size(target_w, target_h)`` on the resized path), so the
+    DuckDB twin can value-check this operator end-to-end."""
+    out_schema = (
+        "doc_id long, payload binary, orig_width int, orig_height int, "
+        "width int, height int, n_bytes long, resized boolean"
     )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "payload", "orig_width", "orig_height",
+                "width", "height", "n_bytes", "resized",
+            )}
+            for doc_id, payload, ow, oh in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                payload = bytes(payload)
+                try:
+                    w, h, px = codecs.decode_bmp(payload)
+                    img = px.reshape(h, w, 3)
+                    yi = (np.arange(target_h, dtype=np.int64) * h) // target_h
+                    xi = (np.arange(target_w, dtype=np.int64) * w) // target_w
+                    res = img[yi][:, xi]
+                    new_payload = codecs.encode_bmp(
+                        res.reshape(-1), target_w, target_h
+                    )
+                    rows["payload"].append(new_payload)
+                    rows["width"].append(target_w)
+                    rows["height"].append(target_h)
+                    rows["resized"].append(True)
+                except ValueError:  # not a decodable BMP: stub passthrough
+                    rows["payload"].append(payload)
+                    rows["width"].append(int(ow))
+                    rows["height"].append(int(oh))
+                    rows["resized"].append(False)
+                rows["doc_id"].append(int(doc_id))
+                rows["orig_width"].append(int(ow))
+                rows["orig_height"].append(int(oh))
+                rows["n_bytes"].append(len(rows["payload"][-1]))
+            yield pd.DataFrame(rows)
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .select("doc_id", "payload", "width", "height")
+        .mapInPandas(batches, schema=out_schema)
+    )
+
+
+# Backward-compatible name from the stub era (rounds 1-3); the resize is
+# real now, with the stub demoted to the non-BMP passthrough branch.
+resize_stub = resize_images
 
 
 def frame_sample(media: DataFrame, every_k: int = 5) -> DataFrame:
@@ -210,13 +320,28 @@ def frame_sample(media: DataFrame, every_k: int = 5) -> DataFrame:
 
 def media_conformance(media: DataFrame) -> DataFrame:
     """Metadata conformance per media_type — pure JVM aggregation:
-    payload length must equal declared n_bytes; dims/rate/frames positive."""
+    payload length must equal declared n_bytes; dims/rate/frames positive;
+    encoded payloads must carry their container's magic bytes (``BM`` for
+    BMP images, ``RIFF`` for WAV audio — a cheap JVM-side header check that
+    catches corrupt/misrouted blobs without any Python decode)."""
+    magic_ok = (
+        F.when(
+            F.col("media_type") == "image",
+            F.expr("substring(payload, 1, 2)") == F.lit(bytearray(b"BM")),
+        )
+        .when(
+            F.col("media_type") == "audio",
+            F.expr("substring(payload, 1, 4)") == F.lit(bytearray(b"RIFF")),
+        )
+        .otherwise(F.lit(True))
+    )
     bad = (
         (F.length("payload") != F.col("n_bytes"))
         | (F.col("width") <= 0)
         | (F.col("height") <= 0)
         | (F.col("sample_rate") <= 0)
         | (F.col("n_frames") <= 0)
+        | ~magic_ok
     ).cast("long")
     return media.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_rows"),

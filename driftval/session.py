@@ -63,6 +63,10 @@ def build_session(
             )
         ),
         "spark.ui.enabled": "false",
+        # Keep stdout machine-parseable: bench.py's contract is ONE JSON line
+        # on stdout and the driver's capture truncates when progress bars
+        # interleave (BENCH_r03.json recorded parsed:null from exactly this).
+        "spark.ui.showConsoleProgress": "false",
         "spark.sql.session.timeZone": "UTC",
         # partition values are STRINGS by contract (the suite casts the
         # partition column to string everywhere; violation/checkpoint

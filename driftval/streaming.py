@@ -542,12 +542,22 @@ class IncrementalDedupRunner:
 
         try:
             return spark.read.parquet(self.index_path)
-        except AnalysisException:  # first batch: no index written yet.
-            # ONLY path-not-found-style analysis errors mean "fresh index" —
-            # a transient read failure (FS hiccup, corrupt footer) must
-            # propagate and fail the batch, or the runner would silently
-            # drop matches AND re-append already-indexed texts.
-            return None
+        except AnalysisException as e:
+            # ONLY path-not-found means "fresh index" (first batch: nothing
+            # written yet). Anything else — schema inference failing on an
+            # empty or partially-written index dir, FS hiccup, corrupt
+            # footer — must propagate and fail the batch, or the runner
+            # would silently restart the index: dropping matches AND
+            # re-appending already-indexed texts.
+            err_cls = ""
+            get_cls = getattr(e, "getErrorClass", None)
+            if callable(get_cls):
+                err_cls = get_cls() or ""
+            if err_cls == "PATH_NOT_FOUND" or (
+                not err_cls and "Path does not exist" in str(e)
+            ):
+                return None
+            raise
 
     def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from driftval import textops
@@ -582,8 +592,24 @@ class IncrementalDedupRunner:
                     n=self.n,
                 )
             else:
+                # Batch-0 empty frame: id column types must match later
+                # batches' real output (new_id = this stream's id dtype,
+                # index_id = the index `_id` dtype, same source column) or
+                # the per-batch parquet partitions disagree on schema and
+                # the matches dataset needs mergeSchema to read.
+                from pyspark.sql import types as T
+
+                id_type = batch_df.schema[self.id_col].dataType
                 matches = spark.createDataFrame(
-                    [], "new_id long, index_id long, match_kind string, sig_sim double"
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("new_id", id_type),
+                            T.StructField("index_id", id_type),
+                            T.StructField("match_kind", T.StringType()),
+                            T.StructField("sig_sim", T.DoubleType()),
+                        ]
+                    ),
                 )
             # per-batch subdirectory + overwrite = idempotent under replay
             # (a re-delivered batch overwrites its own rows, never appends

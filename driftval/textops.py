@@ -1440,6 +1440,10 @@ def topk_ngrams_sketched(
     k: int = 20,
     sketch_size: int = 4096,
     diag: dict | None = None,
+    probe_fraction: float = 0.02,
+    probe_margin: float = 8.0,
+    probe_min_units: int = 2000,
+    seed: int = 17,
 ) -> DataFrame:
     """EXACT global top-``k`` n-grams with BOUNDED shuffle — the census to
     run when :func:`topk_ngrams`' full ``groupBy`` shuffle (every distinct
@@ -1474,12 +1478,55 @@ def topk_ngrams_sketched(
     makes sketching worthwhile. ``diag`` (optional dict) reports which path
     ran and the candidate count. The driver merge makes this operator EAGER
     (pass 1 runs when called). Cite: Misra-Gries merge bounds (Misra &
-    Gries '82; the PODS'23 MG-sketch line) adapted to exact two-pass form."""
+    Gries '82; the PODS'23 MG-sketch line) adapted to exact two-pass form.
+
+    SKEW PRE-PROBE (round 4, closes the fallback double-pay): before paying
+    pass 1, a ``probe_fraction`` uniform sample of the exploded shingles is
+    censused JVM-side (one tiny shuffle + ``TakeOrderedAndProject``) and the
+    sample's k-th count is compared to its rank-``sketch_size`` tail count.
+    A flat distribution (k-th < ``probe_margin`` × tail) is exactly the
+    regime where the rigorous ``total_err < kth_lb`` guard trips, so the
+    operator routes straight to :func:`topk_ngrams` — flat-corpus cost is
+    probe + census (≈1.05× the plain census) instead of the old
+    sketch-then-census double-pay. The probe is a ROUTING heuristic only:
+    exactness never depends on it (the sketch path keeps its proof, and the
+    census is exact by construction). Probes on samples smaller than
+    ``probe_min_units`` shingles are ignored (everything is cheap at that
+    size); ``probe_fraction=0`` disables the probe entirely."""
     from pyspark import TaskContext
 
     units = _spread(df.select(id_col, text_col)).select(
         F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
     )
+
+    if probe_fraction > 0:
+        # sample DOCUMENTS, not exploded shingles — the probe then scans
+        # (and explodes) only probe_fraction of the text, and since
+        # word_shingles is per-doc distinct, doc sampling is the natural
+        # unit for a document-frequency shape estimate anyway
+        probe = (
+            df.select(text_col)
+            .sample(fraction=probe_fraction, seed=seed)
+            .select(F.explode(word_shingles(F.col(text_col), n)).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count("*").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("ngram").asc())
+            .limit(sketch_size)
+            .collect()
+        )
+        sampled_units = sum(int(r["c"]) for r in probe)
+        # trust the probe only when the sample saw enough shingles to
+        # estimate shape (a truncated result list implies a big sample too)
+        trusted = sampled_units >= probe_min_units or len(probe) == sketch_size
+        if trusted and len(probe) >= k:
+            kth_p = int(probe[k - 1]["c"])
+            tail_p = int(probe[-1]["c"]) if len(probe) == sketch_size else 0
+            if diag is not None:
+                diag.update(probe_kth=kth_p, probe_tail=tail_p)
+            if tail_p > 0 and kth_p < probe_margin * tail_p:
+                if diag is not None:
+                    diag.update(fallback=True, probed_flat=True)
+                return topk_ngrams(df, id_col, text_col, n, k)
 
     def _partition_sketch(batches):
         from collections import Counter

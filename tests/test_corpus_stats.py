@@ -316,3 +316,44 @@ def test_topk_sketched_prunes_on_skew(spark):
     assert diag["fallback"] is False
     assert diag["n_candidates"] < 20 < diag["n_sketched"]
     assert all(df == 400 for _, df in got)  # the hot trigrams, exactly
+
+
+def test_topk_sketched_probe_routes_flat_corpus(spark):
+    """On a FLAT distribution the skew pre-probe routes straight to the
+    full census (probed_flat) — no pass-1 sketch is paid — and the result
+    still equals topk_ngrams exactly. On the skewed corpus of the previous
+    test the same probe settings choose the sketch path (probe is routing
+    only; exactness is independent of it)."""
+    from driftval import textops
+
+    # 3000 docs of entirely per-doc-unique trigrams: every shingle has
+    # doc_freq 1 except a mild shared prefix, the classic census-killer
+    rows = [(i, f"a{i} b{i} c{i} d{i} e{i} f{i}") for i in range(3000)]
+    flat = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    exact = [
+        (r["ngram"], r["doc_freq"])
+        for r in textops.topk_ngrams(flat, "doc_id", "text", n=3, k=5).collect()
+    ]
+    diag = {}
+    got = [
+        (r["ngram"], r["doc_freq"])
+        for r in textops.topk_ngrams_sketched(
+            flat, "doc_id", "text", n=3, k=5, sketch_size=64,
+            probe_fraction=0.5, probe_min_units=100, diag=diag,
+        ).collect()
+    ]
+    assert got == exact
+    assert diag.get("probed_flat") is True and diag["fallback"] is True
+
+    # skewed corpus + identical probe settings -> probe lets the sketch run
+    hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    srows = [(i, hot + f" unique{i} filler{i} tail{i}") for i in range(400)]
+    srows += [(i, f"rare{i} words{i} only{i} here{i}") for i in range(400, 500)]
+    sk = spark.createDataFrame(srows, "doc_id long, text string")
+    sdiag = {}
+    sgot = textops.topk_ngrams_sketched(
+        sk, "doc_id", "text", n=3, k=5, sketch_size=64,
+        probe_fraction=0.5, probe_min_units=100, diag=sdiag,
+    ).collect()
+    assert sdiag.get("probed_flat") is None and sdiag["fallback"] is False
+    assert all(r["doc_freq"] == 400 for r in sgot)

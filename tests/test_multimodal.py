@@ -43,17 +43,66 @@ def test_conformance_catches_bad_metadata(media):
 
 
 def test_decode_features_matches_numpy(media):
+    """Features are over the DECODED signal: real BMP pixels / WAV samples
+    (byte-viewed), raw bytes only for the opaque video rows."""
     feats = {r["doc_id"]: r for r in multimodal.decode_features(media).collect()}
-    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    src = {
+        r["doc_id"]: (bytes(r["payload"]), r["media_type"])
+        for r in media.collect()
+    }
     assert set(feats) == set(src)
-    for doc_id, payload in src.items():
-        arr = np.frombuffer(payload, dtype=np.uint8)
+    for doc_id, (payload, mtype) in src.items():
+        arr = multimodal.decode_payload(payload, mtype)
+        if mtype == "image":  # decoded pixels, not container bytes
+            assert arr.size < len(payload)
         row = feats[doc_id]
         assert row["n_bytes"] == arr.size
         assert row["mean_intensity"] == pytest.approx(arr.mean())
         assert row["std_intensity"] == pytest.approx(arr.std())
         assert len(row["hist"]) == 16
         assert sum(row["hist"]) == pytest.approx(1.0)
+
+
+def test_media_payloads_are_real_containers(media):
+    """image payloads decode as real BMPs (pixel stream == text bytes cycled
+    to w*h*3), audio payloads as real PCM16 WAVs (samples == the documented
+    byte mapping), via the independent pure-NumPy codecs."""
+    from driftval import codecs
+
+    for r in media.collect():
+        payload = bytes(r["payload"])
+        if r["media_type"] == "image":
+            w, h, px = codecs.decode_bmp(payload)
+            assert (w, h) == (r["width"], r["height"])
+            assert len(payload) == codecs.bmp_size(w, h) == r["n_bytes"]
+        elif r["media_type"] == "audio":
+            rate, s = codecs.decode_wav(payload)
+            assert rate == r["sample_rate"]
+            assert s.size == rate // 100
+            assert len(payload) == codecs.wav_size(s.size) == r["n_bytes"]
+
+
+def test_codec_roundtrip_bit_exact():
+    """decode(encode(x)) == x for both codecs, including BMP row padding
+    (width not a multiple of 4) and WAV negative samples."""
+    from driftval import codecs
+
+    rng = np.random.default_rng(7)
+    for w, h in ((5, 3), (4, 4), (17, 9)):
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+        blob = codecs.encode_bmp(px, w, h)
+        assert len(blob) == codecs.bmp_size(w, h)
+        dw, dh, back = codecs.decode_bmp(blob)
+        assert (dw, dh) == (w, h) and np.array_equal(back, px)
+    s = rng.integers(-32768, 32768, size=441, dtype=np.int16)
+    blob = codecs.encode_wav(s, 44100)
+    assert len(blob) == codecs.wav_size(441)
+    rate, back = codecs.decode_wav(blob)
+    assert rate == 44100 and np.array_equal(back, s)
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"not a bitmap at all......" * 4)
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFFxxxxNOPE")
 
 
 def test_real_codec_branch_used_when_importable(monkeypatch):
@@ -131,7 +180,39 @@ def test_frame_sample_every_k(media):
     assert len({(r["doc_id"], r["frame_sig"]) for r in frames}) == len(frames)
 
 
-def test_resize_stub_metadata(media):
-    out = multimodal.resize_stub(media, 8, 8).collect()
-    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
-    assert all(r["orig_width"] >= 16 for r in out)
+def test_resize_real_pixels(media):
+    """resize_images re-encodes REAL pixels: each output payload is a valid
+    8x8 BMP whose pixels equal an independent NumPy nearest-neighbor
+    resample of the decoded original."""
+    from driftval import codecs
+
+    originals = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.where("media_type='image'").collect()
+    }
+    out = multimodal.resize_images(media, 8, 8).collect()
+    assert {r["doc_id"] for r in out} == set(originals)
+    for r in out:
+        assert r["resized"] and r["width"] == 8 and r["height"] == 8
+        assert r["orig_width"] >= 16
+        w, h, px = codecs.decode_bmp(originals[r["doc_id"]])
+        img = px.reshape(h, w, 3)
+        yi = (np.arange(8) * h) // 8
+        xi = (np.arange(8) * w) // 8
+        want = img[yi][:, xi].reshape(-1)
+        dw, dh, got = codecs.decode_bmp(bytes(r["payload"]))
+        assert (dw, dh) == (8, 8) and np.array_equal(got, want)
+        assert r["n_bytes"] == codecs.bmp_size(8, 8)
+
+
+def test_resize_passthrough_on_non_bmp(spark):
+    """A non-BMP image payload (compressed format we can't decode) passes
+    through unchanged with resized=false instead of crashing."""
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"JFIF-ish opaque bytes"), 16, 16, 8000, 1, 21)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    (r,) = multimodal.resize_images(bad, 8, 8).collect()
+    assert not r["resized"]
+    assert bytes(r["payload"]) == b"JFIF-ish opaque bytes"
+    assert (r["width"], r["height"]) == (16, 16)
