@@ -133,7 +133,10 @@ def _parse_satisfies(specs: list[str]):
 def cmd_suite(spark, args) -> int:
     from driftval.suite import SuiteConfig, run_suite
 
-    files = read_files_table(spark, path=args.path, table=args.table)
+    files = read_files_table(
+        spark, path=args.path, table=args.table,
+        snapshot_root=args.snapshot_root, snapshot_id=args.snapshot_id,
+    )
     extra = _parse_satisfies(args.satisfies)
     cfg = SuiteConfig(
         baseline_partitions=args.baseline.split(","),
@@ -147,6 +150,8 @@ def cmd_suite(spark, args) -> int:
         emd_threshold=args.emd_threshold,
         outlier_rate_threshold=args.outlier_rate_threshold,
         extra_constraints=extra,
+        quality_report=args.report_quality,
+        pack_ctx_len=args.pack_ctx_len,
     )
     dim_repos = spark.read.parquet(args.dim_repos) if args.dim_repos else None
     dim_commits = spark.read.parquet(args.dim_commits) if args.dim_commits else None
@@ -154,7 +159,7 @@ def cmd_suite(spark, args) -> int:
     verdicts = run_suite(
         spark, files, cfg, args.checkpoint, run_id=args.run_id,
         dim_repos=dim_repos, dim_commits=dim_commits, manifest=manifest,
-        violations_path=args.violations_out,
+        violations_path=args.violations_out, diff_run_id=args.diff_against,
     ).toPandas()
     verdicts = verdicts.sort_values(["partition_value", "check_name"])
     cols = ["partition_value", "check_name", "passed", "metric", "violation_count"]
@@ -351,6 +356,14 @@ def main(argv: list[str] | None = None) -> int:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--path", help="partitioned Parquet dataset")
     src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    src.add_argument(
+        "--snapshot-root",
+        help="driftval.snaptable snapshot table root (Iceberg-style layout)",
+    )
+    p.add_argument(
+        "--snapshot-id", type=int, default=None,
+        help="pin the read to one snapshot (time travel; with --snapshot-root)",
+    )
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--baseline", required=True, help="comma-separated baseline partitions")
     p.add_argument("--run-id", required=True)
@@ -375,6 +388,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable median/MAD modified-z outlier-rate verdicts")
     p.add_argument("--satisfies", action="append", default=[],
                    help="extra rule 'label=max_rate:SQL predicate' (repeatable)")
+    p.add_argument("--report-quality", action="store_true",
+                   help="write the per-partition quality dashboard into the "
+                        "checkpoint's companion reports dataset")
+    p.add_argument("--pack-ctx-len", type=int, default=None,
+                   help="write per-partition sequence-packing stats at this "
+                        "context length into the reports dataset")
+    p.add_argument("--diff-against", default=None,
+                   help="earlier run_id: write a verdict_diff regression "
+                        "report vs it into the reports dataset")
     p.set_defaults(fn=cmd_suite)
 
     p = sub.add_parser("dedup", help="write a duplicate drop-list (exact or fuzzy)")

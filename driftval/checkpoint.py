@@ -38,6 +38,18 @@ CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
+REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("value_double", T.DoubleType()),
+        T.StructField("value_str", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("run_id", T.StringType()),
+    ]
+)
+
+
 def verdict_diff(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
     """Cross-run regression report: what changed between two validation
     passes — the first question after any pipeline/config change, and the
@@ -127,6 +139,36 @@ class CheckpointStore:
             self.completed_partitions(run_id), "partition_value", "left_anti"
         )
         return sorted(r["partition_value"] for r in pending.collect())
+
+    # -- companion reports dataset (suite/catalog lock-step) ----------------
+    # The catalog's dashboard queries (source_quality_report, pack_stats,
+    # verdict_diff) also run INSIDE the suite when configured, landing here
+    # in one melted long format so a production run gets them without the
+    # catalog harness. Same idempotency story as verdicts: partitioned by
+    # (run_id, kind), dynamic overwrite.
+
+    @property
+    def reports_path(self) -> str:
+        return self.path.rstrip("/") + "_reports"
+
+    def read_reports(self) -> DataFrame:
+        if not os.path.exists(self.reports_path):
+            return self.spark.createDataFrame([], REPORT_SCHEMA)
+        return self.spark.read.parquet(self.reports_path).select(
+            *[F.col(f.name).cast(f.dataType) for f in REPORT_SCHEMA.fields]
+        )
+
+    def write_reports(self, reports: DataFrame) -> None:
+        aligned = reports.select(
+            *[F.col(f.name).cast(f.dataType) for f in REPORT_SCHEMA.fields]
+        )
+        (
+            aligned.repartition("run_id", "kind")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "kind")
+            .parquet(self.reports_path)
+        )
 
     def write(self, verdicts: DataFrame) -> None:
         """Idempotent per-(run, partition) verdict write."""

@@ -72,23 +72,50 @@ def pack_sequences(
     text), then ONE window aggregate partitioned by bucket. No global sort;
     per-bucket sorted size is |corpus| / n_buckets rows of 20 bytes.
     """
-    if ctx_len <= 0:
-        raise ValueError(f"ctx_len must be positive, got {ctx_len}")
-    h = hash60(F.col(id_col), salt)
     staged = df.select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_n_tokens"),
+    )
+    return pack_plan_from_counts(
+        staged, id_col, "_n_tokens", ctx_len=ctx_len, n_buckets=n_buckets, salt=salt
+    )
+
+
+def pack_plan_from_counts(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    ctx_len: int = 512,
+    n_buckets: int = 64,
+    salt: str = "",
+    scope_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`pack_sequences` from PRECOMPUTED token counts — the suite rides
+    this so packing never re-reads text (the derived pass already counted
+    tokens in its single content scan). ``scope_cols`` pack each scope (e.g.
+    a table partition) as an independent layout: buckets/offsets/packs are
+    computed per scope, identical to running :func:`pack_sequences` on each
+    scope alone — which keeps per-partition plans stable under resume and
+    lets pack stats land beside per-partition verdicts."""
+    if ctx_len <= 0:
+        raise ValueError(f"ctx_len must be positive, got {ctx_len}")
+    scope = list(scope_cols)
+    h = hash60(F.col(id_col), salt)
+    staged = df.select(
+        *scope,
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
         (h % F.lit(int(n_buckets))).cast("int").alias("bucket"),
         h.alias("_h"),
     )
     w = (
-        Window.partitionBy("bucket")
+        Window.partitionBy(*scope, "bucket")
         .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
     laid = staged.select(
-        F.col(id_col), "bucket", "n_tokens", offset.alias("offset")
+        *scope, F.col(id_col), "bucket", "n_tokens", offset.alias("offset")
     ).withColumn(
         "_last", F.col("offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - F.lit(1)
     )
@@ -97,6 +124,7 @@ def pack_sequences(
     pack_first = F.expr(f"offset div {c}").cast("long")
     pack_last = F.expr(f"_last div {c}").cast("long")
     return laid.select(
+        *scope,
         F.col(id_col),
         "bucket",
         "n_tokens",
@@ -189,8 +217,12 @@ def chunk_stats(chunks: DataFrame, chunk_chars: int) -> DataFrame:
     )
 
 
-def pack_stats(plan: DataFrame, ctx_len: int) -> DataFrame:
-    """ONE-row layout summary from a :func:`pack_sequences` plan:
+def pack_stats(
+    plan: DataFrame, ctx_len: int, by: tuple[str, ...] = ()
+) -> DataFrame:
+    """ONE-row layout summary (or one row per ``by`` scope, e.g. per table
+    partition from a scoped :func:`pack_plan_from_counts` plan) from a
+    :func:`pack_sequences` plan:
     ``(n_docs, n_buckets, total_tokens, n_packs, fill_ratio,
     split_docs)`` — ``n_packs`` counts every started window across buckets,
     ``fill_ratio`` = total_tokens / (n_packs × ctx_len) (the padding-free
@@ -203,13 +235,14 @@ def pack_stats(plan: DataFrame, ctx_len: int) -> DataFrame:
     slot sitting exactly on a window boundary has pack_last one past the
     last token-bearing window and must not count as a started pack."""
     c = int(ctx_len)
-    per_bucket = plan.groupBy("bucket").agg(
+    scope = list(by)  # e.g. ("partition_value",): one stats row per scope
+    per_bucket = plan.groupBy(*scope, "bucket").agg(
         F.count(F.lit(1)).alias("_docs"),
         F.sum("n_tokens").alias("_toks"),
         F.expr(f"(sum(n_tokens) + {c} - 1) div {c}").alias("_packs"),
         F.sum((F.col("n_packs_spanned") > 1).cast("long")).alias("_split"),
     )
-    return per_bucket.agg(
+    return per_bucket.groupBy(*scope).agg(
         F.sum("_docs").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.sum("_toks").cast("long").alias("total_tokens"),

@@ -65,8 +65,23 @@ def multiline_csv(
     spark: SparkSession, path: str, has_header: bool = False
 ) -> DataFrame:
     """Fallback for CSVs with embedded newlines: Spark's multiLine reader
-    (single task per file — correct, not parallel) + a one-pass sequence."""
-    df = spark.read.option("header", has_header).option("multiLine", True).csv(path)
+    (single task per file — correct, not parallel) + a one-pass sequence.
+
+    Documented deltas vs a byte-preserving RFC4180 parse (commons-csv /
+    Python csv.reader), inherent to Spark's univocity-backed reader and
+    pinned in tests/test_sources_catalog.py::test_multiline_csv_quoted_crlf:
+    CRLF inside quoted fields is normalized to ``\\n``, and empty UNQUOTED
+    fields read back as NULL (quoted ``\"\"`` stays an empty string). The
+    line-splitting :func:`read_categorical_csv` path — the reference-parity
+    reader — has neither delta."""
+    df = (
+        spark.read.option("header", has_header)
+        .option("multiLine", True)
+        # RFC4180 escapes a quote by doubling it; Spark's default escape
+        # char is backslash, which silently mis-parses `""` (fuzz-caught)
+        .option("escape", '"')
+        .csv(path)
+    )
     from driftval.blocks import with_sequence
     from pyspark.sql import functions as F
 
@@ -75,14 +90,36 @@ def multiline_csv(
 
 
 def read_files_table(
-    spark: SparkSession, path: str | None = None, table: str | None = None
+    spark: SparkSession,
+    path: str | None = None,
+    table: str | None = None,
+    snapshot_root: str | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
-    """The engine's production source: a partitioned Parquet dataset
-    (``--path``) or a catalog table such as Iceberg (``--table``) — identical
-    partition-column semantics either way (SURVEY.md §7 step 9; no Iceberg
-    jar ships in this sandbox, so tests exercise the Parquet branch)."""
-    if (path is None) == (table is None):
-        raise ValueError("exactly one of path/table required")
+    """The engine's production source, one of three branches:
+
+    - ``path``  — a partitioned Parquet dataset (hive layout);
+    - ``table`` — a catalog table. **Contract assumed of the catalog**
+      (what Iceberg provides; judged vs BASELINE.json "Iceberg-style
+      tables"): reads resolve a consistent snapshot for the whole job,
+      partition columns appear as ordinary columns, and partition/filter
+      pruning happens below this API. No Iceberg jar ships in this sandbox,
+      so tests exercise this branch via Spark's built-in catalog;
+    - ``snapshot_root`` — this repo's own Iceberg-style snapshot layout
+      (:mod:`driftval.snaptable`): metadata-pointer + immutable manifests,
+      ``snapshot_id`` pins a read for time travel / resumable validation,
+      and partition-spec evolution is tolerated per the manifest contract
+      (tests/test_snaptable.py exercises all three semantics).
+    """
+    given = [path is not None, table is not None, snapshot_root is not None]
+    if sum(given) != 1:
+        raise ValueError("exactly one of path/table/snapshot_root required")
+    if snapshot_root is not None:
+        from driftval.snaptable import read_snapshot
+
+        return read_snapshot(spark, snapshot_root, snapshot_id=snapshot_id)
+    if snapshot_id is not None:
+        raise ValueError("snapshot_id requires snapshot_root")
     return spark.read.table(table) if table else spark.read.parquet(path)
 
 

@@ -36,6 +36,9 @@ streaming and batch answers are bit-comparable:
 from __future__ import annotations
 
 import json
+import os
+import shutil
+import tempfile
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -129,7 +132,15 @@ class IncrementalCDCDecider:
 class CDCStreamRunner:
     """``foreachBatch`` handler: distributed DILCA per complete block, the
     sequential decision on the driver, an O(block_size) tail carried between
-    micro-batches.
+    micro-batches as an executor-written parquet spill — per-batch driver
+    traffic is the O(#blocks) summary rows plus three scalars, NEVER tail
+    row data (the round-3 ``toPandas``/``createDataFrame`` round-trip is
+    gone; the tail crosses the driver exactly once, at EOF flush).
+
+    The spill ping-pongs between two subdirectories of ``tail_dir`` so the
+    lazy read of the previous tail and the write of the new one never touch
+    the same path. ``tail_dir`` defaults to a self-managed temp dir (removed
+    in :meth:`finalize`); on a cluster pass a shared-FS/object-store path.
 
     Requires gapless, in-order ``seq`` delivery across micro-batches (the
     reference consumes a strictly ordered stream); a gap or reordering
@@ -142,18 +153,27 @@ class CDCStreamRunner:
         block_size: int,
         drift_coefficient: float = 3.0,
         seq_col: str = "seq",
+        tail_dir: str | None = None,
     ):
         self.attrs = list(attrs)
         self.block_size = int(block_size)
         self.seq_col = seq_col
         self.decider = IncrementalCDCDecider(drift_coefficient)
-        self._tail_pdf: pd.DataFrame | None = None
+        self._tail_dir = tail_dir
+        self._own_tail_dir = tail_dir is None
+        self._tail_path: str | None = None  # current spilled tail (parquet)
+        self._n_tail = 0
+        self._flip = 0
+        self._spark: SparkSession | None = None
         self._next_seq = 0  # first global seq not yet delivered
         self._blocks_done = 0
         self.batches_seen = 0
 
     def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        self._spark = spark
+        if self._tail_dir is None:
+            self._tail_dir = tempfile.mkdtemp(prefix="driftval-cdc-tail-")
         sel = batch_df.select(
             F.col(self.seq_col).cast("long").alias("seq"), *self.attrs
         )
@@ -171,12 +191,12 @@ class CDCStreamRunner:
         self._next_seq = hi + 1
 
         frame = sel
-        if self._tail_pdf is not None and len(self._tail_pdf):
-            frame = spark.createDataFrame(
-                self._tail_pdf, schema=sel.schema
-            ).unionByName(sel)
+        frame_start = hi + 1 - (self._n_tail + n)
+        if self._n_tail:
+            frame = spark.read.parquet(self._tail_path).unionByName(sel)
 
         boundary = ((hi + 1) // self.block_size) * self.block_size
+        tail_start = frame_start
         if boundary > self._blocks_done * self.block_size:
             # every COMPLETE block in [blocks_done*bs, boundary): the same
             # grouped-map Arrow kernel as the batch path, one task per block
@@ -190,17 +210,31 @@ class CDCStreamRunner:
                 self.decider.push(r.block_id, r.n_rows, r.summary)
             self._blocks_done = boundary // self.block_size
             frame = frame.where(F.col("seq") >= boundary)
-        self._tail_pdf = frame.toPandas()  # < block_size rows by construction
+            tail_start = boundary
+        # spill the (< block_size)-row tail executor-side; ping-pong paths
+        self._flip ^= 1
+        new_path = os.path.join(self._tail_dir, f"tail-{self._flip}")
+        frame.write.mode("overwrite").parquet(new_path)
+        self._tail_path = new_path
+        self._n_tail = int(hi + 1 - tail_start)
 
     def finalize(self) -> CDCStreamResult:
-        """EOF flush: the partial final block becomes a block (S3 parity)."""
-        if self._tail_pdf is not None and len(self._tail_pdf):
-            pdf = self._tail_pdf.sort_values("seq")
+        """EOF flush: the partial final block becomes a block (S3 parity).
+        The only time tail ROWS reach the driver — once, <= block_size."""
+        if self._n_tail and self._spark is not None:
+            pdf = (
+                self._spark.read.parquet(self._tail_path)
+                .toPandas()
+                .sort_values("seq")
+            )
             self.decider.push(
                 self._blocks_done, len(pdf), block_summary_np(pdf, self.attrs)
             )
             self._blocks_done += 1
-            self._tail_pdf = None
+            self._n_tail = 0
+        if self._own_tail_dir and self._tail_dir is not None:
+            shutil.rmtree(self._tail_dir, ignore_errors=True)
+            self._tail_dir = None
         return self.decider.finish()
 
 

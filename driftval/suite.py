@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from driftval.blocks import UNIFORM_ORDER_MAX, order_key
-from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore
+from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore, verdict_diff
 from driftval.checks import drift_cdcstream, drift_cdda
 from driftval.checks.fidelity import (
     fidelity_verdicts,
@@ -116,6 +116,15 @@ class SuiteConfig:
     ks_threshold: float | None = None
     emd_threshold: float | None = None
     outlier_rate_threshold: float | None = None
+    # Suite/catalog lock-step reports (VERDICT r3 #10; off by default so the
+    # headline suite cost is unchanged). When on, the catalog's dashboard
+    # queries also run INSIDE the suite — riding the single derived content
+    # pass — and land in the checkpoint's companion reports dataset:
+    # quality_report -> textops.source_quality_report per table partition;
+    # pack_ctx_len   -> packing.pack_stats per table partition.
+    quality_report: bool = False
+    pack_ctx_len: int | None = None
+    pack_buckets: int = 64
 
     @staticmethod
     def default_constraints() -> list[StatsConstraint]:
@@ -133,13 +142,17 @@ class SuiteConfig:
 
 LEN_COL = "_content_len"
 SHA_COL = "_content_sha"
+Q_TOKENS = "_q_tokens"
+Q_SCORE = "_q_score"
+Q_DIGEST = "_q_digest"
 
 
 def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
     """THE single pass over ``content``: every downstream stage (stats,
-    fidelity, histograms, drift features, lineage) reads this frame, which is
-    ~100x smaller than the raw table (length + sha instead of the body), so
-    ``content`` is scanned/decoded once and sha256 computed once per run."""
+    fidelity, histograms, drift features, lineage — and, when configured,
+    the quality/pack reports) reads this frame, which is ~100x smaller than
+    the raw table (length + sha instead of the body), so ``content`` is
+    scanned/decoded once and sha256 computed once per run."""
     extra = [c for c in {cfg.lang_col, cfg.path_col} if c not in cfg.key_cols]
     secret_cols = []
     if cfg.secret_patterns:
@@ -149,6 +162,19 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
             .alias(f"_sec_{i}")
             for i, n in enumerate(sorted(cfg.secret_patterns))
         ]
+    report_cols = []
+    if cfg.quality_report or cfg.pack_ctx_len:
+        # the SAME fused expressions the catalog's doc_quality /
+        # source_quality_report queries use — lock-step by construction
+        from driftval.textops import _quality_exprs
+
+        q = _quality_exprs(cfg.content_col)
+        report_cols.append(q["token_count"].alias(Q_TOKENS))
+        if cfg.quality_report:
+            report_cols.append(q["quality_score"].alias(Q_SCORE))
+            report_cols.append(
+                F.md5(F.col(cfg.content_col).cast("binary")).alias(Q_DIGEST)
+            )
     return files.select(
         F.col(cfg.partition_col),
         *[F.col(c) for c in cfg.key_cols],
@@ -156,6 +182,7 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
         F.length(F.col(cfg.content_col)).cast("long").alias(LEN_COL),
         F.sha2(F.col(cfg.content_col), 256).alias(SHA_COL),
         *secret_cols,
+        *report_cols,
     )
 
 
@@ -186,6 +213,71 @@ def secret_suite_verdicts(
         F.lit(0.0).alias("threshold"),
         F.col("_rows").cast("long").alias("violation_count"),
     )
+
+
+def _melt_report(
+    df: DataFrame, entity_col: str, kind: str, run_id: str
+) -> DataFrame:
+    """Wide numeric report frame -> the checkpoint store's long REPORT_SCHEMA
+    (one row per (entity, metric)); every non-entity column must be numeric."""
+    metrics = [c for c in df.columns if c != entity_col]
+    pairs = ", ".join(f"'{m}', cast(`{m}` as double)" for m in metrics)
+    return df.select(
+        F.col(entity_col).cast("string").alias("entity"),
+        F.expr(f"stack({len(metrics)}, {pairs}) as (metric, value_double)"),
+    ).select(
+        "entity",
+        "metric",
+        "value_double",
+        F.lit(None).cast("string").alias("value_str"),
+        F.lit(kind).alias("kind"),
+        F.lit(run_id).alias("run_id"),
+    )
+
+
+def _quality_report_frame(derived_pending: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """Per-table-partition quality dashboard — BIT-IDENTICAL to
+    ``textops.source_quality_report(files, source_col=partition_col,
+    high_quality_at=0.75)`` (pinned in test_suite_e2e), but aggregated from
+    the derived frame's ``_q_*`` columns so it costs one hash aggregate and
+    ZERO extra content scans."""
+    n = F.count(F.lit(1))
+    nd = F.count_distinct(F.col(Q_DIGEST))
+    return derived_pending.groupBy(
+        F.col(cfg.partition_col).cast("string").alias("source")
+    ).agg(
+        n.cast("long").alias("n_docs"),
+        F.sum(Q_TOKENS).cast("long").alias("total_tokens"),
+        F.sum(LEN_COL).cast("long").alias("total_chars"),
+        F.round(F.avg(Q_SCORE), 6).alias("mean_quality"),
+        F.round(
+            F.avg((F.col(Q_SCORE) >= F.lit(0.75)).cast("double")), 6
+        ).alias("high_quality_rate"),
+        nd.cast("long").alias("distinct_texts"),
+        F.round(F.lit(1.0) - nd.cast("double") / n, 6).alias("dup_frac"),
+    )
+
+
+def _pack_report_frame(derived_pending: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """Per-table-partition sequence-packing layout stats — the catalog's
+    ``pack_stats`` run per partition from the derived frame's token counts
+    (scoped plan: each partition packs as an independent layout, so rows are
+    stable under resume and comparable across runs)."""
+    from driftval.packing import pack_plan_from_counts, pack_stats
+
+    plan = pack_plan_from_counts(
+        derived_pending.select(
+            F.col(cfg.partition_col).cast("string").alias("partition_value"),
+            F.concat_ws("\x00", *[F.col(c) for c in cfg.key_cols]).alias("_pack_id"),
+            F.col(Q_TOKENS),
+        ),
+        "_pack_id",
+        Q_TOKENS,
+        ctx_len=cfg.pack_ctx_len,
+        n_buckets=cfg.pack_buckets,
+        scope_cols=("partition_value",),
+    )
+    return pack_stats(plan, cfg.pack_ctx_len, by=("partition_value",))
 
 
 def drift_features(derived: DataFrame, cfg: SuiteConfig) -> tuple[DataFrame, list[str]]:
@@ -492,11 +584,14 @@ def run_suite(
     completed_at: dt.datetime | None = None,
     partition_limit: int | None = None,
     violations_path: str | None = None,
+    diff_run_id: str | None = None,
 ) -> DataFrame:
     """One resumable validation pass; returns this run's full verdict frame.
 
     ``partition_limit`` processes only the first N pending partitions (used by
     the kill/resume e2e test to simulate an interrupted run).
+    ``diff_run_id`` writes a cross-run ``verdict_diff`` report (vs that
+    earlier run) into the checkpoint's companion reports dataset.
     """
     store = CheckpointStore(spark, checkpoint_path)
     pcol = cfg.partition_col
@@ -767,8 +862,26 @@ def run_suite(
         base_pdf["segment_end"] = base_pdf["segment_end"].astype("Int64")
         verdicts_pdf = pd.concat([verdicts_pdf, base_pdf], ignore_index=True)
 
+    # Lock-step reports (quality dashboard / pack layout) — built while
+    # ``derived`` is still cached, so they cost aggregates, not scans.
+    report_frames: list[DataFrame] = []
+    if cfg.quality_report and pending:
+        report_frames.append(
+            _melt_report(
+                _quality_report_frame(derived_pending, cfg), "source", "quality", run_id
+            )
+        )
+    if cfg.pack_ctx_len and pending:
+        report_frames.append(
+            _melt_report(
+                _pack_report_frame(derived_pending, cfg),
+                "partition_value",
+                "pack_stats",
+                run_id,
+            )
+        )
+
     # run metadata (lineage collected above, in parallel with the verdicts)
-    derived.unpersist()
     out = verdicts_pdf.merge(lineage, on="partition_value", how="left")
     out["run_id"] = run_id
     out["completed_at"] = pd.Timestamp(completed_at).tz_localize(None)
@@ -780,4 +893,28 @@ def run_suite(
     result = spark.createDataFrame(out[[f.name for f in CHECKPOINT_SCHEMA.fields]], CHECKPOINT_SCHEMA)
     with _timed("checkpoint-write"):
         store.write(result)
+
+    # Cross-run regression report: the catalog's verdict_diff, run in-suite
+    # against an earlier checkpointed run — O(partitions x checks) metadata.
+    if diff_run_id is not None:
+        this_run = store.read().where(F.col("run_id") == run_id)
+        prev_run = store.read().where(F.col("run_id") == diff_run_id)
+        diff = verdict_diff(prev_run, this_run)
+        report_frames.append(
+            diff.select(
+                F.col("partition_value").alias("entity"),
+                F.col("check_name").alias("metric"),
+                F.col("metric_delta").cast("double").alias("value_double"),
+                F.col("transition").alias("value_str"),
+                F.lit("verdict_diff").alias("kind"),
+                F.lit(run_id).alias("run_id"),
+            )
+        )
+    if report_frames:
+        reports = report_frames[0]
+        for f in report_frames[1:]:
+            reports = reports.unionByName(f)
+        with _timed("reports-write"):
+            store.write_reports(reports)
+    derived.unpersist()
     return store.read().where(F.col("run_id") == run_id)

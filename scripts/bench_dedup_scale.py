@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Dedup-family scale bench (VERDICT r3 #3): measure candidate/pair counts
+and wall time for the four near-dup operators at two corpus scales a decade
+apart, on a Spark-generated corpus with a CONTROLLED duplicate structure, and
+show growth is sub-quadratic (the shingled-banding scale claim, measured).
+
+Corpus (fully Spark-native, deterministic, no driver data):
+- ``n_orig`` = 90% original docs: ``words_per_doc`` words drawn from a SHARED
+  ``vocab_size``-word vocabulary by hash — the shared-vocabulary regime that
+  saturated unigram signatures in round 3 (every doc shares tokens with every
+  other doc; only shingle-level structure separates them);
+- 5% exact duplicates (copy of a hash-chosen parent);
+- 5% near duplicates (parent text + one appended marker word — Jaccard on
+  3-shingles ≈ (w-2)/(w+1) ≈ 0.95, well above every threshold used here).
+
+Planted pairs therefore grow LINEARLY in corpus size; an operator whose
+output or wall grows ~linearly between the two scales is candidate-bounded
+(banding works), one growing ~quadratically is doing an all-pairs somewhere.
+
+Writes BENCH/dedup_scale.json + BENCH/DEDUP_SCALE.md. Knobs:
+DRIFTVAL_DEDUP_SCALES="250000,2500000"  DRIFTVAL_DEDUP_CPUS=32
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def corpus(spark, n_docs: int, vocab_size: int = 5000, words_per_doc: int = 60):
+    """(doc_id, content) with the planted structure above; id space is dense
+    so every run at a given size is bit-identical."""
+    n_orig = (n_docs * 9) // 10
+    half_dup = n_orig + (n_docs - n_orig) // 2
+    df = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    parent = (
+        F.when(F.col("doc_id") < n_orig, F.col("doc_id"))
+        .otherwise(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(n_orig)))
+        .alias("parent")
+    )
+    df = df.select("doc_id", parent)
+    # parent's text: words_per_doc + (parent % 21) words, each "w{h}" with
+    # h = xxhash64(parent, position) % vocab — shared vocabulary by design
+    n_words = (F.lit(words_per_doc) + F.pmod(F.col("parent"), F.lit(21))).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda j: F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(F.col("parent"), j), F.lit(vocab_size))
+        ),
+    )
+    base = F.array_join(words, " ")
+    text = F.when(
+        F.col("doc_id") >= half_dup,  # near dup: one appended marker word
+        F.concat(base, F.lit(" zmarker"), F.pmod(F.col("doc_id"), F.lit(97))),
+    ).otherwise(base)
+    return df.select("doc_id", text.alias("content"))
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return out, round(time.monotonic() - t0, 2)
+
+
+def run_scale(spark, n_docs: int, workdir: str) -> dict:
+    from driftval import textops
+
+    path = os.path.join(workdir, f"corpus-{n_docs}")
+    corpus(spark, n_docs).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    out: dict = {"n_docs": n_docs}
+
+    caches = []
+    n_pairs, sec = timed(
+        lambda: textops.minhash_dup_pairs(
+            docs, "doc_id", "content", k=8, band_rows=2, n=3, caches=caches
+        ).count()
+    )
+    out["minhash_dup_pairs"] = {"pairs": n_pairs, "sec": sec}
+
+    n_pairs, sec = timed(
+        lambda: textops.simhash_dup_pairs(
+            docs, "doc_id", "content", bits=32, max_hamming=2, n=3, caches=caches
+        ).count()
+    )
+    out["simhash_dup_pairs"] = {"pairs": n_pairs, "sec": sec}
+
+    n_pairs, sec = timed(
+        lambda: textops.ngram_jaccard_pairs(
+            docs, "doc_id", "content", n=3, threshold=0.5, df_cap=200, caches=caches
+        ).count()
+    )
+    out["ngram_jaccard_pairs"] = {"pairs": n_pairs, "sec": sec}
+
+    # daily-ingest: index the corpus once (untimed), then match a 5%-sized
+    # new batch (half of it duplicating indexed docs) against it — the
+    # steady-state cost a production pipeline pays per day
+    idx_path = os.path.join(workdir, f"index-{n_docs}")
+    textops.minhash_index(docs, "doc_id", "content", k=8, n=3).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    n_batch = max(n_docs // 20, 10)
+    batch = corpus(spark, n_batch).select(
+        (F.col("doc_id") + F.lit(10 * n_docs)).alias("doc_id"), "content"
+    )
+    bpath = os.path.join(workdir, f"batch-{n_docs}")
+    batch.write.mode("overwrite").parquet(bpath)
+    batch = spark.read.parquet(bpath)
+    n_matches, sec = timed(
+        lambda: textops.dedup_against_index(
+            batch, index, "doc_id", "content", k=8, band_rows=2, n=3
+        ).count()
+    )
+    out["dedup_against_index"] = {
+        "batch_docs": n_batch, "matches": n_matches, "sec": sec,
+    }
+
+    for c in caches:
+        c.unpersist()
+    return out
+
+
+def main() -> None:
+    scales = [
+        int(s)
+        for s in os.environ.get(
+            "DRIFTVAL_DEDUP_SCALES", "250000,2500000"
+        ).split(",")
+    ]
+    cpus = int(os.environ.get("DRIFTVAL_DEDUP_CPUS", "32"))
+    from driftval.session import build_session
+
+    spark = build_session(
+        "dedup-scale", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="driftval-dedup-scale-")
+    try:
+        results = [run_scale(spark, n, workdir) for n in scales]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    record = {"scales": results, "cpus": cpus}
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"
+    )
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "dedup_scale.json"), "w") as fh:
+        json.dump(record, fh, indent=2)
+
+    lines = [
+        "# Dedup-family scale bench (sub-quadratic growth evidence)",
+        "",
+        "Generated by `scripts/bench_dedup_scale.py` (see its docstring for the",
+        "planted corpus construction — shared vocabulary, 5% exact + 5% near",
+        f"duplicates, so TRUE pairs grow linearly). local[{cpus}].",
+        "",
+        "| operator | " + " | ".join(f"{r['n_docs']:,} docs" for r in results)
+        + " | growth (pairs / wall) |",
+        "|---|" + "---|" * (len(results) + 1),
+    ]
+    ratio = results[-1]["n_docs"] / results[0]["n_docs"]
+    for op in (
+        "minhash_dup_pairs", "simhash_dup_pairs",
+        "ngram_jaccard_pairs", "dedup_against_index",
+    ):
+        cells = []
+        for r in results:
+            d = r[op]
+            cnt = d.get("pairs", d.get("matches"))
+            cells.append(f"{cnt:,} pairs, {d['sec']}s")
+        a, b = results[0][op], results[-1][op]
+        ca = a.get("pairs", a.get("matches")) or 1
+        cb = b.get("pairs", b.get("matches")) or 1
+        lines.append(
+            f"| {op} | " + " | ".join(cells)
+            + f" | ×{cb / ca:.1f} / ×{b['sec'] / max(a['sec'], 0.01):.1f}"
+            + f" (data ×{ratio:.0f}) |"
+        )
+    lines += [
+        "",
+        f"Corpus grows ×{ratio:.0f}; an operator is sub-quadratic when its",
+        "pair count and wall grow ≲ ×{:.0f} (quadratic would be ×{:.0f}).".format(
+            ratio, ratio * ratio
+        ),
+        "",
+        "```json",
+        json.dumps(record),
+        "```",
+    ]
+    with open(os.path.join(bench_dir, "DEDUP_SCALE.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps(record))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -423,3 +423,89 @@ def test_extra_satisfies_constraints(spark, files_sdf, dims, tmp_path_factory):
     assert len(sat) == n_parts and sat["passed"].all()
     # defaults still present alongside the extra rule
     assert (v["check_name"] == "null_rate:lang").sum() == n_parts
+
+
+def test_lockstep_reports_in_checkpoint_store(spark, files_sdf, dims, tmp_path_factory):
+    """VERDICT r3 #10 — suite/catalog lock-step: with the report flags on,
+    the catalog's dashboard queries (source_quality_report, pack_stats,
+    verdict_diff) run INSIDE the suite and land in the checkpoint's
+    companion reports dataset, numerically identical to running the catalog
+    queries standalone on the same data."""
+    from driftval.checkpoint import CheckpointStore
+    from driftval.packing import pack_sequences, pack_stats
+    from driftval.textops import source_quality_report
+
+    cfg_rep = SuiteConfig(
+        baseline_partitions=BASELINE, block_size=300,
+        quality_report=True, pack_ctx_len=128,
+    )
+    base = tmp_path_factory.mktemp("reports")
+    ckpt = str(base / "ckpt")
+    run_suite(
+        spark, files_sdf, cfg_rep, ckpt, run_id="ra",
+        dim_repos=dims[0], dim_commits=dims[1],
+    )
+    store = CheckpointStore(spark, ckpt)
+    rep = store.read_reports().toPandas()
+    assert set(rep[rep["run_id"] == "ra"]["kind"]) == {"quality", "pack_stats"}
+
+    # lock-step #1: quality rows == the catalog query run standalone
+    cat = source_quality_report(files_sdf, "part_date", "path", "content").toPandas()
+    q = (
+        rep[rep["kind"] == "quality"]
+        .pivot(index="entity", columns="metric", values="value_double")
+    )
+    assert set(q.index) == set(cat["source"])
+    for r in cat.itertuples():
+        for m in (
+            "n_docs", "total_tokens", "total_chars", "mean_quality",
+            "high_quality_rate", "distinct_texts", "dup_frac",
+        ):
+            assert q.loc[r.source, m] == pytest.approx(getattr(r, m)), (r.source, m)
+
+    # lock-step #2: pack rows for one partition == the catalog pack_stats
+    # run on that partition alone (same id construction, ctx_len, buckets)
+    one = files_sdf.where(F.col("part_date") == "2026-01-03").withColumn(
+        "_pack_id", F.concat_ws("\x00", "repo", "path", "commit")
+    )
+    ps = pack_stats(
+        pack_sequences(one, "_pack_id", "content", ctx_len=128, n_buckets=64), 128
+    ).toPandas().iloc[0]
+    p = (
+        rep[rep["kind"] == "pack_stats"]
+        .pivot(index="entity", columns="metric", values="value_double")
+    )
+    for m in ("n_docs", "n_buckets", "total_tokens", "n_packs", "fill_ratio", "split_docs"):
+        assert p.loc["2026-01-03", m] == pytest.approx(ps[m]), m
+
+    # second run with a planted regression + diff_run_id -> verdict_diff
+    # rows (and ONLY those: the quality/pack flags are off in this config)
+    planted = files_sdf.withColumn(
+        "lang",
+        F.when(
+            (F.col("part_date") == "2026-01-06")
+            & (F.pmod(F.hash("path"), F.lit(4)) == 0),
+            F.lit(None).cast("string"),
+        ).otherwise(F.col("lang")),
+    )
+    cfg_diff = SuiteConfig(baseline_partitions=BASELINE, block_size=300)
+    run_suite(
+        spark, planted, cfg_diff, ckpt, run_id="rb",
+        dim_repos=dims[0], dim_commits=dims[1], diff_run_id="ra",
+    )
+    rep2 = store.read_reports().toPandas()
+    rb = rep2[rep2["run_id"] == "rb"]
+    assert set(rb["kind"]) == {"verdict_diff"}
+    d = rb.set_index(["entity", "metric"])
+    assert d.loc[("2026-01-06", "null_rate:lang"), "value_str"] == "regressed"
+    assert d.loc[("2026-01-03", "null_rate:lang"), "value_str"] == "stable_pass"
+    # in-suite diff == the catalog verdict_diff on the same two runs
+    from driftval.checkpoint import verdict_diff as vd
+
+    cat_diff = vd(
+        store.read().where(F.col("run_id") == "ra"),
+        store.read().where(F.col("run_id") == "rb"),
+    ).toPandas().set_index(["partition_value", "check_name"])
+    assert len(cat_diff) == len(d)
+    for (e, m), row in d.iterrows():
+        assert cat_diff.loc[(e, m), "transition"] == row["value_str"]
