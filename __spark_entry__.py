@@ -1242,6 +1242,12 @@ def _simhash_terms(bits: int) -> str:
     )
 
 
+def _simhash_unit_hash(bits: int) -> str:
+    # mirrors textops.simhash's unit-hash rule: bits <= 31 keeps the
+    # historical 31-bit hash; wider signatures use the full 60-bit prefix
+    return _H31 if bits <= 31 else _H64
+
+
 def _simhash_sql(bits: int = 16, n: int = 1) -> str:
     terms = _simhash_terms(bits)
     return f"""
@@ -1250,7 +1256,7 @@ WITH tok AS (
 ), units AS (
   SELECT doc_id, {_units_sql(n)} AS ts FROM tok
 ), hashed AS (
-  SELECT doc_id, list_transform(ts, t -> {_H31}) AS hs FROM units
+  SELECT doc_id, list_transform(ts, t -> {_simhash_unit_hash(bits)}) AS hs FROM units
 )
 SELECT doc_id, ({terms})::BIGINT AS simhash FROM hashed
 """
@@ -1294,7 +1300,7 @@ WITH reps AS (
 ), units AS (
   SELECT _id, _g, {_units_sql(n)} AS ts FROM tok
 ), hashed AS (
-  SELECT _id, _g, list_transform(ts, t -> {_H31}) AS hs FROM units
+  SELECT _id, _g, list_transform(ts, t -> {_simhash_unit_hash(bits)}) AS hs FROM units
 ), sig AS (
   SELECT _id, _g, ({_simhash_terms(bits)})::BIGINT AS simhash FROM hashed
 ), bands AS (

@@ -235,6 +235,20 @@ def _melt_report(
     )
 
 
+def _diff_report_frame(store: CheckpointStore, run_id: str, diff_run_id: str) -> DataFrame:
+    """verdict_diff(prev, this) melted into the reports long format."""
+    this_run = store.read().where(F.col("run_id") == run_id)
+    prev_run = store.read().where(F.col("run_id") == diff_run_id)
+    return verdict_diff(prev_run, this_run).select(
+        F.col("partition_value").alias("entity"),
+        F.col("check_name").alias("metric"),
+        F.col("metric_delta").cast("double").alias("value_double"),
+        F.col("transition").alias("value_str"),
+        F.lit("verdict_diff").alias("kind"),
+        F.lit(run_id).alias("run_id"),
+    )
+
+
 def _quality_report_frame(derived_pending: DataFrame, cfg: SuiteConfig) -> DataFrame:
     """Per-table-partition quality dashboard — BIT-IDENTICAL to
     ``textops.source_quality_report(files, source_col=partition_col,
@@ -604,6 +618,10 @@ def run_suite(
     if partition_limit is not None:
         pending = pending[:partition_limit]
     if not pending:
+        # fully-resumed no-op pass: still honor a requested cross-run diff
+        # (the on-call asking "what changed vs run X?" on a completed run)
+        if diff_run_id is not None:
+            store.write_reports(_diff_report_frame(store, run_id, diff_run_id))
         return store.read().where(F.col("run_id") == run_id)
 
     pending_current = [p for p in pending if p not in cfg.baseline_partitions]
@@ -897,19 +915,7 @@ def run_suite(
     # Cross-run regression report: the catalog's verdict_diff, run in-suite
     # against an earlier checkpointed run — O(partitions x checks) metadata.
     if diff_run_id is not None:
-        this_run = store.read().where(F.col("run_id") == run_id)
-        prev_run = store.read().where(F.col("run_id") == diff_run_id)
-        diff = verdict_diff(prev_run, this_run)
-        report_frames.append(
-            diff.select(
-                F.col("partition_value").alias("entity"),
-                F.col("check_name").alias("metric"),
-                F.col("metric_delta").cast("double").alias("value_double"),
-                F.col("transition").alias("value_str"),
-                F.lit("verdict_diff").alias("kind"),
-                F.lit(run_id).alias("run_id"),
-            )
-        )
+        report_frames.append(_diff_report_frame(store, run_id, diff_run_id))
     if report_frames:
         reports = report_frames[0]
         for f in report_frames[1:]:

@@ -594,13 +594,26 @@ def simhash(
     Single pass over the unit array: md5 each unit ONCE into a materialized
     hash column, then fold all per-bit votes in one ``aggregate`` with an
     array accumulator (a naive per-bit loop re-hashes every unit ``bits``
-    times — 16× the md5 work; measured 40s → ~1s at sf0.1)."""
+    times — 16× the md5 work; measured 40s → ~1s at sf0.1).
+
+    ``bits`` may be up to 60: unit hashes are the 60-bit non-negative md5
+    prefix (:func:`token_hash64`), so every bit test, weight, and shift
+    stays inside signed-long range with no sign handling. For ``bits <=
+    31`` the historical 31-bit unit hash (``% MERSENNE_31``) is kept so
+    existing signatures/oracles are bit-identical."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     units = (
         F.array_distinct(tokens(F.col(text_col)))
         if n == 1
         else word_shingles(F.col(text_col), n)
     )
-    hashed = F.transform(units, lambda t: token_hash64(t) % MERSENNE_31)
+    unit_hash = (
+        (lambda t: token_hash64(t) % MERSENNE_31)
+        if bits <= 31
+        else token_hash64
+    )
+    hashed = F.transform(units, unit_hash)
     staged = df.select(F.col(id_col), hashed.alias("_hs"))
 
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
@@ -675,9 +688,15 @@ def simhash_dup_pairs(
     bucket occupancy is N / 2^(bits/(max_hamming+1)), and blocks narrower
     than log2(N) put whole swaths of the corpus into each bucket (measured
     here: 16-bit sigs over 5k texts → 5-6-bit blocks → ~1.2M candidate
-    pairs and 16s; 32-bit → 11-bit blocks → selective buckets and ~2s).
-    At larger N, raise ``bits`` (the fold is linear in bits) — 64 needs a
-    signed-long-safe weight fold, so 32 is the current ceiling.
+    pairs and 16s; 32-bit → 11-bit blocks → selective buckets and ~2s; and
+    at 2.5M docs 32-bit/3-block banding collapses to 2^11 buckets of ~10³
+    docs each — an ~11-billion-pair self-join that filled this sandbox's
+    disk, the failure BENCH/DEDUP_SCALE.md's harness surfaced). The
+    ceiling is ``bits=60`` (60-bit md5-prefix unit hashes keep every
+    bit op signed-long-safe); rule of thumb
+    ``bits ≈ (max_hamming+1) · log2(N)``, e.g. 60/3 → 20-bit blocks →
+    unit-occupancy buckets up to N ≈ 10⁶–10⁷ distinct texts, with
+    ``band_cap`` + :func:`simhash_band_overflow` bounding anything hotter.
 
     The signature frame is persisted (it feeds both band-join sides AND
     the two verify joins — unpersisted, the tokenize+md5+fold runs ~4×),

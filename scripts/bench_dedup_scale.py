@@ -84,9 +84,13 @@ def run_scale(spark, n_docs: int, workdir: str) -> dict:
     )
     out["minhash_dup_pairs"] = {"pairs": n_pairs, "sec": sec}
 
+    # bits=60: 20-bit pigeonhole blocks — sized for ~10^6-10^7 distinct
+    # texts per the occupancy rule in simhash_dup_pairs (32-bit/11-bit
+    # blocks collapse to quadratic buckets at this scale; this harness is
+    # what surfaced that, see the docstring there)
     n_pairs, sec = timed(
         lambda: textops.simhash_dup_pairs(
-            docs, "doc_id", "content", bits=32, max_hamming=2, n=3, caches=caches
+            docs, "doc_id", "content", bits=60, max_hamming=2, n=3, caches=caches
         ).count()
     )
     out["simhash_dup_pairs"] = {"pairs": n_pairs, "sec": sec}
@@ -137,16 +141,29 @@ def main() -> None:
     cpus = int(os.environ.get("DRIFTVAL_DEDUP_CPUS", "32"))
     from driftval.session import build_session
 
-    spark = build_session(
-        "dedup-scale", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
-    )
-    spark.sparkContext.setLogLevel("ERROR")
     import shutil
     import tempfile
 
     workdir = tempfile.mkdtemp(prefix="driftval-dedup-scale-")
+    # This harness keeps multi-GB shuffle outputs live across MANY heavy
+    # queries in one app; the engine's default RAM-backed scratch
+    # (/dev/shm) plus a 16g no-GC-pressure heap let released-but-uncleaned
+    # shuffle files accumulate until the box OOMs (observed: 106 GB).
+    # Disk-backed scratch + one SparkSession per scale (app teardown wipes
+    # its local dir) + a short periodic-GC interval keep the harness flat.
+    os.environ.setdefault("DRIFTVAL_LOCAL_DIR", os.path.join(workdir, "spark-local"))
     try:
-        results = [run_scale(spark, n, workdir) for n in scales]
+        results = []
+        for n in scales:
+            spark = build_session(
+                "dedup-scale",
+                master=f"local[{cpus}]",
+                shuffle_partitions=cpus * 2,
+                extra_conf={"spark.cleaner.periodicGC.interval": "1min"},
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            results.append(run_scale(spark, n, workdir))
+            spark.stop()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -201,7 +218,6 @@ def main() -> None:
     with open(os.path.join(bench_dir, "DEDUP_SCALE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps(record))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -28,18 +28,29 @@ def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet")
 
 
-def test_simhash_pairs_match_bruteforce(spark, docs):
+@pytest.mark.parametrize("bits", [16, 60])
+def test_simhash_pairs_match_bruteforce(spark, docs, bits):
+    # bits=60 exercises the full-width token_hash64 unit-hash path (the
+    # 10^6-10^7-doc scale setting per the occupancy rule in the docstring)
     got = {
         (r.id_a, r.id_b): r.hamming
-        for r in textops.simhash_dup_pairs(docs, "doc_id", "text", bits=16, max_hamming=2).collect()
+        for r in textops.simhash_dup_pairs(docs, "doc_id", "text", bits=bits, max_hamming=2).collect()
     }
-    sigs = {r.doc_id: r.simhash for r in textops.simhash(docs, "doc_id", "text", 16).collect()}
+    sigs = {r.doc_id: r.simhash for r in textops.simhash(docs, "doc_id", "text", bits).collect()}
+    assert all(0 <= s < (1 << bits) for s in sigs.values())
     want = {}
     for a, b in combinations(sorted(sigs), 2):
         h = bin(sigs[a] ^ sigs[b]).count("1")
         if h <= 2:
             want[(a, b)] = h
     assert got == want
+
+
+def test_simhash_bits_out_of_range_rejected(spark, docs):
+    with pytest.raises(ValueError):
+        textops.simhash(docs, "doc_id", "text", bits=61)
+    with pytest.raises(ValueError):
+        textops.simhash(docs, "doc_id", "text", bits=0)
 
 
 def test_simhash_band_cap_drops_hot_block_with_report(spark):

@@ -166,3 +166,49 @@ def test_suite_runs_over_pinned_snapshot(spark, root, tmp_path):
     )
     parts = {r.partition_value for r in verdicts.select("partition_value").distinct().collect()}
     assert parts == {"2026-01-01", "2026-01-02"}  # snapshot 2's partition absent
+
+
+def test_incremental_validation_across_snapshots(spark, root, tmp_path):
+    """Iceberg-style incremental validation for free: V13 resume composes
+    with snapshot pinning — validate snapshot 1 under a run_id, commit more
+    data, re-run the SAME run_id against snapshot 2: only the newly-added
+    partition is processed (completed partitions are anti-joined away and
+    partition pruning keeps their files unread)."""
+    from driftval.suite import SuiteConfig, run_suite
+
+    snaptable.commit_append(
+        spark,
+        root,
+        _files(spark, ["2026-01-01", "2026-01-02"], ["py", "go"]),
+        ["part_date"],
+    )
+    cfg = SuiteConfig(baseline_partitions=["2026-01-01"], block_size=2)
+    ckpt = str(tmp_path / "ckpt")
+    v1 = run_suite(
+        spark,
+        read_files_table(spark, snapshot_root=root),
+        cfg,
+        ckpt,
+        run_id="inc",
+    ).toPandas()
+    assert set(v1["partition_value"]) == {"2026-01-01", "2026-01-02"}
+
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-03"], ["py", "go"], start=40), ["part_date"]
+    )
+    # same run_id, latest snapshot: only the new partition is pending
+    v2 = run_suite(
+        spark,
+        read_files_table(spark, snapshot_root=root),
+        cfg,
+        ckpt,
+        run_id="inc",
+        partition_limit=99,
+    ).toPandas()
+    assert set(v2["partition_value"]) == {"2026-01-01", "2026-01-02", "2026-01-03"}
+    # the first run's verdict rows are untouched (same completed_at batch,
+    # idempotent store): counts per partition equal across runs
+    n1 = v1.groupby("partition_value").size()
+    n2 = v2.groupby("partition_value").size()
+    for p in ("2026-01-01", "2026-01-02"):
+        assert n1[p] == n2[p]

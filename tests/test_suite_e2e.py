@@ -509,3 +509,14 @@ def test_lockstep_reports_in_checkpoint_store(spark, files_sdf, dims, tmp_path_f
     assert len(cat_diff) == len(d)
     for (e, m), row in d.iterrows():
         assert cat_diff.loc[(e, m), "transition"] == row["value_str"]
+
+    # fully-resumed no-op pass with diff_run_id still honors the diff ask
+    # (the on-call re-running "what changed?" on a completed run) and the
+    # per-(run, kind) overwrite keeps it idempotent
+    run_suite(
+        spark, planted, cfg_diff, ckpt, run_id="rb",
+        dim_repos=dims[0], dim_commits=dims[1], diff_run_id="ra",
+    )
+    rep3 = store.read_reports().toPandas()
+    rb3 = rep3[(rep3["run_id"] == "rb") & (rep3["kind"] == "verdict_diff")]
+    assert len(rb3) == len(d)
