@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Independent memory-bus ceiling measurement (VERDICT r3 #8).
+
+BENCH/MULTIPROC.md attributes the suite's sub-0.8 core-count scaling ON THIS
+ONE BOX to a shared-DRAM bandwidth ceiling (all "executors" share one memory
+bus, unlike a real 4N-executor scale-out). This script measures that ceiling
+directly, with NO Spark and NO engine code: a STREAM-style Copy kernel
+(``numpy.copyto`` over cache-busting 256 MiB arrays) run in K independent
+processes, barrier-aligned, time-boxed. If aggregate GB/s saturates well
+below K× the single-process number, the bus — not the engine — caps
+multi-worker throughput, which is exactly the decomposition the scaling
+note relies on.
+
+Bytes are counted STREAM-Copy style (16 bytes/element: one read + one
+write; write-allocate traffic not counted), so the absolute GB/s is
+comparable to published STREAM numbers for the host class.
+
+Writes BENCH/membw.json and prints one JSON line. Knobs:
+DRIFTVAL_MEMBW_WORKERS="1,2,4,8,16,24,32"  DRIFTVAL_MEMBW_SECONDS=4
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import time
+
+ELEMS = 1 << 25  # 256 MiB per array, 512 MiB per worker — far beyond LLC
+
+
+def _worker(barrier, seconds: float, out_q) -> None:
+    import numpy as np
+
+    src = np.ones(ELEMS, dtype=np.float64)
+    dst = np.zeros(ELEMS, dtype=np.float64)
+    np.copyto(dst, src)  # touch both arrays (page-fault before timing)
+    barrier.wait()
+    t0 = time.monotonic()
+    reps = 0
+    while time.monotonic() - t0 < seconds:
+        np.copyto(dst, src)
+        reps += 1
+    dt = time.monotonic() - t0
+    out_q.put((reps * ELEMS * 16, dt))
+
+
+def _measure_once(n_workers: int, seconds: float) -> float:
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(n_workers)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_worker, args=(barrier, seconds, q))
+        for _ in range(n_workers)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get() for _ in range(n_workers)]
+    for p in procs:
+        p.join()
+    total_bytes = sum(b for b, _ in results)
+    wall = max(dt for _, dt in results)
+    return total_bytes / wall / 1e9
+
+
+def measure(n_workers: int, seconds: float, trials: int = 3) -> dict:
+    """Best-of-N trials: this is a shared VM with bursty neighbor load and
+    slow hypervisor page re-faulting, so single trials swing 2-3x; the MAX
+    across trials is the defensible estimate of what the bus can deliver
+    (any trial's aggregate is a rate the hardware actually sustained)."""
+    best = max(_measure_once(n_workers, seconds) for _ in range(trials))
+    return {
+        "workers": n_workers,
+        "aggregate_gbps": round(best, 2),
+        "per_worker_gbps": round(best / n_workers, 2),
+    }
+
+
+def main() -> None:
+    workers = [
+        int(w)
+        for w in os.environ.get(
+            "DRIFTVAL_MEMBW_WORKERS", "1,2,4,8,16,24,32"
+        ).split(",")
+    ]
+    seconds = float(os.environ.get("DRIFTVAL_MEMBW_SECONDS", "4"))
+    rows = [measure(w, seconds) for w in workers]
+    one = rows[0]["aggregate_gbps"]
+    for r in rows:
+        r["scaling_vs_1"] = round(r["aggregate_gbps"] / one, 2)
+    record = {"kernel": "stream-copy numpy 256MiB", "rows": rows}
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"
+    )
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "membw.json"), "w") as fh:
+        json.dump(record, fh, indent=2)
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()
