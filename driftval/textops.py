@@ -1451,6 +1451,66 @@ def topk_ngrams(
     return counts.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc()).limit(k)
 
 
+def _parquet_prefix_shape(
+    df: DataFrame, text_col: str, n: int, probe_docs: int, sketch_size: int
+) -> list[int] | None:
+    """Driver-side distribution probe for :func:`topk_ngrams_sketched`:
+    shingle doc-frequency counts (descending, at most ``sketch_size``) over
+    the first ``probe_docs`` rows of ONE parquet data file backing ``df``,
+    read with pyarrow — zero Spark jobs, I/O bounded by the probed prefix's
+    row groups. Returns ``None`` when ``df`` is not parquet-file-backed (or
+    anything about the direct read fails) so the caller can fall back to a
+    Spark-side probe. Mirrors :func:`tokens`/:func:`word_shingles`
+    semantics (lowercase, ``\\s+`` split, distinct n-word joins) — close
+    enough for a ROUTING heuristic; exactness never depends on it."""
+    try:
+        files = sorted(f for f in df.inputFiles() if f.endswith(".parquet"))
+        if not files:
+            return None
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        ws = re.compile(r"\s+")
+        counts: Counter = Counter()
+        seen = 0
+        # walk files until the prefix is filled — a task-per-partition
+        # writer leaves EMPTY part files, so one file is not guaranteed
+        # to carry any rows
+        for path in files:
+            if seen >= probe_docs:
+                break
+            if path.startswith("file://"):
+                path = path[7:]
+            elif path.startswith("file:"):
+                path = path[5:]
+            pf = pq.ParquetFile(path)
+            if text_col not in pf.schema_arrow.names:
+                return None
+            for batch in pf.iter_batches(
+                batch_size=min(probe_docs, 1024), columns=[text_col]
+            ):
+                for t in batch.column(0).to_pylist():
+                    if t is None:
+                        continue
+                    toks = [w for w in ws.split(t.lower()) if w]
+                    counts.update(
+                        {
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        }
+                    )
+                    seen += 1
+                    if seen >= probe_docs:
+                        break
+                if seen >= probe_docs:
+                    break
+        return [c for _, c in counts.most_common(sketch_size)]
+    except Exception:
+        return None
+
+
 def topk_ngrams_sketched(
     df: DataFrame,
     id_col: str,
@@ -1459,10 +1519,9 @@ def topk_ngrams_sketched(
     k: int = 20,
     sketch_size: int = 4096,
     diag: dict | None = None,
-    probe_fraction: float = 0.02,
+    probe_docs: int = 2048,
     probe_margin: float = 8.0,
     probe_min_units: int = 2000,
-    seed: int = 17,
 ) -> DataFrame:
     """EXACT global top-``k`` n-grams with BOUNDED shuffle — the census to
     run when :func:`topk_ngrams`' full ``groupBy`` shuffle (every distinct
@@ -1500,46 +1559,68 @@ def topk_ngrams_sketched(
     Gries '82; the PODS'23 MG-sketch line) adapted to exact two-pass form.
 
     SKEW PRE-PROBE (round 4, closes the fallback double-pay): before paying
-    pass 1, a ``probe_fraction`` uniform sample of the exploded shingles is
-    censused JVM-side (one tiny shuffle + ``TakeOrderedAndProject``) and the
-    sample's k-th count is compared to its rank-``sketch_size`` tail count.
+    pass 1, the first ``probe_docs`` documents are shingle-censused and the
+    probe's k-th count is compared to its rank-``sketch_size`` tail count.
     A flat distribution (k-th < ``probe_margin`` × tail) is exactly the
     regime where the rigorous ``total_err < kth_lb`` guard trips, so the
     operator routes straight to :func:`topk_ngrams` — flat-corpus cost is
-    probe + census (≈1.05× the plain census) instead of the old
-    sketch-then-census double-pay. The probe is a ROUTING heuristic only:
-    exactness never depends on it (the sketch path keeps its proof, and the
-    census is exact by construction). Probes on samples smaller than
-    ``probe_min_units`` shingles are ignored (everything is cheap at that
-    size); ``probe_fraction=0`` disables the probe entirely."""
+    probe + census instead of the old sketch-then-census double-pay. When
+    the frame is parquet-file-backed the probe never launches a Spark job
+    at all: the driver reads the first ``probe_docs`` rows of ONE data
+    file's ``text_col`` column with pyarrow and counts shingles in-process
+    (O(probe row-groups) I/O — at any corpus size the probe is bounded by
+    probe_docs, not the corpus, and skips Spark's per-job scheduling
+    latency, which at small scale costs more than the plain census). Other
+    sources pay a bounded Spark probe (``LocalLimit`` — scan tasks stop
+    pulling after at most ``probe_docs`` rows each). The probe is a ROUTING
+    heuristic only: exactness never depends on it (the sketch path keeps
+    its proof, and the census is exact by construction), so its prefix
+    bias — skew hiding entirely outside the probed prefix routes to the
+    plain census — costs shuffle width, never correctness. Probes on
+    samples smaller than ``probe_min_units`` shingles are ignored
+    (everything is cheap at that size); ``probe_docs=0`` disables the
+    probe entirely."""
     from pyspark import TaskContext
 
     units = _spread(df.select(id_col, text_col)).select(
         F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
     )
 
-    if probe_fraction > 0:
-        # sample DOCUMENTS, not exploded shingles — the probe then scans
-        # (and explodes) only probe_fraction of the text, and since
-        # word_shingles is per-doc distinct, doc sampling is the natural
-        # unit for a document-frequency shape estimate anyway
-        probe = (
-            df.select(text_col)
-            .sample(fraction=probe_fraction, seed=seed)
-            .select(F.explode(word_shingles(F.col(text_col), n)).alias("ngram"))
-            .groupBy("ngram")
-            .agg(F.count("*").cast("long").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("ngram").asc())
-            .limit(sketch_size)
-            .collect()
-        )
-        sampled_units = sum(int(r["c"]) for r in probe)
+    if probe_docs > 0:
+        # probe DOCUMENTS, not exploded shingles — word_shingles is
+        # per-doc distinct, so docs are the natural unit for a
+        # document-frequency shape estimate
+        plist = _parquet_prefix_shape(df, text_col, n, probe_docs, sketch_size)
+        if plist is None:
+            # non-parquet source: bounded Spark probe. The GlobalLimit
+            # lands the probe rows in ONE partition; respread them (a
+            # shuffle of <= probe_docs rows) so the shingling+census is
+            # parallel instead of a single-thread tail on the probe job
+            plist = [
+                int(r["c"])
+                for r in (
+                    df.select(text_col)
+                    .limit(probe_docs)
+                    .repartition(df.sparkSession.sparkContext.defaultParallelism)
+                    .select(
+                        F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
+                    )
+                    .groupBy("ngram")
+                    .agg(F.count("*").cast("long").alias("c"))
+                    .orderBy(F.col("c").desc(), F.col("ngram").asc())
+                    .limit(sketch_size)
+                    .collect()
+                )
+            ]
+        elif diag is not None:
+            diag.update(probe_driver_side=True)
+        sampled_units = sum(plist)
         # trust the probe only when the sample saw enough shingles to
         # estimate shape (a truncated result list implies a big sample too)
-        trusted = sampled_units >= probe_min_units or len(probe) == sketch_size
-        if trusted and len(probe) >= k:
-            kth_p = int(probe[k - 1]["c"])
-            tail_p = int(probe[-1]["c"]) if len(probe) == sketch_size else 0
+        trusted = sampled_units >= probe_min_units or len(plist) == sketch_size
+        if trusted and len(plist) >= k:
+            kth_p = plist[k - 1]
+            tail_p = plist[-1] if len(plist) == sketch_size else 0
             if diag is not None:
                 diag.update(probe_kth=kth_p, probe_tail=tail_p)
             if tail_p > 0 and kth_p < probe_margin * tail_p:

@@ -339,7 +339,7 @@ def test_topk_sketched_probe_routes_flat_corpus(spark):
         (r["ngram"], r["doc_freq"])
         for r in textops.topk_ngrams_sketched(
             flat, "doc_id", "text", n=3, k=5, sketch_size=64,
-            probe_fraction=0.5, probe_min_units=100, diag=diag,
+            probe_docs=5000, probe_min_units=100, diag=diag,
         ).collect()
     ]
     assert got == exact
@@ -353,7 +353,51 @@ def test_topk_sketched_probe_routes_flat_corpus(spark):
     sdiag = {}
     sgot = textops.topk_ngrams_sketched(
         sk, "doc_id", "text", n=3, k=5, sketch_size=64,
-        probe_fraction=0.5, probe_min_units=100, diag=sdiag,
+        probe_docs=5000, probe_min_units=100, diag=sdiag,
     ).collect()
     assert sdiag.get("probed_flat") is None and sdiag["fallback"] is False
     assert all(r["doc_freq"] == 400 for r in sgot)
+
+
+def test_topk_sketched_probe_is_driver_side_on_parquet(spark, tmp_path):
+    """On a parquet-backed frame the pre-probe reads the file prefix with
+    pyarrow on the driver (probe_driver_side) — NO Spark probe job — and
+    both its flat and skewed routings agree with the Spark-probe path's on
+    the same data. The probe shape helper itself must mirror
+    tokens/word_shingles (distinct per doc, lowercase, \\s+ split)."""
+    from driftval.textops import _parquet_prefix_shape
+
+    rows = [(i, f"a{i} b{i} c{i} d{i} e{i} f{i}") for i in range(3000)]
+    flat = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "flat.parquet")
+    flat.write.parquet(p)
+    fdf = spark.read.parquet(p)
+
+    exact = [
+        (r["ngram"], r["doc_freq"])
+        for r in textops.topk_ngrams(fdf, "doc_id", "text", n=3, k=5).collect()
+    ]
+    diag = {}
+    got = [
+        (r["ngram"], r["doc_freq"])
+        for r in textops.topk_ngrams_sketched(
+            fdf, "doc_id", "text", n=3, k=5, sketch_size=64,
+            probe_docs=5000, probe_min_units=100, diag=diag,
+        ).collect()
+    ]
+    assert got == exact
+    assert diag.get("probe_driver_side") is True
+    assert diag.get("probed_flat") is True and diag["fallback"] is True
+
+    # shape helper semantics: per-doc DISTINCT shingles, case-folded —
+    # "A b c a b c" has 3 distinct trigrams, each counted once
+    one = spark.createDataFrame([(1, "A b c a b c")], "doc_id long, text string")
+    pp = str(tmp_path / "one.parquet")
+    one.write.parquet(pp)
+    shape = _parquet_prefix_shape(
+        spark.read.parquet(pp), "text", 3, probe_docs=10, sketch_size=64
+    )
+    assert shape == [1, 1, 1]
+
+    # non-file-backed frame -> None (caller falls back to the Spark probe)
+    assert _parquet_prefix_shape(one, "text", 3, 10, 64) is None
