@@ -1008,6 +1008,53 @@ def q_secret_scan_documents(spark, sf_dir):
     )
 
 
+def _license_augmented(spark, sf_dir):
+    """documents with deterministic license headers planted on doc_id % 7
+    in {0..4} (SPDX tag, Apache phrase, GPL-2.0 notice, MIT grant, an
+    all-rights-reserved marker) — the synthetic corpus carries no licenses,
+    so the injection exercises SPDX extraction, phrase precedence, and all
+    three family buckets on nonzero data; the oracle injects identically."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    hdr = (
+        F.when(m == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(m == 1, F.lit("/* Licensed under the Apache License, Version 2.0 */\n"))
+        .when(
+            m == 2,
+            F.lit(
+                "// GNU General Public License as published by the Free "
+                "Software Foundation; either version 2\n"
+            ),
+        )
+        .when(m == 3, F.lit("# Permission is hereby granted, free of charge\n"))
+        .when(m == 4, F.lit("// Copyright. All Rights Reserved.\n"))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id", "source", F.concat(hdr, F.col("text")).alias("text")
+    )
+
+
+def q_license_scan_documents(spark, sf_dir):
+    """Per-file license classification (driftval/checks/licenses.py) —
+    header-bounded SPDX tag + phrase precedence, one fused projection."""
+    from driftval.checks import licenses
+
+    return licenses.license_scan(
+        _license_augmented(spark, sf_dir), ["doc_id"], "text"
+    )
+
+
+def q_license_census_documents(spark, sf_dir):
+    """Per-source license census with exact in-group shares — the
+    compliance dashboard a corpus-mixing planner consumes."""
+    from driftval.checks import licenses
+
+    return licenses.license_census(
+        _license_augmented(spark, sf_dir), "source", "text"
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals. The synthetic corpus has
     no newlines, so line structure is synthesized portably first (every
@@ -1098,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # original order.
     return {
         # --- rotation front: entries without a driver-side green row yet ---
+        "license_scan_documents": q_license_scan_documents,
+        "license_census_documents": q_license_census_documents,
         "knn_graph": q_knn_graph,
         "semantic_dedup": q_semantic_dedup,
         "knn_ivf": q_knn_ivf,
@@ -1592,7 +1641,43 @@ def _bucket_sql(n_planes: int, plane_offset: int = 0) -> str:
     )
 
 
+def _license_sql_parts() -> tuple[str, str, str]:
+    """(aug CTE, license CASE expr over column h, family CASE expr over
+    column license) for the license oracles — generated from the SAME
+    phrase/family tables the Spark operator uses (driftval/checks/
+    licenses.py), so the twin cannot drift from the implementation."""
+    from driftval.checks.licenses import COPYLEFT, PERMISSIVE, SPDX_RE, _PHRASES
+
+    aug = """
+  SELECT doc_id, source,
+         CASE doc_id % 7
+           WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+           WHEN 1 THEN '/* Licensed under the Apache License, Version 2.0 */' || chr(10)
+           WHEN 2 THEN '// GNU General Public License as published by the Free Software Foundation; either version 2' || chr(10)
+           WHEN 3 THEN '# Permission is hereby granted, free of charge' || chr(10)
+           WHEN 4 THEN '// Copyright. All Rights Reserved.' || chr(10)
+           ELSE '' END || text AS text
+  FROM documents
+"""
+    whens = "\n           ".join(
+        f"WHEN strpos(h, '{phrase}') > 0 THEN '{lic}'" for lic, phrase in _PHRASES
+    )
+    lic_case = f"""CASE WHEN regexp_extract(h, '{SPDX_RE}', 1) <> ''
+             THEN 'spdx:' || regexp_extract(h, '{SPDX_RE}', 1)
+           {whens}
+           ELSE 'none' END"""
+    perm = sorted(PERMISSIVE) + sorted("spdx:" + p.lower() for p in PERMISSIVE)
+    copy = sorted(COPYLEFT) + sorted("spdx:" + c.lower() for c in COPYLEFT)
+    in_perm = ", ".join(f"'{x}'" for x in perm)
+    in_copy = ", ".join(f"'{x}'" for x in copy)
+    fam_case = f"""CASE WHEN license IN ({in_perm}) THEN 'permissive'
+           WHEN license IN ({in_copy}) THEN 'copyleft'
+           ELSE 'unknown' END"""
+    return aug, lic_case, fam_case
+
+
 def oracle_sql() -> dict[str, str]:
+    lic_aug, lic_case, lic_fam = _license_sql_parts()
     cdda_melt = """
   SELECT (event_id // 500) AS b, 'a0' AS attr, event_type AS value FROM events
   UNION ALL
@@ -2610,6 +2695,36 @@ WITH aug AS (
 SELECT source, secret_type, count(*)::BIGINT AS n_docs,
        sum(n_matches)::BIGINT AS total_matches
 FROM counts WHERE n_matches >= 1 GROUP BY 1, 2
+""",
+        "license_scan_documents": f"""
+WITH aug AS ({lic_aug}),
+hdr AS (
+  SELECT doc_id, lower(substring(text, 1, 4096)) AS h FROM aug
+),
+lic AS (
+  SELECT doc_id, {lic_case} AS license FROM hdr
+)
+SELECT doc_id, license, {lic_fam} AS license_family FROM lic
+""",
+        "license_census_documents": f"""
+WITH aug AS ({lic_aug}),
+hdr AS (
+  SELECT source, lower(substring(text, 1, 4096)) AS h FROM aug
+),
+lic AS (
+  SELECT source, {lic_case} AS license FROM hdr
+),
+fam AS (
+  SELECT source, license, {lic_fam} AS license_family FROM lic
+),
+census AS (
+  SELECT source, license, license_family, count(*)::BIGINT AS n_files
+  FROM fam GROUP BY 1, 2, 3
+),
+tot AS (SELECT source, sum(n_files) AS _t FROM census GROUP BY 1)
+SELECT c.source, c.license, c.license_family, c.n_files,
+       round(c.n_files / t._t, 8) AS pct
+FROM census c JOIN tot t USING (source)
 """,
         "repetition_signals": """
 WITH src AS (

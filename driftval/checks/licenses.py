@@ -1,0 +1,162 @@
+"""License detection over source-code content (training-data compliance).
+
+A training-data pipeline over code corpora (BASELINE.json: tables of
+``(repo, path, commit, lang, content)``) must know each file's license
+before the file can be kept, mixed, or released: copyleft (GPL/AGPL)
+contaminates derived corpora, unknown-license files need review, and
+permissive buckets (MIT/BSD/Apache) are the usual keep-set. This module
+classifies files by their license HEADER — the modern ``SPDX-License-
+Identifier:`` tag when present, else the classic license-text phrases —
+and aggregates per-repo / per-partition censuses.
+
+Detection is deliberately header-bounded and phrase-anchored (the same
+high-precision signals public scanners like licensee/askalono key on
+first): a bounded ``substring`` of the content is lowercased ONCE, the
+SPDX tag is extracted with one anchored regex, and the phrase tests are
+plain substring containment — all JVM-side in one fused projection, no
+Python in the row path, no shuffle until the optional census groupBy.
+Precedence is fixed and documented (SPDX tag wins; then the phrase list
+in `_PHRASES` order, most-specific first), so results are deterministic
+and the DuckDB oracle twin can reproduce them with the same CASE chain.
+
+Scale shape: O(rows) map over a bounded header slice (default 4 KiB);
+the census shuffles only (group, license) pairs. At 10^12 files the scan
+rides whatever content pass already runs (the suite fuses it into its
+single derived-content projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# SPDX tag: the id charset per the SPDX spec (letters, digits, .-+)
+SPDX_RE = r"spdx-license-identifier:\s*([a-z0-9.+-]+)"
+
+# (license_id, lowercase phrase) — FIRST MATCH WINS, most-specific first.
+# Phrases are distinctive fragments of the canonical license texts/notices;
+# plain substrings so Spark and any SQL oracle agree byte-for-byte.
+_PHRASES: list[tuple[str, str]] = [
+    ("AGPL-3.0", "gnu affero general public license"),
+    ("LGPL-2.1", "gnu lesser general public license"),
+    ("GPL-3.0", "gnu general public license as published by the free software foundation, either version 3"),
+    ("GPL-2.0", "gnu general public license as published by the free software foundation; either version 2"),
+    ("GPL", "gnu general public license"),
+    ("Apache-2.0", "apache license, version 2.0"),
+    ("Apache-2.0", "licensed under the apache license"),
+    ("MPL-2.0", "mozilla public license"),
+    ("MIT", "permission is hereby granted, free of charge"),
+    ("MIT", "mit license"),
+    ("BSD", "redistribution and use in source and binary forms"),
+    ("ISC", "permission to use, copy, modify, and/or distribute this software"),
+    ("Unlicense", "this is free and unencumbered software"),
+    ("CC0-1.0", "cc0 1.0 universal"),
+    ("NOASSERTION", "all rights reserved"),
+]
+
+PERMISSIVE = {"MIT", "BSD", "ISC", "Apache-2.0", "Unlicense", "CC0-1.0", "MPL-2.0"}
+COPYLEFT = {"GPL", "GPL-2.0", "GPL-3.0", "AGPL-3.0", "LGPL-2.1"}
+
+
+def license_expr(text: Column, header_chars: int = 4096) -> Column:
+    """The license id for one content column — a single fused expression.
+
+    SPDX tag (normalized to the raw lowercase id, e.g. ``mit``,
+    ``apache-2.0``) wins outright; otherwise the first `_PHRASES` hit;
+    otherwise ``none``. Bounded: only the first ``header_chars`` characters
+    are inspected, so the expression's cost is independent of file size.
+    """
+    header = F.lower(F.substring(text, 1, header_chars))
+    spdx = F.regexp_extract(header, SPDX_RE, 1)
+    out = F.lit("none")
+    for lic, phrase in reversed(_PHRASES):
+        out = F.when(F.instr(header, phrase) > 0, F.lit(lic)).otherwise(out)
+    return F.when(spdx != "", F.concat(F.lit("spdx:"), spdx)).otherwise(out)
+
+
+def license_family_expr(lic: Column) -> Column:
+    """Bucket a license id for mixing policy: ``permissive`` / ``copyleft``
+    / ``unknown`` (SPDX ids by their normalized lowercase form;
+    unrecognized SPDX ids and ``none``/``NOASSERTION`` are ``unknown`` —
+    review, don't assume)."""
+    perm = sorted(PERMISSIVE) + sorted("spdx:" + p.lower() for p in PERMISSIVE)
+    copy = sorted(COPYLEFT) + sorted("spdx:" + c.lower() for c in COPYLEFT)
+    return (
+        F.when(lic.isin(perm), F.lit("permissive"))
+        .when(lic.isin(copy), F.lit("copyleft"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def license_scan(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    header_chars: int = 4096,
+) -> DataFrame:
+    """Per-file classification: ``(*id_cols, license, license_family)``."""
+    lic = license_expr(F.col(text_col), header_chars)
+    return df.select(
+        *id_cols,
+        lic.alias("license"),
+        license_family_expr(lic).alias("license_family"),
+    )
+
+
+def license_census(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    header_chars: int = 4096,
+) -> DataFrame:
+    """Per-group license census: ``(group, license, license_family,
+    n_files, pct)`` — the dashboard a mixing/quota planner consumes. One
+    groupBy over (group, license) pairs; pct is exact within each group
+    (a second tiny aggregate over the census itself, never the corpus).
+    """
+    scan = license_scan(df, [group_col], text_col, header_chars)
+    census = scan.groupBy(group_col, "license", "license_family").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    totals = census.groupBy(group_col).agg(
+        F.sum("n_files").alias("_total")
+    )
+    return (
+        census.join(F.broadcast(totals), group_col)
+        .select(
+            group_col,
+            "license",
+            "license_family",
+            "n_files",
+            F.round(F.col("n_files") / F.col("_total"), 8).alias("pct"),
+        )
+    )
+
+
+def license_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    text_col: str,
+    forbidden_families: tuple[str, ...] = ("copyleft",),
+    header_chars: int = 4096,
+) -> DataFrame:
+    """Per-partition verdict rows, shaped like the secrets check: a
+    partition FAILS when it contains files from a forbidden family
+    (default: copyleft — the family that contaminates a permissive
+    release). Zero-hit partitions emit no row (absence == pass, the
+    suite's referential/secrets contract)."""
+    scan = license_scan(df, [partition_col], text_col, header_chars)
+    return (
+        scan.where(F.col("license_family").isin(list(forbidden_families)))
+        .groupBy(
+            F.col(partition_col).cast("string").alias("partition_value"),
+            "license",
+        )
+        .agg(F.count(F.lit(1)).alias("violation_count"))
+        .select(
+            "partition_value",
+            F.concat(F.lit("license:"), F.col("license")).alias("check_name"),
+            F.lit(False).alias("passed"),
+            "violation_count",
+        )
+    )

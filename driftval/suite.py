@@ -106,6 +106,13 @@ class SuiteConfig:
     # patterns). None = off (default; the scan rides the single derived
     # content pass, so enabling it adds regexp work but NO extra table scan).
     secret_patterns: dict[str, str] | None = None
+    # License compliance (driftval.checks.licenses). None = off (default).
+    # A tuple of forbidden families — e.g. ("copyleft",) or ("copyleft",
+    # "unknown") for a strict permissive-only release — turns it on: the
+    # header-bounded license family rides the single derived content pass
+    # as one fused CASE column, and each partition gets a per-family
+    # verdict row that FAILS when the partition holds forbidden files.
+    license_forbidden: tuple[str, ...] | None = None
     # Optional drift/outlier companions (None = off, the default — verdicts
     # and thresholds appear only when configured, so the headline suite cost
     # is unchanged): PSI + Jensen-Shannon on the same smoothed histograms as
@@ -145,6 +152,7 @@ SHA_COL = "_content_sha"
 Q_TOKENS = "_q_tokens"
 Q_SCORE = "_q_score"
 Q_DIGEST = "_q_digest"
+LIC_FAMILY = "_lic_family"
 
 
 def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
@@ -161,6 +169,15 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
             .cast("long")
             .alias(f"_sec_{i}")
             for i, n in enumerate(sorted(cfg.secret_patterns))
+        ]
+    lic_cols = []
+    if cfg.license_forbidden:
+        from driftval.checks.licenses import license_expr, license_family_expr
+
+        lic_cols = [
+            license_family_expr(license_expr(F.col(cfg.content_col))).alias(
+                LIC_FAMILY
+            )
         ]
     report_cols = []
     if cfg.quality_report or cfg.pack_ctx_len:
@@ -182,6 +199,7 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
         F.length(F.col(cfg.content_col)).cast("long").alias(LEN_COL),
         F.sha2(F.col(cfg.content_col), 256).alias(SHA_COL),
         *secret_cols,
+        *lic_cols,
         *report_cols,
     )
 
@@ -205,6 +223,36 @@ def secret_suite_verdicts(
     return agg.select(
         "partition_value",
         F.expr(f"stack({len(names)}, {pairs}) as (check_name, _rows)"),
+    ).select(
+        "partition_value",
+        "check_name",
+        (F.col("_rows") == 0).alias("passed"),
+        F.col("_rows").cast("double").alias("metric"),
+        F.lit(0.0).alias("threshold"),
+        F.col("_rows").cast("long").alias("violation_count"),
+    )
+
+
+def license_suite_verdicts(
+    derived_pending: DataFrame, cfg: SuiteConfig
+) -> DataFrame:
+    """Per-partition license-compliance verdicts from the ``_lic_family``
+    column the derived pass already computed — one row per (partition,
+    forbidden family), INCLUDING passes (violation_count 0), mirroring the
+    secrets check's complete pass/fail matrix. metric = offending-row
+    count; threshold 0 (any forbidden-family file fails the partition)."""
+    fams = sorted(cfg.license_forbidden or ())
+    pv = F.col(cfg.partition_col).cast("string").alias("partition_value")
+    agg = derived_pending.groupBy(pv).agg(
+        *[
+            F.sum((F.col(LIC_FAMILY) == f).cast("long")).alias(f"_lic_{i}")
+            for i, f in enumerate(fams)
+        ]
+    )
+    pairs = ", ".join(f"'license:{f}', _lic_{i}" for i, f in enumerate(fams))
+    return agg.select(
+        "partition_value",
+        F.expr(f"stack({len(fams)}, {pairs}) as (check_name, _rows)"),
     ).select(
         "partition_value",
         "check_name",
@@ -525,6 +573,18 @@ def _write_violation_rows(
                 )
             )
 
+    if cfg.license_forbidden:
+        # offending rows per forbidden family, from the family column the
+        # derived pass already carries — pushed-down filter, output ∝ hits
+        for fam in sorted(cfg.license_forbidden):
+            frames.append(
+                shape(
+                    derived_pending.where(F.col(LIC_FAMILY) == fam),
+                    f"license:{fam}",
+                    F.col(LIC_FAMILY),
+                )
+            )
+
     if cfg.outlier_rate_threshold is not None:
         # the length-outlier check is row-localizable (unlike the
         # distribution-level drift checks): emit each offending row with its
@@ -654,6 +714,9 @@ def run_suite(
 
     if cfg.secret_patterns:
         frames.append(secret_suite_verdicts(derived_pending, cfg))
+
+    if cfg.license_forbidden:
+        frames.append(license_suite_verdicts(derived_pending, cfg))
 
     # V5 — duplicates are judged table-wide but attributed per partition;
     # key columns only (column pruning keeps content out of this shuffle).

@@ -1,0 +1,77 @@
+"""License detection: SPDX precedence, phrase order, families, census,
+per-partition verdicts. Routing contract: SPDX tag wins outright; then the
+FIRST matching `_PHRASES` entry; detection only reads the bounded header."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval.checks import licenses
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    rows = [
+        # SPDX tag beats a conflicting phrase in the same header
+        (1, "r1", "// SPDX-License-Identifier: Apache-2.0\n// MIT License\ncode"),
+        (2, "r1", "/* Licensed under the Apache License, Version 2.0 */ x=1"),
+        (3, "r1", "# Permission is hereby granted, free of charge, to any person"),
+        # GPL-2.0 full notice must NOT be swallowed by the generic GPL row
+        (4, "r2", "GNU General Public License as published by the Free Software Foundation; either version 2"),
+        (5, "r2", "This file is under the GNU General Public License."),
+        (6, "r2", "THE GNU AFFERO GENERAL PUBLIC LICENSE applies."),
+        (7, "r2", "Copyright 2024 MegaCorp. All Rights Reserved."),
+        (8, "r3", "plain code, no license text at all"),
+        # license text beyond the header bound must NOT be seen
+        (9, "r3", (" " * 5000) + "MIT License"),
+    ]
+    return spark.createDataFrame(rows, "fid long, repo string, content string")
+
+
+def test_license_scan_precedence_and_bound(spark, files):
+    got = {
+        r["fid"]: (r["license"], r["license_family"])
+        for r in licenses.license_scan(files, ["fid"], "content").collect()
+    }
+    assert got[1] == ("spdx:apache-2.0", "permissive")  # SPDX wins over MIT phrase
+    assert got[2] == ("Apache-2.0", "permissive")
+    assert got[3] == ("MIT", "permissive")
+    assert got[4] == ("GPL-2.0", "copyleft")  # specific v2 notice, not bare GPL
+    assert got[5] == ("GPL", "copyleft")
+    assert got[6] == ("AGPL-3.0", "copyleft")  # affero before generic gpl
+    assert got[7] == ("NOASSERTION", "unknown")
+    assert got[8] == ("none", "unknown")
+    assert got[9] == ("none", "unknown")  # beyond the 4096-char header
+
+
+def test_license_census_counts_and_shares(spark, files):
+    rows = {
+        (r["repo"], r["license"]): (r["n_files"], r["pct"])
+        for r in licenses.license_census(files, "repo", "content").collect()
+    }
+    assert rows[("r1", "spdx:apache-2.0")] == (1, round(1 / 3, 8))
+    assert rows[("r1", "Apache-2.0")] == (1, round(1 / 3, 8))
+    assert rows[("r2", "GPL-2.0")] == (1, 0.25)
+    assert rows[("r3", "none")] == (2, 1.0)
+    # shares sum to 1 within every group
+    for repo in ("r1", "r2", "r3"):
+        assert sum(p for (g, _), (_, p) in rows.items() if g == repo) == pytest.approx(1.0)
+
+
+def test_license_verdicts_fail_only_forbidden(spark, files):
+    v = licenses.license_verdicts(files, "repo", "content").collect()
+    got = {(r["partition_value"], r["check_name"]): r["violation_count"] for r in v}
+    # r2 holds the three copyleft files; r1/r3 emit nothing (absence == pass)
+    assert got == {
+        ("r2", "license:GPL-2.0"): 1,
+        ("r2", "license:GPL"): 1,
+        ("r2", "license:AGPL-3.0"): 1,
+    }
+    assert all(r["passed"] is False for r in v)
+
+
+def test_license_scan_plan_is_single_projection(spark, files):
+    """No shuffle in the scan: the plan is scan -> project, nothing else."""
+    plan = licenses.license_scan(files, ["fid"], "content")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -324,6 +324,63 @@ def test_secret_scan_in_suite(spark, files_sdf, dims, tmp_path_factory):
     assert (rows["detail"] == "1").all()  # one match per planted row
 
 
+def test_license_check_in_suite(spark, files_sdf, dims, tmp_path_factory):
+    """Config-gated license compliance: plant GPL notices in one partition's
+    content; that (partition, license:copyleft) verdict fails with the right
+    count, every other partition passes, and the offending rows land in the
+    violations dataset. Defaults keep the check off entirely."""
+    planted = files_sdf.withColumn(
+        "content",
+        F.when(
+            (F.col("part_date") == "2026-01-05") & (F.col("path").endswith("1.py")),
+            F.concat(
+                F.lit("// GNU General Public License v3\n"), F.col("content")
+            ),
+        ).otherwise(F.col("content")),
+    )
+    n_planted = planted.where(
+        F.col("content").contains("GNU General Public License")
+    ).count()
+    assert n_planted > 0
+
+    cfg = SuiteConfig(
+        baseline_partitions=BASELINE,
+        block_size=300,
+        license_forbidden=("copyleft",),
+    )
+    base = tmp_path_factory.mktemp("license-suite")
+    v = run_suite(
+        spark, planted, cfg, str(base / "ckpt"), run_id="rl",
+        dim_repos=dims[0], dim_commits=dims[1],
+        violations_path=str(base / "viol"),
+    ).toPandas()
+
+    lic = v[v["check_name"].str.startswith("license:")]
+    # complete matrix: every partition has a copyleft verdict row
+    assert len(lic) == v["partition_value"].nunique()
+    hit = lic[lic["partition_value"] == "2026-01-05"].iloc[0]
+    assert not hit.passed and hit.violation_count == n_planted
+    assert lic[lic["partition_value"] != "2026-01-05"]["passed"].all()
+
+    rows = (
+        spark.read.parquet(str(base / "viol"))
+        .where(F.col("check_name") == "license:copyleft")
+        .toPandas()
+    )
+    assert len(rows) == n_planted
+    assert set(rows["partition_value"]) == {"2026-01-05"}
+    assert (rows["detail"] == "copyleft").all()
+
+    # defaults: no license verdicts at all
+    v0 = run_suite(
+        spark, files_sdf,
+        SuiteConfig(baseline_partitions=BASELINE, block_size=300),
+        str(base / "ckpt0"), run_id="rl0",
+        dim_repos=dims[0], dim_commits=dims[1],
+    ).toPandas()
+    assert not v0["check_name"].str.startswith("license:").any()
+
+
 def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
     """Config-gated PSI/JS + KS + robust-outlier verdicts: plant a partition
     whose content lengths blow up; ks/outliers flag IT, the drift companions
