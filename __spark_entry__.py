@@ -1055,6 +1055,42 @@ def q_license_census_documents(spark, sf_dir):
     )
 
 
+def _code_augmented(spark, sf_dir):
+    """documents with line structure synthesized (' data ' -> newline, the
+    q_repetition_signals trick) and an auto-generated marker planted on
+    doc_id % 13 == 0, so the code-filter signals measure nonzero line
+    stats, comment fractions, and autogen drops; the oracle injects
+    identically."""
+    d = _t(spark, sf_dir, "documents")
+    body = F.replace(F.col("text"), F.lit(" data "), F.lit("\n"))
+    hdr = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.lit("// generated by tool. do not edit.\n"),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", "lang", F.concat(hdr, body).alias("content")
+    )
+
+
+def q_code_filter_signals(spark, sf_dir):
+    """StarCoder-style per-file code filter signals + keep verdict
+    (driftval/codestats.py) — one fused projection, zero shuffle."""
+    from driftval import codestats
+
+    return codestats.code_filter_signals(
+        _code_augmented(spark, sf_dir), ["doc_id"], "content"
+    )
+
+
+def q_code_filter_report(spark, sf_dir):
+    """Per-lang filter dashboard: survival rate and why. One aggregate."""
+    from driftval import codestats
+
+    return codestats.code_filter_report(
+        _code_augmented(spark, sf_dir), "lang", "content"
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals. The synthetic corpus has
     no newlines, so line structure is synthesized portably first (every
@@ -1147,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotation front: entries without a driver-side green row yet ---
         "license_scan_documents": q_license_scan_documents,
         "license_census_documents": q_license_census_documents,
+        "code_filter_signals": q_code_filter_signals,
+        "code_filter_report": q_code_filter_report,
         "knn_graph": q_knn_graph,
         "semantic_dedup": q_semantic_dedup,
         "knn_ivf": q_knn_ivf,
@@ -1676,8 +1714,44 @@ def _license_sql_parts() -> tuple[str, str, str]:
     return aug, lic_case, fam_case
 
 
+def _codestats_sql_parts() -> tuple[str, str]:
+    """(aug CTE, sig CTE body) for the code-filter oracles — the comment
+    prefixes and autogen markers come from the SAME constants the Spark
+    operator uses (driftval/codestats.py)."""
+    from driftval.codestats import AUTOGEN_MARKERS, COMMENT_PREFIXES
+
+    aug = """
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 13 = 0
+              THEN '// generated by tool. do not edit.' || chr(10)
+              ELSE '' END || replace(text, ' data ', chr(10)) AS c
+  FROM documents
+"""
+    prefix_or = " OR ".join(
+        f"starts_with(ltrim(x), '{p}')" for p in COMMENT_PREFIXES
+    )
+    autogen_or = " OR ".join(
+        f"strpos(lower(substring(c, 1, 512)), '{m}') > 0" for m in AUTOGEN_MARKERS
+    )
+    sig = f"""
+  SELECT doc_id, lang,
+         len(string_split(c, chr(10)))::BIGINT AS n_lines,
+         list_max(list_transform(string_split(c, chr(10)), x -> length(x)))::BIGINT AS max_line_len,
+         round(length(c)::DOUBLE / len(string_split(c, chr(10))), 8) AS avg_line_len,
+         round(CASE WHEN length(c) > 0
+               THEN length(regexp_replace(c, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / length(c)
+               ELSE 0.0 END, 8) AS alnum_frac,
+         round(len(list_filter(string_split(c, chr(10)), x -> {prefix_or}))::DOUBLE
+               / len(string_split(c, chr(10))), 8) AS comment_frac,
+         ({autogen_or}) AS autogen
+  FROM aug
+"""
+    return aug, sig
+
+
 def oracle_sql() -> dict[str, str]:
     lic_aug, lic_case, lic_fam = _license_sql_parts()
+    code_aug, code_sig = _codestats_sql_parts()
     cdda_melt = """
   SELECT (event_id // 500) AS b, 'a0' AS attr, event_type AS value FROM events
   UNION ALL
@@ -2725,6 +2799,32 @@ tot AS (SELECT source, sum(n_files) AS _t FROM census GROUP BY 1)
 SELECT c.source, c.license, c.license_family, c.n_files,
        round(c.n_files / t._t, 8) AS pct
 FROM census c JOIN tot t USING (source)
+""",
+        "code_filter_signals": f"""
+WITH aug AS ({code_aug}),
+sig AS ({code_sig})
+SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
+       comment_frac, autogen,
+       (avg_line_len <= 100.0 AND max_line_len <= 1000
+        AND alnum_frac >= 0.25 AND NOT autogen) AS keep
+FROM sig
+""",
+        "code_filter_report": f"""
+WITH aug AS ({code_aug}),
+sig AS ({code_sig}),
+v AS (
+  SELECT lang, alnum_frac, comment_frac, autogen,
+         (avg_line_len <= 100.0 AND max_line_len <= 1000
+          AND alnum_frac >= 0.25 AND NOT autogen) AS keep
+  FROM sig
+)
+SELECT lang, count(*)::BIGINT AS n_files,
+       sum(keep::INT)::BIGINT AS n_keep,
+       round(avg(keep::INT::DOUBLE), 8) AS keep_rate,
+       sum(autogen::INT)::BIGINT AS n_autogen,
+       round(avg(alnum_frac), 8) AS avg_alnum_frac,
+       round(avg(comment_frac), 8) AS avg_comment_frac
+FROM v GROUP BY lang
 """,
         "repetition_signals": """
 WITH src AS (
