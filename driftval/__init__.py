@@ -18,9 +18,14 @@ re-expressed Spark-first per SURVEY.md:
 - checkpoint/resume with per-partition lineage
 - training-data utilities: dedup (exact/minhash/simhash-hamming/ngram-jaccard,
   connected components + quality-ranked canonical selection, cross-document
-  boilerplate-line removal), embedding similarity search (brute-force / LSH /
-  multi-probe IVF), text quality/langid/token stats, unigram-LM scoring,
-  deterministic + stratified sampling, decontamination
+  boilerplate-line removal, incremental dedup against a persistent MinHash
+  index), embedding similarity search (brute-force / LSH / multi-probe IVF),
+  text quality/langid/token stats, unigram-LM scoring, deterministic +
+  stratified sampling, decontamination, license compliance (SPDX + phrase
+  detection, forbidden-family verdicts), StarCoder-style code-filter signals,
+  sequence packing, PII redaction, multimodal columns with real BMP/WAV codecs
+- Iceberg-style snapshot tables (pinned reads, manifest pruning, spec
+  evolution) for incremental validation
 - Structured Streaming forms: foreachBatch CDCStream, stateful CDDA, windowed
   constraints + histogram drift, watermarked exact dedup
 
