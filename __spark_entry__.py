@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from driftval import multimodal, packing, pii, repodedup, sampling, simsearch, textops
@@ -1091,6 +1091,128 @@ def q_code_filter_report(spark, sf_dir):
     )
 
 
+def _clone_augmented(spark, sf_dir):
+    """(doc_id, lang, content) code table for the clone-detection family
+    (driftval/clonedetect.py): documents with line structure synthesized,
+    a code lang assigned by doc_id % 5, per-lang import headers planted
+    (m = doc_id % 23 modules), and two deterministic clone layouts:
+
+    * doc_id % 11 == 0 — the whole body is a shared snippet keyed by
+      g2 = (doc_id div 11) % 17 plus a per-doc comment line, so files in
+      the same g2 group are byte-different but IDENTICAL after comment
+      normalization (the normalized-dedup target).
+    * else, doc_id % 7 == 0 — a ~220-char shared code region keyed by
+      g = (doc_id div 7) % 97 is prepended to the document's own body,
+      so same-g files are partial clones (the fingerprint-pair target).
+
+    All content is built from ||/md5/CASE over doc_id, so the DuckDB twin
+    (_clone_aug_sql) reproduces it byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def _md5(prefix: str, g) -> Column:
+        return F.md5(F.concat(F.lit(prefix), g.cast("string")).cast("binary"))
+
+    lang = (
+        F.when(did % 5 == 0, F.lit("python"))
+        .when(did % 5 == 1, F.lit("java"))
+        .when(did % 5 == 2, F.lit("go"))
+        .when(did % 5 == 3, F.lit("js"))
+        .otherwise(F.lit("c"))
+    )
+    m = (did % 23).cast("string")
+    m7 = ((did % 23) % 7).cast("string")
+    imports = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("import mod_"), m, F.lit("\nfrom pkg_"), m7,
+                F.lit(" import thing\n"),
+            ),
+        )
+        .when(did % 5 == 1, F.concat(F.lit("import com.example.mod_"), m, F.lit(";\n")))
+        .when(did % 5 == 2, F.concat(F.lit('import "example.com/mod_'), m, F.lit('"\n')))
+        .when(did % 5 == 3, F.concat(F.lit('const x = require("mod_'), m, F.lit('");\n')))
+        .otherwise(F.concat(F.lit("#include <mod_"), m, F.lit(".h>\n")))
+    )
+    doccmt = F.concat(F.lit("// doc "), did.cast("string"), F.lit("\n"))
+    body = F.replace(F.col("text"), F.lit(" data "), F.lit("\n"))
+    g = F.expr("(doc_id div 7) % 97")
+    snippet = F.concat(
+        F.lit("long clone_"), g.cast("string"), F.lit("() { return 0x"),
+        _md5("clone_", g), _md5("body_", g), _md5("tail_", g),
+        _md5("more_", g), _md5("end_", g), _md5("fin_", g),
+        F.lit("; }\n"),
+    )
+    g2 = F.expr("(doc_id div 11) % 17")
+    normbody = F.concat(
+        F.lit("static long NORM_"), g2.cast("string"), F.lit(" = 0x"),
+        _md5("norm_", g2), F.lit(";\n// note "), did.cast("string"), F.lit("\n"),
+    )
+    content = (
+        F.when(did % 11 == 0, normbody)
+        .when(did % 7 == 0, F.concat(imports, doccmt, snippet, body))
+        .otherwise(F.concat(imports, doccmt, body))
+    )
+    return d.select("doc_id", lang.alias("lang"), content.alias("content"))
+
+
+def q_normalized_code_dedup(spark, sf_dir):
+    """Comment/whitespace-insensitive exact dedup (driftval/clonedetect.py):
+    one digest-only hash-groupBy over the normalized body — catches license-
+    header rewrites and reformatting that byte-exact dedup misses."""
+    from driftval import clonedetect
+
+    return clonedetect.normalized_dedup_groups(
+        _clone_augmented(spark, sf_dir), "doc_id", "content"
+    )
+
+
+def q_code_fingerprints(spark, sf_dir):
+    """Winnowing-baseline 0-mod-p k-gram fingerprints (Schleimer et al.
+    2003) over normalized code — the corpus-wide clone index, a 1/p sample
+    of the corpus by construction."""
+    from driftval import clonedetect
+
+    return clonedetect.code_fingerprints(
+        _clone_augmented(spark, sf_dir), "doc_id", "content", k=16, p=8
+    )
+
+
+def q_clone_pairs(spark, sf_dir):
+    """Cross-file clone pairs from the fingerprint inverted index: df-capped
+    equi-join (worst bucket df_cap², never corpus²), shared-count aggregate,
+    MOSS-style containment vs the smaller file."""
+    from driftval import clonedetect
+
+    return clonedetect.clone_pairs(
+        _clone_augmented(spark, sf_dir), "doc_id", "content",
+        k=16, p=8, min_shared=3, df_cap=64,
+    )
+
+
+def q_clone_fp_overflow(spark, sf_dir):
+    """The fingerprints clone_pairs excluded (df > cap): boilerplate grams,
+    reported so the cap is never silent truncation."""
+    from driftval import clonedetect
+
+    return clonedetect.clone_fingerprint_overflow(
+        _clone_augmented(spark, sf_dir), "doc_id", "content",
+        k=16, p=8, df_cap=64,
+    )
+
+
+def q_import_census(spark, sf_dir):
+    """Per-(lang, module) import popularity: lang-dispatched
+    regexp_extract_all, explode, two-level aggregate — a word-count at
+    corpus scale, shuffling short strings only."""
+    from driftval import clonedetect
+
+    return clonedetect.import_census(
+        _clone_augmented(spark, sf_dir), "doc_id", "lang", "content"
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals. The synthetic corpus has
     no newlines, so line structure is synthesized portably first (every
@@ -1218,6 +1340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_rows_lang": q_violation_rows_lang,
         "violation_rows_uniqueness": q_violation_rows_uniqueness,
         "media_resize": q_media_resize,  # new in round 4 (real BMP codec)
+        # --- new in round 4: code clone-detection family ---
+        "normalized_code_dedup": q_normalized_code_dedup,
+        "code_fingerprints": q_code_fingerprints,
+        "clone_pairs": q_clone_pairs,
+        "clone_fp_overflow": q_clone_fp_overflow,
+        "import_census": q_import_census,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -1749,9 +1877,98 @@ def _codestats_sql_parts() -> tuple[str, str]:
     return aug, sig
 
 
+def _clone_sql_parts() -> tuple[str, str, str]:
+    """(aug CTE body, normalizer expr over column ``c``, fingerprint-list
+    expr over column ``nm``) for the clone-detection oracles — the comment
+    regexes, k, and p come from the SAME module the Spark operators use
+    (driftval/clonedetect.py), so the twins cannot drift apart."""
+    from driftval.clonedetect import (
+        BLOCK_COMMENT_RE,
+        LINE_COMMENT_RE,
+        WHITESPACE_RE,
+    )
+
+    aug = """
+  SELECT doc_id, lang,
+         CASE
+           WHEN doc_id % 11 = 0 THEN
+             'static long NORM_' || g2 || ' = 0x' || md5('norm_' || g2)
+             || ';' || chr(10) || '// note ' || doc_id::VARCHAR || chr(10)
+           WHEN doc_id % 7 = 0 THEN imports || cmt || snippet || body
+           ELSE imports || cmt || body
+         END AS c
+  FROM (
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'python' WHEN 1 THEN 'java'
+                WHEN 2 THEN 'go' WHEN 3 THEN 'js' ELSE 'c' END AS lang,
+           CASE doc_id % 5
+             WHEN 0 THEN 'import mod_' || m || chr(10)
+                         || 'from pkg_' || m7 || ' import thing' || chr(10)
+             WHEN 1 THEN 'import com.example.mod_' || m || ';' || chr(10)
+             WHEN 2 THEN 'import "example.com/mod_' || m || '"' || chr(10)
+             WHEN 3 THEN 'const x = require("mod_' || m || '");' || chr(10)
+             ELSE '#include <mod_' || m || '.h>' || chr(10)
+           END AS imports,
+           '// doc ' || doc_id::VARCHAR || chr(10) AS cmt,
+           'long clone_' || g || '() { return 0x'
+             || md5('clone_' || g) || md5('body_' || g) || md5('tail_' || g)
+             || md5('more_' || g) || md5('end_' || g) || md5('fin_' || g)
+             || '; }' || chr(10) AS snippet,
+           replace(text, ' data ', chr(10)) AS body,
+           g2
+    FROM (
+      SELECT *, (doc_id % 23)::VARCHAR AS m,
+             ((doc_id % 23) % 7)::VARCHAR AS m7,
+             ((doc_id // 7) % 97)::VARCHAR AS g,
+             ((doc_id // 11) % 17)::VARCHAR AS g2
+      FROM documents
+    )
+  )
+"""
+    norm = (
+        f"trim(regexp_replace(regexp_replace(regexp_replace(c, "
+        f"'{BLOCK_COMMENT_RE}', ' ', 'g'), "
+        f"'{LINE_COMMENT_RE}', '', 'g'), "
+        f"'{WHITESPACE_RE}', ' ', 'g'))"
+    )
+    fpl = (
+        "list_distinct(list_filter(list_transform("
+        "range(1, greatest(len(nm) - 14, 1)), "
+        "i -> ('0x' || substr(md5(substr(nm, i::INT, 16)), 1, 15))::BIGINT), "
+        "h -> h % 8 = 0))"
+    )
+    return aug, norm, fpl
+
+
+def _import_census_sql(aug: str) -> str:
+    from driftval.clonedetect import IMPORT_PATTERNS
+
+    branches = "\n      ".join(
+        f"WHEN '{lang}' THEN regexp_extract_all(c, '{pat.replace(chr(39), chr(39) * 2)}', 1)"
+        for lang, pat in IMPORT_PATTERNS.items()
+    )
+    return f"""
+WITH aug AS ({aug}),
+ex AS (
+  SELECT doc_id, lang,
+    CASE lang
+      {branches}
+      ELSE []::VARCHAR[] END AS mods
+  FROM aug
+), e AS (
+  SELECT doc_id, lang, unnest(mods) AS module FROM ex
+), pf AS (
+  SELECT lang, module, doc_id, count(*) AS n FROM e GROUP BY 1, 2, 3
+)
+SELECT lang, module, count(*)::BIGINT AS n_files, sum(n)::BIGINT AS n_imports
+FROM pf GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lic_aug, lic_case, lic_fam = _license_sql_parts()
     code_aug, code_sig = _codestats_sql_parts()
+    clone_aug, clone_norm, clone_fpl = _clone_sql_parts()
     cdda_melt = """
   SELECT (event_id // 500) AS b, 'a0' AS attr, event_type AS value FROM events
   UNION ALL
@@ -2826,6 +3043,41 @@ SELECT lang, count(*)::BIGINT AS n_files,
        round(avg(comment_frac), 8) AS avg_comment_frac
 FROM v GROUP BY lang
 """,
+        "normalized_code_dedup": f"""
+WITH aug AS ({clone_aug}),
+n AS (SELECT doc_id, md5({clone_norm}) AS norm_md5 FROM aug)
+SELECT norm_md5, count(*)::BIGINT AS n_files, min(doc_id)::BIGINT AS min_id
+FROM n GROUP BY 1 HAVING count(*) >= 2
+""",
+        "code_fingerprints": f"""
+WITH aug AS ({clone_aug}),
+norm AS (SELECT doc_id, {clone_norm} AS nm FROM aug)
+SELECT doc_id, unnest({clone_fpl}) AS fingerprint FROM norm
+""",
+        "clone_pairs": f"""
+WITH aug AS ({clone_aug}),
+norm AS (SELECT doc_id, {clone_norm} AS nm FROM aug),
+fps AS (SELECT doc_id, unnest({clone_fpl}) AS fp FROM norm),
+cnt AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY 1),
+dfq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+cold AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfq USING (fp) WHERE df <= 64),
+sh AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT id_a, id_b, shared_fps,
+       round(shared_fps::DOUBLE / least(ca.nfp, cb.nfp), 8) AS containment
+FROM sh JOIN cnt ca ON ca.doc_id = sh.id_a JOIN cnt cb ON cb.doc_id = sh.id_b
+""",
+        "clone_fp_overflow": f"""
+WITH aug AS ({clone_aug}),
+norm AS (SELECT doc_id, {clone_norm} AS nm FROM aug),
+fps AS (SELECT doc_id, unnest({clone_fpl}) AS fp FROM norm)
+SELECT fp AS fingerprint, count(*)::BIGINT AS doc_freq
+FROM fps GROUP BY 1 HAVING count(*) > 64
+""",
+        "import_census": _import_census_sql(clone_aug),
         "repetition_signals": """
 WITH src AS (
   SELECT doc_id, replace(text, ' data ', chr(10)) AS text FROM documents

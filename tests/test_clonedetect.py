@@ -1,0 +1,158 @@
+"""Clone-detection family (driftval/clonedetect.py): normalizer semantics,
+fingerprint position-independence, planted clone pairs, df-cap reporting,
+and the import census."""
+
+from pyspark.sql import functions as F
+
+from driftval import clonedetect
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, content string")
+
+
+SHARED_REGION = (
+    "long shared_region() { int acc = 0; for (int i = 0; i < 64; i++) "
+    "{ acc += i * 31 + (acc >> 3); } return acc * 2654435761; }"
+)
+
+
+def test_normalizer_strips_comments_and_whitespace(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "c", "int x = 1; /* block\n comment */ int y = 2; // tail\n"),
+            (2, "c", "int  x =\t1;\n\nint y  = 2;  # other comment"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", clonedetect.normalized_code(F.col("content")).alias("n")
+        ).collect()
+    }
+    assert out[1] == "int x = 1; int y = 2;"
+    assert out[2] == "int x = 1; int y = 2;"
+
+
+def test_block_comment_with_embedded_slash_star(spark):
+    # the lookahead-free regex must handle '*' runs and '/' inside the body
+    df = _docs(spark, [(1, "c", "a /* x ** y / z ***/ b")])
+    got = df.select(
+        clonedetect.normalized_code(F.col("content")).alias("n")
+    ).collect()[0]["n"]
+    assert got == "a b"
+
+
+def test_normalized_dedup_groups_comment_variants(spark):
+    body = "def f(x):\n    return x + 1\n"
+    df = _docs(
+        spark,
+        [
+            (1, "python", "# written by alice\n" + body),
+            (2, "python", "# rewritten by bob\n\n" + body),
+            (3, "python", "def g(y):\n    return y - 1\n"),
+        ],
+    )
+    groups = clonedetect.normalized_dedup_groups(df, "doc_id", "content").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_files"] == 2
+    assert groups[0]["min_id"] == 1
+
+
+def test_fingerprints_position_independent(spark):
+    # the same region at different offsets selects the same fingerprints
+    df = _docs(
+        spark,
+        [
+            (1, "c", "int a = 1;\n" + SHARED_REGION),
+            (2, "c", SHARED_REGION + "\nlong tail_fn() { return 7; }"),
+        ],
+    )
+    fps = clonedetect.code_fingerprints(df, "doc_id", "content", k=16, p=4)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fingerprint").alias("fps"))
+        .collect()
+    }
+    shared = by_doc[1] & by_doc[2]
+    # every fingerprint of the shared region (minus boundary grams) is in both
+    assert len(shared) >= 3
+
+
+def test_clone_pairs_finds_planted_clone(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "c", "int a = 1;\n" + SHARED_REGION),
+            (2, "c", SHARED_REGION + "\nlong tail_fn() { return 7; }"),
+            (3, "c", "static char unrelated_buffer_name[512]; /* nothing */"),
+        ],
+    )
+    pairs = clonedetect.clone_pairs(
+        df, "doc_id", "content", k=16, p=4, min_shared=3, df_cap=64
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    (pr,) = pairs
+    assert pr["shared_fps"] >= 3
+    assert 0.0 < pr["containment"] <= 1.0
+
+
+def test_df_cap_excludes_and_reports_boilerplate(spark):
+    # the same region in MORE docs than the cap: pair generation drops it,
+    # the overflow report carries every capped fingerprint with its df
+    rows = [(i, "c", SHARED_REGION) for i in range(1, 6)]
+    df = _docs(spark, rows)
+    pairs = clonedetect.clone_pairs(
+        df, "doc_id", "content", k=16, p=4, min_shared=1, df_cap=4
+    ).collect()
+    assert pairs == []
+    over = clonedetect.clone_fingerprint_overflow(
+        df, "doc_id", "content", k=16, p=4, df_cap=4
+    ).collect()
+    assert len(over) >= 3
+    assert all(r["doc_freq"] == 5 for r in over)
+
+
+def test_containment_small_file_inside_big(spark):
+    # a file that IS the shared region scores containment 1.0 against a
+    # superset file (every one of its fingerprints is shared)
+    df = _docs(
+        spark,
+        [
+            (1, "c", SHARED_REGION),
+            (2, "c", "int pre = 0;\n" + SHARED_REGION + "\nint post = 1;"),
+        ],
+    )
+    (pr,) = clonedetect.clone_pairs(
+        df, "doc_id", "content", k=16, p=4, min_shared=1, df_cap=64
+    ).collect()
+    assert pr["containment"] == 1.0
+
+
+def test_import_census(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "python", "import os\nimport os\nfrom sys import path\n"),
+            (2, "python", "import os\n"),
+            (3, "c", '#include <stdio.h>\n#include "local.h"\n'),
+            (4, "js", 'const fs = require("fs");\n'),
+            (5, "go", 'import "example.com/pkg"\n'),
+            (6, "java", "import com.example.Thing;\n"),
+            (7, "md", "import looks_like_code\n"),  # no pattern for md
+        ],
+    )
+    out = {
+        (r["lang"], r["module"]): (r["n_files"], r["n_imports"])
+        for r in clonedetect.import_census(df, "doc_id", "lang", "content").collect()
+    }
+    assert out[("python", "os")] == (2, 3)
+    assert out[("python", "sys")] == (1, 1)
+    assert out[("c", "stdio.h")] == (1, 1)
+    assert out[("c", "local.h")] == (1, 1)
+    assert out[("js", "fs")] == (1, 1)
+    assert out[("go", "example.com/pkg")] == (1, 1)
+    assert out[("java", "com.example.Thing")] == (1, 1)
+    assert not any(lang == "md" for lang, _ in out)

@@ -250,3 +250,29 @@ def test_dedup_against_index_never_shuffles_text(spark, docs):
     assert exchange_sections, plan
     assert all("text#" not in l for l in exchange_sections), exchange_sections
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_clone_fingerprints_normalize_once_below_generate(spark, docs):
+    """The 3-regex code normalizer must run once per FILE, not once per
+    k-gram: the regexp_replace chain has to sit in a projection at/below
+    the Generate (explode of gram positions), never in the per-position
+    expressions above it. (The transform()-lambda formulation inlined the
+    regexes into the element loop — measured 50x slower at sf0.1.) Also:
+    the clone-pair join graph must stay equi-join only, and no Exchange
+    may carry the content column."""
+    from driftval import clonedetect
+
+    code = docs.select("doc_id", F.col("text").alias("content"))
+    plan = plan_of(
+        clonedetect.clone_pairs(code, "doc_id", "content", k=16, p=8)
+    )
+    lines = plan.splitlines()
+    gen_idx = [i for i, l in enumerate(lines) if l.lstrip("+- *").startswith("Generate")]
+    assert gen_idx, plan
+    # tree section: nodes printed above a Generate line are its consumers;
+    # no consumer may re-run the normalizer
+    for i in range(0, gen_idx[0]):
+        assert "regexp_replace" not in lines[i], lines[i]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    exchange_sections = [l for l in lines if "Exchange" in l]
+    assert all("content#" not in l for l in exchange_sections), exchange_sections
