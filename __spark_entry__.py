@@ -1202,6 +1202,23 @@ def q_clone_fp_overflow(spark, sf_dir):
     )
 
 
+def q_clones_against_index(spark, sf_dir):
+    """Daily-ingest clone scan: every 10th file plays the new batch, the
+    rest the persistent fingerprint index (built inline here; production
+    reads it from bucketed parquet). The corpus side joins as index rows
+    only — content is never re-read."""
+    from driftval import clonedetect
+
+    aug = _clone_augmented(spark, sf_dir)
+    batch = aug.where(F.col("doc_id") % 10 == 0)
+    idx = clonedetect.clone_index(
+        aug.where(F.col("doc_id") % 10 != 0), "doc_id", "content", k=16, p=8
+    )
+    return clonedetect.clones_against_index(
+        batch, idx, "doc_id", "content", k=16, p=8, min_shared=3, df_cap=64
+    )
+
+
 def q_import_census(spark, sf_dir):
     """Per-(lang, module) import popularity: lang-dispatched
     regexp_extract_all, explode, two-level aggregate — a word-count at
@@ -1345,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_fingerprints": q_code_fingerprints,
         "clone_pairs": q_clone_pairs,
         "clone_fp_overflow": q_clone_fp_overflow,
+        "clones_against_index": q_clones_against_index,
         "import_census": q_import_census,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
@@ -3076,6 +3094,32 @@ norm AS (SELECT doc_id, {clone_norm} AS nm FROM aug),
 fps AS (SELECT doc_id, unnest({clone_fpl}) AS fp FROM norm)
 SELECT fp AS fingerprint, count(*)::BIGINT AS doc_freq
 FROM fps GROUP BY 1 HAVING count(*) > 64
+""",
+        "clones_against_index": f"""
+WITH aug AS ({clone_aug}),
+norm AS (SELECT doc_id, {clone_norm} AS nm FROM aug),
+fps AS (SELECT doc_id, unnest({clone_fpl}) AS fp FROM norm),
+bfps AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0),
+ifps AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 <> 0),
+icnt AS (SELECT doc_id, count(*) AS ni FROM ifps GROUP BY 1),
+bcnt AS (SELECT doc_id, count(*) AS nn FROM bfps GROUP BY 1),
+bdf AS (SELECT fp, count(*) AS d FROM bfps GROUP BY 1),
+idf AS (SELECT fp, count(*) AS d FROM ifps GROUP BY 1),
+cold AS (
+  SELECT b.doc_id, b.fp FROM bfps b
+  JOIN bdf ON bdf.fp = b.fp AND bdf.d <= 64
+  JOIN idf ON idf.fp = b.fp AND idf.d <= 64
+),
+m AS (
+  SELECT c.doc_id AS new_id, i.doc_id AS index_id,
+         count(*)::BIGINT AS shared_fps, any_value(icnt.ni) AS ni
+  FROM cold c JOIN ifps i ON i.fp = c.fp AND i.doc_id <> c.doc_id
+  JOIN icnt ON icnt.doc_id = i.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT new_id, index_id, shared_fps,
+       round(shared_fps::DOUBLE / least(bcnt.nn, m.ni), 8) AS containment
+FROM m JOIN bcnt ON bcnt.doc_id = m.new_id
 """,
         "import_census": _import_census_sql(clone_aug),
         "repetition_signals": """

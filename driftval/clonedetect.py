@@ -51,6 +51,8 @@ __all__ = [
     "code_fingerprints",
     "clone_pairs",
     "clone_fingerprint_overflow",
+    "clone_index",
+    "clones_against_index",
     "import_census",
     "IMPORT_PATTERNS",
 ]
@@ -258,6 +260,98 @@ def clone_pairs(
                 F.col("shared_fps") / F.least(F.col("_na"), F.col("_nb")), 8
             ).alias("containment"),
         )
+    )
+
+
+def clone_index(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 16,
+    p: int = 8,
+) -> DataFrame:
+    """The persistable clone-detection index: ``(fingerprint, _id, _nfp)``
+    — one row per (selected fingerprint, file), with the file's total
+    fingerprint count denormalized onto every row so match time never
+    re-aggregates the index. Write this to parquet once per corpus
+    snapshot (partition/bucket by ``fingerprint`` for a co-located match
+    join); each new ingest then runs :func:`clones_against_index` WITHOUT
+    re-reading corpus content — the index is ~24 bytes per selected
+    fingerprint, a 1/p sample of the corpus. Appending a validated batch
+    = union of this frame over the batch (identical layout).
+    """
+    fps = code_fingerprints(df, id_col, content_col, k=k, p=p)
+    counts = _fp_counts(fps, id_col)
+    return fps.join(counts, id_col).select(
+        "fingerprint",
+        F.col(id_col).alias("_id"),
+        F.col("_nfp"),
+    )
+
+
+def clones_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 16,
+    p: int = 8,
+    min_shared: int = 3,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Match a NEW batch of files against an existing :func:`clone_index`
+    — the daily-ingest clone scan: the corpus is never re-scanned, only
+    its fingerprint index joins the batch.
+
+    Returns ``(new_id, index_id, shared_fps, containment)`` for pairs
+    sharing >= ``min_shared`` fingerprints; containment is vs the smaller
+    side exactly as in :func:`clone_pairs`. Self-matches (a file already
+    in the index, matching itself by id) are excluded; cross-batch pairs
+    are :func:`clone_pairs`'s job, not this one's.
+
+    Scale shape: the batch's fingerprints (batch_chars/p rows) equi-join
+    the index on the fingerprint key — with the index bucketed by
+    fingerprint the index side never shuffles, so a daily batch against a
+    10^12-file index moves O(batch/p) rows. ``df_cap`` bounds hot keys on
+    BOTH sides (batch-side df computed over the batch; index-side hot
+    fingerprints should already be capped at index-build via
+    :func:`clone_fingerprint_overflow` — the cap here is the backstop),
+    so the worst join bucket is df_cap x df_cap.
+    """
+    fps = code_fingerprints(new_df, id_col, content_col, k=k, p=p)
+    counts = _fp_counts(fps, id_col)
+    bdf = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_bdf"))
+    idf = index.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_idf"))
+    cold = (
+        fps.join(bdf.where(F.col("_bdf") <= df_cap).select("fingerprint"), "fingerprint")
+        .join(idf.where(F.col("_idf") <= df_cap).select("fingerprint"), "fingerprint")
+    )
+    matched = (
+        cold.select(F.col("fingerprint"), F.col(id_col).alias("new_id"))
+        .join(
+            index.select(
+                "fingerprint",
+                F.col("_id").alias("index_id"),
+                F.col("_nfp").alias("_ni"),
+            ),
+            "fingerprint",
+        )
+        .where(F.col("new_id") != F.col("index_id"))
+        .groupBy("new_id", "index_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.first("_ni").alias("_ni"),
+        )
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    cn = counts.select(F.col(id_col).alias("new_id"), F.col("_nfp").alias("_nn"))
+    return matched.join(cn, "new_id").select(
+        "new_id",
+        "index_id",
+        "shared_fps",
+        F.round(
+            F.col("shared_fps") / F.least(F.col("_nn"), F.col("_ni")), 8
+        ).alias("containment"),
     )
 
 

@@ -156,3 +156,40 @@ def test_import_census(spark):
     assert out[("go", "example.com/pkg")] == (1, 1)
     assert out[("java", "com.example.Thing")] == (1, 1)
     assert not any(lang == "md" for lang, _ in out)
+
+
+def test_clone_index_parquet_roundtrip_and_match(spark, tmp_path):
+    corpus = _docs(
+        spark,
+        [
+            (1, "c", "int a = 1;\n" + SHARED_REGION),
+            (2, "c", "static char unrelated_buffer_name[512]; /* x */"),
+        ],
+    )
+    idx_path = str(tmp_path / "clone_index")
+    clonedetect.clone_index(corpus, "doc_id", "content", k=16, p=4).write.parquet(
+        idx_path
+    )
+    idx = spark.read.parquet(idx_path)
+    batch = _docs(
+        spark,
+        [
+            (10, "c", SHARED_REGION + "\nlong tail_fn() { return 7; }"),
+            (11, "c", "void nothing_shared_here() { return; }"),
+        ],
+    )
+    out = clonedetect.clones_against_index(
+        batch, idx, "doc_id", "content", k=16, p=4, min_shared=3, df_cap=64
+    ).collect()
+    assert [(r["new_id"], r["index_id"]) for r in out] == [(10, 1)]
+    assert 0.0 < out[0]["containment"] <= 1.0
+
+
+def test_clones_against_index_excludes_self(spark):
+    # a file present in both the index and the batch must not match itself
+    corpus = _docs(spark, [(1, "c", SHARED_REGION)])
+    idx = clonedetect.clone_index(corpus, "doc_id", "content", k=16, p=4)
+    out = clonedetect.clones_against_index(
+        corpus, idx, "doc_id", "content", k=16, p=4, min_shared=1, df_cap=64
+    ).collect()
+    assert out == []
