@@ -267,6 +267,58 @@ def cmd_ingest(spark, args) -> int:
     return 0
 
 
+def cmd_cloneindex(spark, args) -> int:
+    """Build (or rebuild) the persistent clone-detection fingerprint index:
+    one ~24-byte row per selected k-gram fingerprint (a 1/p sample of the
+    corpus). Corpus content is read ONCE here; every later ``clonescan``
+    matches against this parquet only."""
+    from driftval import clonedetect
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    clonedetect.clone_index(
+        files, args.id_col, args.text_col, k=args.k, p=args.p
+    ).write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} fingerprints indexed -> {args.out}")
+    return 0
+
+
+def cmd_clonescan(spark, args) -> int:
+    """Scan a new batch for cross-file clones against an existing
+    fingerprint index, write the match list (new_id, index_id, shared_fps,
+    containment), and — unless ``--no-append`` — append the batch's own
+    fingerprints so the next scan sees this batch. ``--k``/``--p`` must
+    match the values the index was built with."""
+    from driftval import clonedetect
+
+    batch = read_files_table(spark, path=args.path, table=args.table).persist()
+    try:
+        n_docs = batch.count()
+        idx = spark.read.parquet(args.index)
+        clonedetect.clones_against_index(
+            batch, idx, args.id_col, args.text_col,
+            k=args.k, p=args.p,
+            min_shared=args.min_shared, df_cap=args.df_cap,
+        ).write.mode("overwrite").parquet(args.out)
+        n_matches = spark.read.parquet(args.out).count()
+        n_new = 0
+        if not args.no_append:
+            index_before = spark.read.parquet(args.index).count()
+            clonedetect.clone_index(
+                batch, args.id_col, args.text_col, k=args.k, p=args.p
+            ).join(
+                idx.select("_id").distinct(), "_id", "left_anti"
+            ).write.mode("append").parquet(args.index)
+            n_new = spark.read.parquet(args.index).count() - index_before
+    finally:
+        batch.unpersist()
+    print(
+        f"{n_docs} files scanned: {n_matches} clone matches, "
+        f"{n_new} fingerprints appended; matches -> {args.out}"
+    )
+    return 0
+
+
 def cmd_profile(spark, args) -> int:
     from driftval.checks.stats import profile_columns
 
@@ -450,6 +502,41 @@ def main(argv: list[str] | None = None) -> int:
         help="report matches only; do not grow the index",
     )
     p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser(
+        "cloneindex", help="build the persistent clone-fingerprint index"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--out", required=True, help="parquet output: fingerprint index")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--k", type=int, default=16, help="character-gram width")
+    p.add_argument("--p", type=int, default=8, help="0-mod-p sampling modulus")
+    p.set_defaults(fn=cmd_cloneindex)
+
+    p = sub.add_parser(
+        "clonescan", help="scan a batch for clones against an index (and grow it)"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset (the new batch)")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--index", required=True, help="the index written by `cloneindex`")
+    p.add_argument("--out", required=True, help="parquet output: clone match list")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--k", type=int, default=16, help="gram width (match the index)")
+    p.add_argument("--p", type=int, default=8, help="modulus (match the index)")
+    p.add_argument("--min-shared", type=int, default=3,
+                   help="keep pairs sharing >= this many fingerprints")
+    p.add_argument("--df-cap", type=int, default=64,
+                   help="exclude fingerprints in more files than this")
+    p.add_argument(
+        "--no-append", action="store_true",
+        help="report matches only; do not grow the index",
+    )
+    p.set_defaults(fn=cmd_clonescan)
 
     p = sub.add_parser("profile", help="one-pass multi-column table profile")
     src = p.add_mutually_exclusive_group(required=True)

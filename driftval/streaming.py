@@ -697,3 +697,157 @@ def run_incremental_dedup_stream(
     )
     query.awaitTermination()
     return runner
+
+
+# ---------------------------------------------------------------------------
+# Incremental clone scan against a growing fingerprint index (foreachBatch)
+# ---------------------------------------------------------------------------
+
+
+class IncrementalCloneRunner:
+    """The daily-ingest CLONE scan as a ``foreachBatch`` stream — the code
+    sibling of :class:`IncrementalDedupRunner`: each micro-batch of source
+    files is matched against the persisted winnowing-fingerprint index
+    (:func:`driftval.clonedetect.clones_against_index`), matches land in
+    ``matches_path``, and the batch's own fingerprints
+    (:func:`driftval.clonedetect.clone_index` rows) are appended to
+    ``index_path`` — later batches see every earlier batch's code, while
+    file CONTENT is never re-read: only the ~24-byte-per-fingerprint index
+    grows (a 1/p sample of the corpus by construction).
+
+    Scale shape per micro-batch: one narrow fingerprint projection over
+    the batch, then equi-joins of the batch-sized side against the index
+    on the fingerprint key — AQE broadcasts the small batch side, the
+    index is never shuffled. Delivery semantics mirror the dedup runner:
+    ``foreachBatch`` is at-least-once, so matches write per-batch
+    (``matches_path/batch_id=N``, overwrite — a re-delivered batch
+    replaces its own rows), the index read excludes rows owned by this
+    batch's ids (globally-unique ids assumed) so a replay sees
+    first-attempt state, and the append anti-joins the unfiltered index on
+    the id so a file's fingerprints are never indexed twice. Clone pairs
+    WITHIN one micro-batch are the batch operator's job
+    (:func:`driftval.clonedetect.clone_pairs` on the batch).
+    """
+
+    def __init__(
+        self,
+        index_path: str,
+        matches_path: str,
+        id_col: str,
+        content_col: str,
+        k: int = 16,
+        p: int = 8,
+        min_shared: int = 3,
+        df_cap: int = 64,
+    ):
+        self.index_path = index_path
+        self.matches_path = matches_path
+        self.id_col = id_col
+        self.content_col = content_col
+        self.k = k
+        self.p = p
+        self.min_shared = min_shared
+        self.df_cap = df_cap
+        self.n_batches = 0
+
+    def _read_index(self, spark: SparkSession) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(self.index_path)
+        except AnalysisException as e:
+            # same contract as IncrementalDedupRunner._read_index: ONLY
+            # path-not-found means "fresh index"; anything else propagates
+            err_cls = ""
+            get_cls = getattr(e, "getErrorClass", None)
+            if callable(get_cls):
+                err_cls = get_cls() or ""
+            if err_cls == "PATH_NOT_FOUND" or (
+                not err_cls and "Path does not exist" in str(e)
+            ):
+                return None
+            raise
+
+    def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from driftval import clonedetect
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            idx = self._read_index(spark)
+            if idx is not None:
+                own = batch_df.select(F.col(self.id_col).alias("_id")).distinct()
+                seen = idx.join(F.broadcast(own), "_id", "left_anti")
+                matches = clonedetect.clones_against_index(
+                    batch_df,
+                    seen,
+                    self.id_col,
+                    self.content_col,
+                    k=self.k,
+                    p=self.p,
+                    min_shared=self.min_shared,
+                    df_cap=self.df_cap,
+                )
+            else:
+                # batch-0 typed empty frame: id dtypes from the batch schema
+                # (new_id AND index_id share the id column's source type) so
+                # every per-batch parquet partition agrees on schema
+                from pyspark.sql import types as T
+
+                id_type = batch_df.schema[self.id_col].dataType
+                matches = spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("new_id", id_type),
+                            T.StructField("index_id", id_type),
+                            T.StructField("shared_fps", T.LongType()),
+                            T.StructField("containment", T.DoubleType()),
+                        ]
+                    ),
+                )
+            matches.write.mode("overwrite").parquet(
+                f"{self.matches_path}/batch_id={int(batch_id)}"
+            )
+            new_rows = clonedetect.clone_index(
+                batch_df, self.id_col, self.content_col, k=self.k, p=self.p
+            )
+            if idx is not None:
+                # replay safety: never index a file's fingerprints twice —
+                # anti-join on the id against the UNFILTERED index
+                new_rows = new_rows.join(
+                    spark.read.parquet(self.index_path)
+                    .select("_id")
+                    .distinct(),
+                    "_id",
+                    "left_anti",
+                )
+            new_rows.write.mode("append").parquet(self.index_path)
+            self.n_batches += 1
+        finally:
+            batch_df.unpersist()
+
+
+def run_incremental_clone_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    content_col: str,
+    **kwargs,
+) -> IncrementalCloneRunner:
+    """Drain an available-now file stream through
+    :class:`IncrementalCloneRunner`; returns the runner (clone matches in
+    ``matches_path``, the grown fingerprint index in ``index_path``)."""
+    runner = IncrementalCloneRunner(
+        index_path, matches_path, id_col, content_col, **kwargs
+    )
+    query = (
+        stream_df.writeStream.foreachBatch(runner.on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return runner

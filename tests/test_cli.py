@@ -231,3 +231,65 @@ def test_cli_index_and_ingest(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "3 exact hits" in r.stdout
     assert "0 new texts appended" in r.stdout
+
+
+def test_cli_cloneindex_and_clonescan(tmp_path):
+    """`cloneindex` builds the fingerprint parquet once; `clonescan` reports
+    cross-file clone matches against it and grows it, so a re-scan of the
+    same batch matches its own files (excluded only by id inequality —
+    here ids differ, so copies re-match)."""
+    import pandas as pd
+
+    region = (
+        "long shared_region() { int acc = 0; for (int i = 0; i < 64; i++) "
+        "{ acc += i * 31 + (acc >> 3); } return acc * 2654435761; }"
+    )
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "content": [
+                "// origin file\n" + region,
+                "static char unrelated_buffer_name[512]; /* filler */",
+            ],
+        }
+    ).to_parquet(corpus + "/part-0.parquet")
+    batch = str(tmp_path / "batch")
+    os.makedirs(batch, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "content": [region + "\nint tail_marker = 7;", "void nothing_shared() {}"],
+        }
+    ).to_parquet(batch + "/part-0.parquet")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    idx = str(tmp_path / "fpidx")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "cloneindex",
+         "--path", corpus, "--out", idx, "--p", "4"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "fingerprints indexed" in r.stdout
+
+    out = str(tmp_path / "clones")
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "clonescan", "--path", batch,
+         "--index", idx, "--out", out, "--p", "4"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "2 files scanned: 1 clone matches" in r.stdout
+
+    # the grown index now carries batch fingerprints: a --no-append re-scan
+    # appends nothing and still reports the same match
+    out2 = str(tmp_path / "clones2")
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "clonescan", "--path", batch,
+         "--index", idx, "--out", out2, "--p", "4", "--no-append"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "0 fingerprints appended" in r.stdout

@@ -503,3 +503,82 @@ def test_incremental_dedup_stream_matches_sequential_replay(spark, tmp_path):
         r["_g"] for r in idx.select("_g").collect()
     }
     assert stream_idx.groupBy("_g").count().where(F.col("count") > 1).count() == 0
+
+
+def test_incremental_clone_stream_matches_sequential_replay(spark, tmp_path):
+    """run_incremental_clone_stream over 3 single-file micro-batches ==
+    driver-side sequential replay (clones_against_index per batch with a
+    growing clone_index): identical match sets, identical final index.
+    Chunks plant a cross-batch clone (shared region, different comments),
+    a replayed-verbatim file, and brand-new code per batch."""
+    from driftval import clonedetect
+
+    region = (
+        "long shared_region() { int acc = 0; for (int i = 0; i < 64; i++) "
+        "{ acc += i * 31 + (acc >> 3); } return acc * 2654435761; }"
+    )
+    other = "static char unrelated_buffer_name[512]; /* first batch filler */"
+    chunks = [
+        [(1, "// origin\n" + region), (2, other)],
+        [(10, region + "\nint tail_marker = 7;"), (11, "void fresh_fn() {}")],
+        [(20, "/* third copy */\n" + region), (21, other)],
+    ]
+    schema = "doc_id long, content string"
+
+    src = str(tmp_path / "code-src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src + f"/part-{i:05d}")
+        time.sleep(1.05)  # distinct mtimes -> file source preserves order
+
+    kw = dict(k=16, p=4, min_shared=3, df_cap=64)
+    stream_df = streaming.read_chunk_stream(
+        spark, src + "/part-*", spark.createDataFrame([], schema).schema
+    )
+    streaming.run_incremental_clone_stream(
+        stream_df,
+        str(tmp_path / "clone-index"),
+        str(tmp_path / "clone-matches"),
+        str(tmp_path / "clone-ckpt"),
+        "doc_id",
+        "content",
+        **kw,
+    )
+    got = {
+        (r["new_id"], r["index_id"], r["shared_fps"], round(r["containment"], 8))
+        for r in spark.read.parquet(str(tmp_path / "clone-matches")).collect()
+    }
+
+    # sequential replay with the batch operators
+    idx = None
+    want = set()
+    for rows in chunks:
+        bdf = spark.createDataFrame(rows, schema)
+        if idx is not None:
+            want |= {
+                (r["new_id"], r["index_id"], r["shared_fps"], round(r["containment"], 8))
+                for r in clonedetect.clones_against_index(
+                    bdf, idx, "doc_id", "content", **kw
+                ).collect()
+            }
+        new = clonedetect.clone_index(bdf, "doc_id", "content", k=16, p=4)
+        idx = new if idx is None else idx.unionByName(new)
+    assert got == want
+
+    # the planted paths actually fired: batch-2 and batch-3 clones of batch-1's
+    # region, batch-2's verbatim copy of `other`, batch-3 matching BOTH earlier
+    # region carriers
+    pair_ids = {(m[0], m[1]) for m in got}
+    assert (10, 1) in pair_ids
+    assert (20, 1) in pair_ids and (20, 10) in pair_ids
+    assert (21, 2) in pair_ids
+
+    # final index == replay index (same rows, indexed exactly once per file)
+    final = {
+        (r["fingerprint"], r["_id"], r["_nfp"])
+        for r in spark.read.parquet(str(tmp_path / "clone-index")).collect()
+    }
+    replay = {(r["fingerprint"], r["_id"], r["_nfp"]) for r in idx.collect()}
+    assert final == replay
