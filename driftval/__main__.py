@@ -152,6 +152,7 @@ def cmd_suite(spark, args) -> int:
         extra_constraints=extra,
         quality_report=args.report_quality,
         pack_ctx_len=args.pack_ctx_len,
+        max_norm_dup_rate=args.max_norm_dup_rate,
     )
     dim_repos = spark.read.parquet(args.dim_repos) if args.dim_repos else None
     dim_commits = spark.read.parquet(args.dim_commits) if args.dim_commits else None
@@ -440,6 +441,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable median/MAD modified-z outlier-rate verdicts")
     p.add_argument("--satisfies", action="append", default=[],
                    help="extra rule 'label=max_rate:SQL predicate' (repeatable)")
+    p.add_argument("--max-norm-dup-rate", type=float, default=None,
+                   help="enable comment-insensitive duplicate-rate verdicts: "
+                        "fail a partition whose (rows - distinct normalized "
+                        "digests)/rows exceeds this")
     p.add_argument("--report-quality", action="store_true",
                    help="write the per-partition quality dashboard into the "
                         "checkpoint's companion reports dataset")

@@ -113,6 +113,14 @@ class SuiteConfig:
     # as one fused CASE column, and each partition gets a per-family
     # verdict row that FAILS when the partition holds forbidden files.
     license_forbidden: tuple[str, ...] | None = None
+    # Comment-insensitive duplicate-rate check (driftval.clonedetect
+    # normalizer). None = off (default). A rate in [0, 1] turns it on: the
+    # normalized-content digest rides the single derived content pass, and
+    # each partition gets a verdict that FAILS when (rows - distinct
+    # normalized digests) / rows exceeds the threshold — the license-header
+    # rewrites and reformatting that byte-exact uniqueness (V5, key-based)
+    # and sha fidelity cannot see.
+    max_norm_dup_rate: float | None = None
     # Optional drift/outlier companions (None = off, the default — verdicts
     # and thresholds appear only when configured, so the headline suite cost
     # is unchanged): PSI + Jensen-Shannon on the same smoothed histograms as
@@ -153,6 +161,7 @@ Q_TOKENS = "_q_tokens"
 Q_SCORE = "_q_score"
 Q_DIGEST = "_q_digest"
 LIC_FAMILY = "_lic_family"
+NORM_MD5 = "_norm_md5"
 
 
 def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
@@ -179,6 +188,15 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
                 LIC_FAMILY
             )
         ]
+    norm_cols = []
+    if cfg.max_norm_dup_rate is not None:
+        from driftval.clonedetect import normalized_code
+
+        norm_cols = [
+            F.md5(
+                normalized_code(F.col(cfg.content_col)).cast("binary")
+            ).alias(NORM_MD5)
+        ]
     report_cols = []
     if cfg.quality_report or cfg.pack_ctx_len:
         # the SAME fused expressions the catalog's doc_quality /
@@ -200,6 +218,7 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
         F.sha2(F.col(cfg.content_col), 256).alias(SHA_COL),
         *secret_cols,
         *lic_cols,
+        *norm_cols,
         *report_cols,
     )
 
@@ -260,6 +279,36 @@ def license_suite_verdicts(
         F.col("_rows").cast("double").alias("metric"),
         F.lit(0.0).alias("threshold"),
         F.col("_rows").cast("long").alias("violation_count"),
+    )
+
+
+def norm_dup_suite_verdicts(
+    derived_pending: DataFrame, cfg: SuiteConfig
+) -> DataFrame:
+    """Per-partition comment-insensitive duplicate-rate verdicts from the
+    ``_norm_md5`` digest the derived pass already computed: metric =
+    (rows - distinct normalized digests) / rows, threshold =
+    ``cfg.max_norm_dup_rate``, violation_count = the surplus rows. Exact,
+    as a two-level aggregate — groupBy (partition, digest) then partition —
+    both map-side-partial hash aggregates on near-uniform 16-byte keys, so
+    the shuffle never carries content and never skews."""
+    pv = F.col(cfg.partition_col).cast("string").alias("partition_value")
+    per_digest = derived_pending.groupBy(pv, F.col(NORM_MD5)).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    agg = per_digest.groupBy("partition_value").agg(
+        F.sum("_c").alias("_rows"), F.count(F.lit(1)).alias("_distinct")
+    )
+    surplus = (F.col("_rows") - F.col("_distinct")).cast("long")
+    rate = surplus / F.col("_rows")
+    thr = float(cfg.max_norm_dup_rate or 0.0)
+    return agg.select(
+        "partition_value",
+        F.lit("norm_dup_rate").alias("check_name"),
+        (rate <= thr).alias("passed"),
+        rate.cast("double").alias("metric"),
+        F.lit(thr).alias("threshold"),
+        surplus.alias("violation_count"),
     )
 
 
@@ -585,6 +634,30 @@ def _write_violation_rows(
                 )
             )
 
+    if cfg.max_norm_dup_rate is not None:
+        # the surplus files behind each norm_dup_rate verdict: every member
+        # of a >=2-file normalized-digest group except its keeper (min key
+        # tuple — deterministic, resume-stable). One digest-keyed aggregate
+        # + an equi-join back; the shuffle carries 16-byte digests + keys,
+        # output ∝ true duplicates
+        groups = (
+            derived_pending.groupBy(F.col(pcol), F.col(NORM_MD5))
+            .agg(
+                F.min(F.struct(*key_cols)).alias("_keep"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            .where(F.col("_c") >= 2)
+        )
+        frames.append(
+            shape(
+                derived_pending.join(groups, [pcol, NORM_MD5]).where(
+                    F.struct(*key_cols) != F.col("_keep")
+                ),
+                "norm_dup_rate",
+                F.col(NORM_MD5),
+            )
+        )
+
     if cfg.outlier_rate_threshold is not None:
         # the length-outlier check is row-localizable (unlike the
         # distribution-level drift checks): emit each offending row with its
@@ -717,6 +790,9 @@ def run_suite(
 
     if cfg.license_forbidden:
         frames.append(license_suite_verdicts(derived_pending, cfg))
+
+    if cfg.max_norm_dup_rate is not None:
+        frames.append(norm_dup_suite_verdicts(derived_pending, cfg))
 
     # V5 — duplicates are judged table-wide but attributed per partition;
     # key columns only (column pruning keeps content out of this shuffle).

@@ -126,6 +126,35 @@ def run_scale(spark, n_docs: int, workdir: str) -> dict:
         "batch_docs": n_batch, "matches": n_matches, "sec": sec,
     }
 
+    # clone family (round 4): character-gram fingerprint pairs on the same
+    # corpus — exact/near duplicates share (almost) all selected k-grams, so
+    # TRUE clone pairs also grow linearly. Fingerprint volume is chars/p per
+    # doc (heavier per doc than a k=8 minhash signature by design — it is a
+    # corpus sample, not a sketch), so this is the family's stress test.
+    from driftval import clonedetect
+
+    n_pairs, sec = timed(
+        lambda: clonedetect.clone_pairs(
+            docs, "doc_id", "content", k=16, p=8, min_shared=3, df_cap=200
+        ).count()
+    )
+    out["clone_pairs"] = {"pairs": n_pairs, "sec": sec}
+
+    cidx_path = os.path.join(workdir, f"clone-index-{n_docs}")
+    clonedetect.clone_index(docs, "doc_id", "content", k=16, p=8).write.mode(
+        "overwrite"
+    ).parquet(cidx_path)
+    cindex = spark.read.parquet(cidx_path)
+    n_matches, sec = timed(
+        lambda: clonedetect.clones_against_index(
+            batch, cindex, "doc_id", "content", k=16, p=8,
+            min_shared=3, df_cap=200,
+        ).count()
+    )
+    out["clones_against_index"] = {
+        "batch_docs": n_batch, "matches": n_matches, "sec": sec,
+    }
+
     for c in caches:
         c.unpersist()
     return out
@@ -190,6 +219,7 @@ def main() -> None:
     for op in (
         "minhash_dup_pairs", "simhash_dup_pairs",
         "ngram_jaccard_pairs", "dedup_against_index",
+        "clone_pairs", "clones_against_index",
     ):
         cells = []
         for r in results:

@@ -577,3 +577,72 @@ def test_lockstep_reports_in_checkpoint_store(spark, files_sdf, dims, tmp_path_f
     rep3 = store.read_reports().toPandas()
     rb3 = rep3[(rep3["run_id"] == "rb") & (rep3["kind"] == "verdict_diff")]
     assert len(rb3) == len(d)
+
+
+def test_norm_dup_rate_verdicts(spark, tmp_path_factory):
+    """max_norm_dup_rate: partitions whose files are identical up to
+    comments/whitespace fail, byte-distinct-after-normalization partitions
+    pass; the complete matrix has one norm_dup_rate row per partition."""
+    base = tmp_path_factory.mktemp("normdup")
+    body = "def f(x):\n    return x + 1\n"
+    rows = []
+    # clean partition: 4 genuinely distinct files
+    for i in range(4):
+        rows.append(
+            ("2026-01-01", "org/a", f"src/f{i}.py", f"{i:040x}", "python",
+             body.replace("x", f"v{i}"))
+        )
+    # dirty partition: 4 files, same code under different comment headers
+    for i in range(4):
+        rows.append(
+            ("2026-01-02", "org/a", f"src/g{i}.py", f"{i + 16:040x}", "python",
+             f"# rewritten by bot {i}\n" + body)
+        )
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["part_date", "repo", "path", "commit", "lang", "content"]
+        )
+    )
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01"], block_size=50,
+        max_norm_dup_rate=0.25,
+    )
+    v = run_suite(
+        spark, files, cfg, str(base / "ckpt"), run_id="nd"
+    ).toPandas()
+    nd = v[v["check_name"] == "norm_dup_rate"].set_index("partition_value")
+    assert set(nd.index) == {"2026-01-01", "2026-01-02"}
+    assert bool(nd.loc["2026-01-01", "passed"])
+    assert nd.loc["2026-01-01", "violation_count"] == 0
+    assert not bool(nd.loc["2026-01-02", "passed"])
+    assert nd.loc["2026-01-02", "violation_count"] == 3  # 4 rows, 1 digest
+    assert abs(nd.loc["2026-01-02", "metric"] - 0.75) < 1e-9
+
+
+def test_norm_dup_violation_rows(spark, tmp_path_factory):
+    """The violations dataset carries the surplus files (group minus its
+    min-key keeper) for norm_dup_rate, proportional to true duplicates."""
+    base = tmp_path_factory.mktemp("normdup_rows")
+    body = "def f(x):\n    return x + 1\n"
+    rows = [
+        ("2026-01-01", "org/a", "src/keep.py", "0" * 40, "python", "# one\n" + body),
+        ("2026-01-01", "org/a", "src/extra.py", "1" * 40, "python", "# two\n" + body),
+        ("2026-01-01", "org/b", "src/solo.py", "2" * 40, "python", "def g(): pass"),
+    ]
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["part_date", "repo", "path", "commit", "lang", "content"]
+        )
+    )
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01"], block_size=50, max_norm_dup_rate=0.0
+    )
+    run_suite(
+        spark, files, cfg, str(base / "ckpt"), run_id="ndv",
+        violations_path=str(base / "violations"),
+    )
+    v = spark.read.parquet(str(base / "violations")).toPandas()
+    nd = v[v["check_name"] == "norm_dup_rate"]
+    # keeper = min (repo, path, commit) tuple -> src/extra.py stays, the
+    # lexicographically larger duplicate is the surplus row; solo excluded
+    assert list(nd["path"]) == ["src/keep.py"]
