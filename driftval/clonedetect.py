@@ -62,13 +62,19 @@ __all__ = [
 # lookahead. Matches /* ... */ including embedded '*' and newlines.
 BLOCK_COMMENT_RE = r"/\*[^*]*\*+([^/*][^*]*\*+)*/"
 
-# Line comments: //, #, -- to end of line. Deliberately string-literal
+# Line comments: //, #, and -- to end of line. Deliberately string-literal
 # naive (a '#' inside a string is treated as a comment): the normalizer
 # is a dedup key, not a parser — it only has to be deterministic and
 # identical on both engines, and over-stripping merges *more* true clones
 # at the cost of a vanishingly rare false merge (verified pairs still
-# carry shared-fingerprint evidence).
-LINE_COMMENT_RE = r"(//|#|--)[^\n]*"
+# carry shared-fingerprint evidence). Exception: '--' counts as a comment
+# only at line start or after whitespace — C/Java/JS decrements (`i--`)
+# sit flush against an identifier, and treating them as comments would
+# delete the rest of every such line from the fingerprint stream on
+# exactly the corpora this engine targets. No lookbehind (RE2): the
+# leading whitespace is consumed instead, which the later whitespace
+# collapse makes harmless.
+LINE_COMMENT_RE = r"(?m)(//|#)[^\n]*|(^|[ \t])--[^\n]*"
 
 # Explicit class instead of \s: Java's \s includes \x0B, RE2's does not.
 WHITESPACE_RE = r"[ \t\r\n\f]+"

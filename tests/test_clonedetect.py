@@ -193,3 +193,16 @@ def test_clones_against_index_excludes_self(spark):
         corpus, idx, "doc_id", "content", k=16, p=4, min_shared=1, df_cap=64
     ).collect()
     assert out == []
+
+
+def test_decrement_not_treated_as_comment(spark):
+    # `--` flush against an identifier is code (C/Java/JS decrement) and
+    # survives; `--` after whitespace is a SQL/Lua line comment and dies
+    df = _docs(
+        spark,
+        [(1, "c", "while (n) { n--; total += n; }\nx = 1; -- trailing comment")],
+    )
+    got = df.select(
+        clonedetect.normalized_code(F.col("content")).alias("n")
+    ).collect()[0]["n"]
+    assert got == "while (n) { n--; total += n; } x = 1;"
