@@ -1202,6 +1202,18 @@ def q_clone_fp_overflow(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Robust-winnowing fingerprints (Schleimer et al. 2003 §4 — window
+    minima, guaranteed detection of >= w+k-1-char matches) — the Arrow
+    mapInPandas sibling of the 0-mod-p scheme; selection happens inside
+    the scan, zero shuffle before the distinct."""
+    from driftval import clonedetect
+
+    return clonedetect.winnow_fingerprints(
+        _clone_augmented(spark, sf_dir), "doc_id", "content", k=16, w=8
+    )
+
+
 def q_clones_against_index(spark, sf_dir):
     """Daily-ingest clone scan: every 10th file plays the new batch, the
     rest the persistent fingerprint index (built inline here; production
@@ -1363,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clone_pairs": q_clone_pairs,
         "clone_fp_overflow": q_clone_fp_overflow,
         "clones_against_index": q_clones_against_index,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "import_census": q_import_census,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
@@ -3120,6 +3133,28 @@ m AS (
 SELECT new_id, index_id, shared_fps,
        round(shared_fps::DOUBLE / least(bcnt.nn, m.ni), 8) AS containment
 FROM m JOIN bcnt ON bcnt.doc_id = m.new_id
+""",
+        "winnow_fingerprints": f"""
+WITH aug AS ({clone_aug}),
+norm AS (SELECT doc_id, {clone_norm} AS nm FROM aug),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(nm) - 14, 1)),
+                        i -> ('0x' || substr(md5(substr(nm, i::INT, 16)), 1, 15))::BIGINT
+         ) AS h
+  FROM norm
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN []::BIGINT[]
+              WHEN len(h) < 8 THEN [list_min(h)]
+              ELSE list_distinct(list_transform(
+                     range(1, len(h) - 6),
+                     t -> list_min(list_slice(h, t::INT, t::INT + 7))))
+         END AS fps
+  FROM hs
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM sel
 """,
         "import_census": _import_census_sql(clone_aug),
         "repetition_signals": """

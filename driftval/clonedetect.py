@@ -51,6 +51,7 @@ __all__ = [
     "code_fingerprints",
     "clone_pairs",
     "clone_fingerprint_overflow",
+    "winnow_fingerprints",
     "clone_index",
     "clones_against_index",
     "import_census",
@@ -267,6 +268,91 @@ def clone_pairs(
             ).alias("containment"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """``(id, fingerprint)`` under ROBUST WINNOWING (Schleimer, Wilkerson &
+    Aiken 2003, §4 — the paper's main algorithm, not the §2 0-mod-p
+    baseline :func:`code_fingerprints` uses): slide a ``w``-hash window
+    over the k-gram hash sequence of the normalized content and select
+    each window's minimum (ties to the rightmost occurrence). Unlike
+    0-mod-p — whose gaps between selected grams are unbounded in the
+    worst case — winnowing GUARANTEES that any match of length >=
+    ``w + k - 1`` characters shares at least one fingerprint (every such
+    match contains a full hash window, whose minimum is content-determined
+    on both sides), at density ~2/(w+1). Docs with fewer than ``w`` grams
+    (but at least one) contribute their global minimum, so no non-empty
+    file is invisible.
+
+    Physical form: the 3-regex normalizer runs JVM-side in the projection
+    UNDER the Arrow ``mapInPandas`` (so it runs once per file and the
+    Python side never re-parses); gram hashing + the sliding-window argmin
+    run vectorized in NumPy per Arrow batch — windowing is inherently
+    per-document sequential state, which is exactly what the built-in
+    operators can't express without shuffling every gram hash through a
+    per-doc sort window (corpus-volume shuffle); here there is NO shuffle
+    at all, the selection happens inside the scan. The emitted fingerprint
+    set per doc equals the distinct window minima (hash VALUES, so the
+    rightmost-tie rule affects density accounting, never cross-file
+    equality), identical to the DuckDB twin's
+    list_min-over-sliding-slices formulation.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("fingerprint", T.LongType()),
+        ]
+    )
+    src = df.select(
+        F.col(id_col), normalized_code(F.col(content_col)).alias("_nm")
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        md5 = hashlib.md5
+        for pdf in it:
+            ids, fps = [], []
+            for did, nm in zip(pdf[id_col], pdf["_nm"]):
+                if nm is None:
+                    continue
+                # CHARACTER k-grams (not byte k-grams): Spark substring and
+                # DuckDB substr both count characters, so the twin formulas
+                # only agree on multi-byte content if Python slices match
+                n_h = len(nm) - k + 1
+                if n_h <= 0:
+                    continue
+                # same md5-prefix hash as token_hash64 / the DuckDB _H64
+                h = np.fromiter(
+                    (
+                        int(md5(nm[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+                        for i in range(n_h)
+                    ),
+                    dtype=np.int64,
+                    count=n_h,
+                )
+                if n_h < w:
+                    sel = np.array([h.min()])
+                else:
+                    sel = np.unique(sliding_window_view(h, w).min(axis=1))
+                ids.extend([did] * len(sel))
+                fps.extend(sel.tolist())
+            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+
+    return src.mapInPandas(batches, schema=out_schema).distinct()
 
 
 def clone_index(

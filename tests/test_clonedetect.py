@@ -206,3 +206,35 @@ def test_decrement_not_treated_as_comment(spark):
         clonedetect.normalized_code(F.col("content")).alias("n")
     ).collect()[0]["n"]
     assert got == "while (n) { n--; total += n; } x = 1;"
+
+
+def test_winnow_guarantee_and_short_docs(spark):
+    # the paper's guarantee: any shared run of >= w+k-1 chars (k=16, w=8
+    # -> 23) yields at least one shared fingerprint, wherever it sits
+    shared = "int guaranteed_shared_run_marker = 0x12345;"  # 44 chars
+    df = _docs(
+        spark,
+        [
+            (1, "c", "aaa bbb ccc " + shared + " ddd eee"),
+            (2, "c", shared + " completely different tail content here"),
+            (3, "c", "tiny"),  # < k chars: no grams, no fingerprints
+            (4, "c", "exactly_17_chars!"),  # k<=len<k+w-1: global-min row
+        ],
+    )
+    fps = clonedetect.winnow_fingerprints(df, "doc_id", "content", k=16, w=8)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+
+
+def test_winnow_density_below_full_gram_set(spark):
+    # winnowing selects ~2/(w+1) of the gram hashes — far fewer than all
+    text = " ".join(f"word{i}" for i in range(200))
+    df = _docs(spark, [(1, "c", text)])
+    n_sel = clonedetect.winnow_fingerprints(df, "doc_id", "content", k=16, w=8).count()
+    n_grams = len(text) - 16 + 1
+    assert 0 < n_sel < n_grams / 2
