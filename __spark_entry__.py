@@ -1214,6 +1214,18 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnow_clone_pairs(spark, sf_dir):
+    """Clone pairs over the robust-winnowing fingerprints — the
+    guarantee-carrying variant (any >= w+k-1-char shared run is a
+    candidate); same df-capped inverted-index join as clone_pairs."""
+    from driftval import clonedetect
+
+    return clonedetect.winnow_clone_pairs(
+        _clone_augmented(spark, sf_dir), "doc_id", "content",
+        k=16, w=8, min_shared=2, df_cap=64,
+    )
+
+
 def q_clones_against_index(spark, sf_dir):
     """Daily-ingest clone scan: every 10th file plays the new batch, the
     rest the persistent fingerprint index (built inline here; production
@@ -1376,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clone_fp_overflow": q_clone_fp_overflow,
         "clones_against_index": q_clones_against_index,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_clone_pairs": q_winnow_clone_pairs,
         "import_census": q_import_census,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
@@ -3155,6 +3168,39 @@ sel AS (
   FROM hs
 )
 SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM sel
+""",
+        "winnow_clone_pairs": f"""
+WITH aug AS ({clone_aug}),
+norm AS (SELECT doc_id, {clone_norm} AS nm FROM aug),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(nm) - 14, 1)),
+                        i -> ('0x' || substr(md5(substr(nm, i::INT, 16)), 1, 15))::BIGINT
+         ) AS h
+  FROM norm
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN []::BIGINT[]
+              WHEN len(h) < 8 THEN [list_min(h)]
+              ELSE list_distinct(list_transform(
+                     range(1, len(h) - 6),
+                     t -> list_min(list_slice(h, t::INT, t::INT + 7))))
+         END AS fplist
+  FROM hs
+),
+fps AS (SELECT doc_id, unnest(fplist) AS fp FROM sel),
+cnt AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY 1),
+dfq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+cold AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfq USING (fp) WHERE df <= 64),
+sh AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT id_a, id_b, shared_fps,
+       round(shared_fps::DOUBLE / least(ca.nfp, cb.nfp), 8) AS containment
+FROM sh JOIN cnt ca ON ca.doc_id = sh.id_a JOIN cnt cb ON cb.doc_id = sh.id_b
 """,
         "import_census": _import_census_sql(clone_aug),
         "repetition_signals": """

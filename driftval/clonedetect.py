@@ -52,6 +52,7 @@ __all__ = [
     "clone_pairs",
     "clone_fingerprint_overflow",
     "winnow_fingerprints",
+    "winnow_clone_pairs",
     "clone_index",
     "clones_against_index",
     "import_census",
@@ -235,6 +236,15 @@ def clone_pairs(
     write costs more than the reused exchange).
     """
     fps = code_fingerprints(df, id_col, content_col, k=k, p=p)
+    return _pairs_from_fingerprints(fps, id_col, min_shared, df_cap)
+
+
+def _pairs_from_fingerprints(
+    fps: DataFrame, id_col: str, min_shared: int, df_cap: int
+) -> DataFrame:
+    """The df-capped inverted-index pair join over any ``(id, fingerprint)``
+    frame — shared by :func:`clone_pairs` (0-mod-p) and
+    :func:`winnow_clone_pairs` (window minima)."""
     counts = _fp_counts(fps, id_col)
     dfreq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
     cold = fps.join(
@@ -268,6 +278,25 @@ def clone_pairs(
             ).alias("containment"),
         )
     )
+
+
+def winnow_clone_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 2,
+    df_cap: int = 64,
+) -> DataFrame:
+    """:func:`clone_pairs` over :func:`winnow_fingerprints` — the
+    guarantee-carrying variant: every pair of files sharing a run of >=
+    ``w + k - 1`` characters is a candidate (0-mod-p can miss arbitrarily
+    long matches in the worst case), at the same df-capped inverted-index
+    join shape. ``min_shared`` defaults lower (2) because winnowing's
+    ~2/(w+1) density selects fewer fingerprints per region than 1/p."""
+    fps = winnow_fingerprints(df, id_col, content_col, k=k, w=w)
+    return _pairs_from_fingerprints(fps, id_col, min_shared, df_cap)
 
 
 def winnow_fingerprints(

@@ -238,3 +238,23 @@ def test_winnow_density_below_full_gram_set(spark):
     n_sel = clonedetect.winnow_fingerprints(df, "doc_id", "content", k=16, w=8).count()
     n_grams = len(text) - 16 + 1
     assert 0 < n_sel < n_grams / 2
+
+
+def test_winnow_clone_pairs_guarantee(spark):
+    # a 23+-char shared run between otherwise-different files is ALWAYS a
+    # candidate under winnowing (k=16, w=8); with min_shared=1 it must
+    # surface as a pair
+    shared = "int guaranteed_shared_run_marker = 0x12345;"
+    df = _docs(
+        spark,
+        [
+            (1, "c", "prefix alpha beta " + shared),
+            (2, "c", shared + " totally different suffix content"),
+            (3, "c", "void nothing_in_common_here() { return; }"),
+        ],
+    )
+    pairs = clonedetect.winnow_clone_pairs(
+        df, "doc_id", "content", k=16, w=8, min_shared=1, df_cap=64
+    ).collect()
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in pairs}
+    assert all({r["id_a"], r["id_b"]} != {3} for r in pairs)
