@@ -258,3 +258,75 @@ def test_winnow_clone_pairs_guarantee(spark):
     ).collect()
     assert (1, 2) in {(r["id_a"], r["id_b"]) for r in pairs}
     assert all({r["id_a"], r["id_b"]} != {3} for r in pairs)
+
+
+def test_normalizer_parity_spark_vs_duckdb_adversarial(spark):
+    """The Java-regex (Spark) and RE2 (DuckDB) engines must normalize
+    ADVERSARIAL comment shapes identically — unterminated blocks, '*' runs,
+    '/' inside blocks, comment markers inside other comments, CRLF,
+    decrements, markers at string edges. One batched round-trip per engine."""
+    import duckdb
+
+    from driftval.clonedetect import (
+        BLOCK_COMMENT_RE,
+        LINE_COMMENT_RE,
+        WHITESPACE_RE,
+    )
+
+    cases = [
+        "",
+        "/",
+        "//",
+        "/*",
+        "/* unterminated block",
+        "/**/",
+        "/***/",
+        "/* * */",
+        "/*/ tricky */",
+        "a /**// b",          # block then immediate line comment
+        "a /* x /* y */ b",   # no nesting: closes at first */
+        "-- at start",
+        "a -- mid",
+        "a--b",               # decrement-like: kept
+        "n--; // tail",
+        "#",
+        "a # c\r\nb",         # CRLF
+        "code // c1\ncode2 # c2\ncode3 -- c3",
+        "/* a\nb\nc */ d",
+        "x /*comment*/y",
+        "tab\tand  runs",
+        " \t\r\n\f ",
+        "日本語 // コメント",
+        "emoji 🚀 /* ☄ */ done",
+        "a/b//c",
+        "http://example.com stays? no: dies",
+        "*/ orphan close",
+        "/* ** / ** */ after",
+        "ends with slash /",
+        "ends with dashdash --",
+        "--",
+        "x ---- y",
+        "x; i--; -- real comment\nnext",
+    ]
+    sdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, content string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in sdf.select(
+            "i", clonedetect.normalized_code(F.col("content")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    norm = (
+        f"trim(regexp_replace(regexp_replace(regexp_replace(c, "
+        f"'{BLOCK_COMMENT_RE}', ' ', 'g'), "
+        f"'{LINE_COMMENT_RE}', '', 'g'), "
+        f"'{WHITESPACE_RE}', ' ', 'g'))"
+    )
+    con.execute("CREATE TABLE t (i BIGINT, c VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(con.execute(f"SELECT i, {norm} FROM t").fetchall())
+    assert got == want, {
+        i: (cases[i], got[i], want[i]) for i in got if got[i] != want[i]
+    }
