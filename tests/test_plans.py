@@ -276,3 +276,24 @@ def test_clone_fingerprints_normalize_once_below_generate(spark, docs):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     exchange_sections = [l for l in lines if "Exchange" in l]
     assert all("content#" not in l for l in exchange_sections), exchange_sections
+
+
+def test_winnow_selects_inside_the_scan(spark, docs):
+    """Robust winnowing must do its selection INSIDE the scan: the only
+    Exchange in the plan is the distinct's (map-side partial aggregate of
+    the already-selected ~2/(w+1) sample), with MapInPandas sitting
+    directly on the projected scan — a window-function formulation would
+    instead sort-shuffle every gram hash (corpus volume)."""
+    from driftval import clonedetect
+
+    code = docs.select("doc_id", F.col("text").alias("content"))
+    plan = plan_of(
+        clonedetect.winnow_fingerprints(code, "doc_id", "content", k=16, w=8)
+    )
+    tree = plan.split("(1)")[0]
+    lines = [l for l in tree.splitlines() if l.strip()]
+    assert sum("Exchange" in l for l in lines) == 1, tree
+    assert not any("Sort" in l or "Window" in l for l in lines), tree
+    # MapInPandas feeds straight from the projected scan (normalizer below)
+    mi = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
+    assert "Project" in lines[mi + 1] and "Scan parquet" in lines[mi + 2], tree
