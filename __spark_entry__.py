@@ -646,11 +646,13 @@ def q_media_frame_sample(spark, sf_dir):
 
 
 def q_media_decode_features(spark, sf_dir):
-    """Stub-codec decode features via mapInPandas, aggregated per media_type.
+    """Real-codec decode features via mapInPandas (PNG zlib-inflate+unfilter /
+    BMP / WAV decode per row), aggregated per media_type.
 
-    mean_intensity (byte mean of the payload) IS SQL-expressible on the
-    synthetic blob, so this keeps a value-checked oracle twin even though the
-    per-row path runs through the Arrow mapInPandas pipeline."""
+    The decoded signal is the doc's UTF-8 bytes cycled to the signal length,
+    whatever the container, so mean_intensity keeps a closed-form
+    value-checked oracle twin even though the per-row path runs through the
+    Arrow mapInPandas decode pipeline."""
     feats = multimodal.decode_features(_media(spark, sf_dir))
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
@@ -660,7 +662,8 @@ def q_media_decode_features(spark, sf_dir):
 
 
 def q_media_resize(spark, sf_dir):
-    """REAL BMP resize: decode -> nearest-neighbor resample -> re-encode
+    """REAL image resize: decode (PNG or BMP) -> nearest-neighbor resample ->
+    re-encode in the same container
     (driftval/multimodal.py resize_images). The twin value-checks dims,
     the resized flag, and the exact re-encoded container size per doc;
     pixel-level equality vs an independent NumPy resample is pinned in
@@ -2577,19 +2580,24 @@ FROM scored GROUP BY source
 """,
         "media_conformance": """
 WITH m AS (
-  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
          (16 + doc_id % 32)::BIGINT AS w, (16 + doc_id % 24)::BIGINT AS h,
          (8000 + (doc_id % 4) * 8000)::BIGINT AS rate, (1 + doc_id % 30)::INT AS n_frames,
          octet_length(encode(text))::BIGINT AS nb
   FROM documents
 ), sized AS (
-  -- true encoded payload sizes: BMP = 54 + stride*h (stride = w*3 padded to
-  -- 4 bytes); WAV = 44 + 2*samples (samples = rate // 100); video = raw blob
+  -- true encoded payload sizes: PNG (doc_id % 6 = 0, stored-DEFLATE IDAT)
+  -- = 63 + 5*ceil(raw/65535) + raw with raw = h*(1 + w*3); BMP (% 6 = 3)
+  -- = 54 + stride*h (stride = w*3 padded to 4 bytes); WAV = 44 + 2*samples
+  -- (samples = rate // 100); video = raw blob
   SELECT media_type, n_frames,
-         CASE media_type
-           WHEN 'image' THEN 54 + ((w * 3 + 3) // 4 * 4) * h
-           WHEN 'audio' THEN 44 + 2 * (rate // 100)
-           ELSE nb END AS payload_len,
+         CASE WHEN media_type = 'image' AND doc_id % 6 = 0
+                THEN 63 + 5 * ((h * (1 + w * 3) + 65534) // 65535) + h * (1 + w * 3)
+              WHEN media_type = 'image'
+                THEN 54 + ((w * 3 + 3) // 4 * 4) * h
+              WHEN media_type = 'audio' THEN 44 + 2 * (rate // 100)
+              ELSE nb END AS payload_len,
          w AS width, h AS height, rate AS sample_rate
   FROM m
 )
@@ -2610,7 +2618,9 @@ FROM documents WHERE doc_id % 3 = 2
 SELECT doc_id,
        (16 + doc_id % 32)::INT AS orig_width, (16 + doc_id % 24)::INT AS orig_height,
        8::INT AS width, 8::INT AS height,
-       (54 + ((8 * 3 + 3) // 4 * 4) * 8)::BIGINT AS n_bytes,
+       -- re-encoded in the source container: PNG rows (doc_id % 6 = 0) get
+       -- png_size(8,8,3) = 63 + 5 + 8*(1+24) = 268, BMP rows bmp_size(8,8) = 246
+       (CASE WHEN doc_id % 6 = 0 THEN 268 ELSE 246 END)::BIGINT AS n_bytes,
        true AS resized
 FROM documents WHERE doc_id % 3 = 0
 """,

@@ -1,8 +1,7 @@
-"""Pure-NumPy codecs for uncompressed media containers (BMP, WAV).
+"""Pure-NumPy codecs for real media containers (BMP, WAV, PNG).
 
-This container ships no third-party media codec (no PIL, no ffmpeg), but two
-ubiquitous formats are pure header + raw array and therefore decodable with
-``struct`` + NumPy alone:
+This container ships no third-party media codec (no PIL, no ffmpeg), but
+three ubiquitous formats are decodable with the stdlib + NumPy alone:
 
 - **BMP** (Windows bitmap, 24-bit ``BI_RGB``): 14-byte file header, 40-byte
   ``BITMAPINFOHEADER``, then uncompressed BGR pixel rows padded to 4-byte
@@ -12,17 +11,27 @@ ubiquitous formats are pure header + raw array and therefore decodable with
 - **WAV** (RIFF PCM, 16-bit mono): ``RIFF``/``WAVE`` container with ``fmt ``
   and ``data`` chunks walked in order (chunks are allowed in any order and
   unknown chunks are skipped, per the RIFF spec).
+- **PNG** (RFC 2083 / ISO 15948, 8-bit grayscale/RGB/RGBA, non-interlaced):
+  chunked container with per-chunk CRC-32, zlib (RFC 1950) compressed IDAT,
+  and the five scanline filters (None/Sub/Up/Average/Paeth). Decompression
+  is stdlib ``zlib``; unfiltering is NumPy (Sub via per-lane cumsum,
+  Average/Paeth per the spec's sequential recurrence). The encoder can emit
+  any filter type and, at ``level=0``, writes the stored-DEFLATE stream
+  itself (RFC 1951 §3.2.4 non-compressed blocks), which makes the encoded
+  size an exact closed form (:func:`png_size`) — the property the DuckDB
+  oracle twins value-check end-to-end.
 
 These are REAL codecs for their (deliberately narrow) format subsets — they
-validate magic numbers, reject unsupported variants with ``ValueError``, and
-round-trip bit-exactly. Compressed formats (JPEG/PNG/MP3/…) remain out of
-scope here and fall to the caller's stub path (see
-``driftval.multimodal.decode_payload``).
+validate magic numbers and chunk CRCs, reject unsupported variants with
+``ValueError``, and round-trip bit-exactly. Formats needing a non-stdlib
+entropy coder (JPEG/MP3/H.264) remain out of scope and fall to the caller's
+stub path (see ``driftval.multimodal.decode_payload``).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -142,3 +151,231 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
     return rate, data
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit grayscale / RGB / RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only; palette/16-bit rejected)
+PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels -> color type
+# RFC 1951 stored blocks carry a 16-bit LEN; we emit maximal blocks.
+_DEFLATE_STORED_MAX = 65535
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A zlib (RFC 1950) stream holding ``data`` in stored (non-compressed)
+    DEFLATE blocks — RFC 1951 §3.2.4: 1 flag byte (BFINAL | BTYPE=00), LEN,
+    NLEN, then the raw bytes; maximal 65535-byte blocks. Written by hand
+    (not ``zlib.compress(data, 0)``) so the stream size is the exact closed
+    form ``2 + 5*ceil(n/65535) + n + 4`` regardless of zlib's internal
+    buffer flushing; any inflater (including ``zlib.decompress``) reads it."""
+    out = [b"\x78\x01"]  # CMF/FLG: 32K window, check bits, no dict
+    n = len(data)
+    pos = 0
+    while True:
+        chunk = data[pos : pos + _DEFLATE_STORED_MAX]
+        final = pos + _DEFLATE_STORED_MAX >= n
+        ln = len(chunk)
+        out.append(struct.pack("<BHH", 1 if final else 0, ln, ln ^ 0xFFFF))
+        out.append(chunk)
+        pos += ln
+        if final:
+            break
+    out.append(struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def png_size(width: int, height: int, channels: int = 3) -> int:
+    """Exact encoded size of :func:`encode_png` at ``level=0`` (stored
+    DEFLATE): signature 8 + IHDR 25 + IDAT (12 + zlib stream) + IEND 12,
+    with raw filtered size ``n = height * (1 + width*channels)``. The size
+    is independent of pixel values AND of the filter type — the closed form
+    the oracle twins rely on."""
+    n = height * (1 + width * channels)
+    blocks = max(1, -(-n // _DEFLATE_STORED_MAX))
+    return 8 + 25 + 12 + (2 + 5 * blocks + n + 4) + 12
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §6.6) over int16+ arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(
+    pixels: np.ndarray,
+    width: int,
+    height: int,
+    channels: int = 3,
+    filter_type: int = 0,
+    level: int = 0,
+) -> bytes:
+    """Encode a flat uint8 pixel stream (row-major, ``channels`` samples per
+    pixel, length ``width*height*channels``) as an 8-bit non-interlaced PNG.
+
+    ``filter_type`` (0-4) is applied to EVERY scanline — filtering uses raw
+    (unfiltered) neighbors per the spec, so all five types vectorize over
+    the whole image. ``level=0`` writes the hand-rolled stored-DEFLATE
+    stream (size == :func:`png_size`, value-independent); ``level`` 1-9
+    delegates to ``zlib.compress`` (smaller, size data-dependent)."""
+    if channels not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad filter type {filter_type}")
+    img = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(
+        height, width * channels
+    )
+    bpp = channels  # bytes per pixel at bit depth 8
+    if filter_type == 0:
+        filt = img
+    else:
+        left = np.zeros_like(img)
+        left[:, bpp:] = img[:, :-bpp]
+        up = np.zeros_like(img)
+        up[1:] = img[:-1]
+        if filter_type == 1:
+            filt = img - left  # uint8 wraparound == mod-256 arithmetic
+        elif filter_type == 2:
+            filt = img - up
+        elif filter_type == 3:
+            filt = img - (
+                (left.astype(np.int16) + up.astype(np.int16)) // 2
+            ).astype(np.uint8)
+        else:
+            upleft = np.zeros_like(img)
+            upleft[1:, bpp:] = img[:-1, :-bpp]
+            filt = img - _paeth(
+                left.astype(np.int16), up.astype(np.int16), upleft.astype(np.int16)
+            ).astype(np.uint8)
+    raw = np.concatenate(
+        [np.full((height, 1), filter_type, dtype=np.uint8), filt], axis=1
+    ).tobytes()
+    idat = _zlib_stored(raw) if level == 0 else zlib.compress(raw, level)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the scanline filters: ``raw`` is ``height`` rows of
+    ``1 + stride`` bytes (filter byte + filtered data). Returns the
+    reconstructed (height, stride) uint8 image. None/Up are whole-row
+    NumPy ops; Sub is a per-lane cumsum; Average/Paeth follow the spec's
+    left-to-right recurrence (sequential by definition — the left neighbor
+    is a reconstructed byte)."""
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = int(arr[y, 0])
+        d = arr[y, 1:]
+        if f == 0:
+            row = d.copy()
+        elif f == 1:  # Sub: per-lane running sum mod 256
+            row = d.copy()
+            for lane in range(bpp):
+                row[lane::bpp] = (
+                    np.cumsum(d[lane::bpp], dtype=np.int64) & 0xFF
+                ).astype(np.uint8)
+        elif f == 2:  # Up
+            row = d + prev
+        elif f == 3:  # Average — sequential by definition (left neighbor is
+            # reconstructed); bytearray indexing beats NumPy scalar access ~5x
+            rb = bytearray(stride)
+            db, pb_ = d.tobytes(), prev.tobytes()
+            for i in range(stride):
+                left = rb[i - bpp] if i >= bpp else 0
+                rb[i] = (db[i] + ((left + pb_[i]) >> 1)) & 0xFF
+            row = np.frombuffer(bytes(rb), dtype=np.uint8)
+        elif f == 4:  # Paeth — same sequential recurrence, bytearray-backed
+            rb = bytearray(stride)
+            db, pv = d.tobytes(), prev.tobytes()
+            for i in range(stride):
+                a = rb[i - bpp] if i >= bpp else 0
+                b = pv[i]
+                c = pv[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rb[i] = (db[i] + pred) & 0xFF
+            row = np.frombuffer(bytes(rb), dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode an 8-bit non-interlaced PNG -> ``(width, height, channels,
+    pixels)`` with ``pixels`` the flat uint8 sample stream in row-major
+    order. Validates the signature, every chunk CRC, and the IHDR
+    (bit depth 8; color type grayscale/RGB/RGBA; no interlace); raises
+    ``ValueError`` on anything else (palette, 16-bit, Adam7, truncation,
+    CRC mismatch, short/overlong pixel data)."""
+    if len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr: tuple | None = None
+    idat = bytearray()
+    saw_end = False
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        end = pos + 8 + ln
+        if end + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        body = payload[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", payload, end)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            saw_end = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped
+        pos = end + 4
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    if not saw_end:
+        raise ValueError("truncated PNG: no IEND chunk")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG variant (need 8-bit gray/RGB/RGBA)")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if width <= 0 or height <= 0:
+        raise ValueError("bad PNG dimensions")
+    channels = PNG_CHANNELS[color]
+    stride = width * channels
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    img = _png_unfilter(raw, height, stride, channels)
+    return width, height, channels, img.reshape(-1)

@@ -8,12 +8,15 @@ per-batch Python work is vectorized NumPy over ``pyarrow``-delivered byte
 arrays.
 
 Codec status (round 4): image and audio payloads are REAL encoded files —
-24-bit BMP and 16-bit mono PCM WAV, generated and decoded by the pure-NumPy
-codecs in :mod:`driftval.codecs` (these formats are header + raw array; no
-PIL/ffmpeg needed). Video has no dependency-free container, so its payload
-stays an opaque blob and its decode path is the clearly-marked deterministic
-stub. Compressed formats a production cluster would carry (JPEG/MP3/H.264)
-still route through the optional PIL hook / stub fallback.
+image rows alternate 24-bit BMP and 8-bit RGB PNG (cycling all five PNG
+scanline filters across the fixture so the whole unfilter path is exercised
+end-to-end), audio rows are 16-bit mono PCM WAV — generated and decoded by
+the pure-stdlib+NumPy codecs in :mod:`driftval.codecs` (PNG via stdlib zlib;
+stored-DEFLATE IDAT so the encoded size stays a closed form the DuckDB
+oracles can value-check). Video has no dependency-free container, so its
+payload stays an opaque blob and its decode path is the clearly-marked
+deterministic stub. Formats needing a non-stdlib entropy coder (JPEG/MP3/
+H.264) still route through the optional PIL hook / stub fallback.
 
 No multimodal capability exists in the reference (SURVEY.md §2.6); this module
 is part of the [SPEC] training-data-pipeline surface.
@@ -53,10 +56,12 @@ def _wav_samples(b: np.ndarray) -> np.ndarray:
 
 def media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic multimodal table derived from the documents fixture —
-    REAL encoded payloads: image rows carry a 24-bit BMP whose pixel stream
-    is the doc's UTF-8 bytes cycled to ``width*height*3``; audio rows a
-    PCM16 mono WAV of ``sample_rate // 100`` samples from the same cycled
-    bytes; video rows an opaque blob (no dependency-free container exists).
+    REAL encoded payloads: image rows carry the doc's UTF-8 bytes cycled to
+    ``width*height*3`` as pixels, in a PNG when ``doc_id % 6 == 0`` (filter
+    type ``(doc_id // 6) % 5`` — the fixture sweeps all five scanline
+    filters) and a 24-bit BMP when ``doc_id % 6 == 3``; audio rows a PCM16
+    mono WAV of ``sample_rate // 100`` samples from the same cycled bytes;
+    video rows an opaque blob (no dependency-free container exists).
     Typed metadata columns; ``n_bytes`` is the true payload length.
 
     Scale shape: one Arrow ``mapInPandas`` over the scan — encoding is
@@ -82,9 +87,14 @@ def media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
                 tb = str(txt).encode("utf-8")
                 kind = MEDIA_TYPES[int(i) % 3]
                 if kind == "image":
-                    payload = codecs.encode_bmp(
-                        _cycled_bytes(tb, int(w) * int(h) * 3), int(w), int(h)
-                    )
+                    px = _cycled_bytes(tb, int(w) * int(h) * 3)
+                    if int(i) % 6 == 0:
+                        payload = codecs.encode_png(
+                            px, int(w), int(h),
+                            filter_type=(int(i) // 6) % 5,
+                        )
+                    else:
+                        payload = codecs.encode_bmp(px, int(w), int(h))
                 elif kind == "audio":
                     ns = int(rate) // 100
                     payload = codecs.encode_wav(
@@ -142,9 +152,10 @@ def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
     Codec ladder per media type, most-capable first, stub last — a
     present-but-inapplicable codec must never break the run (ADVICE r2):
 
-    - image: optional PIL hook (compressed formats, when installed) ->
-      pure-NumPy BMP (:func:`driftval.codecs.decode_bmp`, real pixels) ->
-      byte-stat stub.
+    - image: optional PIL hook (entropy-coded formats, when installed) ->
+      pure-stdlib PNG (:func:`driftval.codecs.decode_png`, real zlib
+      inflate + unfilter) -> pure-NumPy BMP
+      (:func:`driftval.codecs.decode_bmp`) -> byte-stat stub.
     - audio: pure-NumPy WAV (real PCM16 samples, mapped back to the uint8
       domain via the exact inverse of the encoder's ``(b-128)*256``) ->
       byte-stat stub.
@@ -155,6 +166,10 @@ def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
                 return _real_decode(payload)
             except Exception:  # UnidentifiedImageError etc. — not a PIL image
                 pass
+        try:
+            return codecs.decode_png(bytes(payload))[3]
+        except ValueError:
+            pass
         try:
             return codecs.decode_bmp(bytes(payload))[2]
         except ValueError:
@@ -235,15 +250,17 @@ def decode_features(media: DataFrame, hist_bins: int = 16) -> DataFrame:
 
 
 def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """REAL image resize over the BMP payloads: decode -> nearest-neighbor
-    resample to ``target_w``×``target_h`` in NumPy -> re-encode BMP, one
-    Arrow ``mapInPandas`` pass, no shuffle. Non-BMP image payloads (a
-    compressed format this container can't decode) pass through unchanged
-    with ``resized = false`` — the documented stub fallback, never a crash.
+    """REAL image resize over the encoded payloads: decode (PNG or BMP) ->
+    nearest-neighbor resample to ``target_w``×``target_h`` in NumPy ->
+    re-encode in the SAME container, one Arrow ``mapInPandas`` pass, no
+    shuffle. Image payloads in a format this container can't decode pass
+    through unchanged with ``resized = false`` — the documented stub
+    fallback, never a crash.
 
     ``n_bytes`` is the TRUE re-encoded payload length (exactly
-    ``codecs.bmp_size(target_w, target_h)`` on the resized path), so the
-    DuckDB twin can value-check this operator end-to-end."""
+    ``codecs.png_size(target_w, target_h)`` / ``codecs.bmp_size(...)`` on
+    the resized paths — both closed forms), so the DuckDB twin can
+    value-check this operator end-to-end."""
     out_schema = (
         "doc_id long, payload binary, orig_width int, orig_height int, "
         "width int, height int, n_bytes long, resized boolean"
@@ -260,19 +277,30 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             ):
                 payload = bytes(payload)
                 try:
-                    w, h, px = codecs.decode_bmp(payload)
-                    img = px.reshape(h, w, 3)
+                    container = "bmp"
+                    ch = 3
+                    try:
+                        w, h, ch, px = codecs.decode_png(payload)
+                        container = "png"
+                    except ValueError:
+                        w, h, px = codecs.decode_bmp(payload)
+                    img = px.reshape(h, w, ch)
                     yi = (np.arange(target_h, dtype=np.int64) * h) // target_h
                     xi = (np.arange(target_w, dtype=np.int64) * w) // target_w
                     res = img[yi][:, xi]
-                    new_payload = codecs.encode_bmp(
-                        res.reshape(-1), target_w, target_h
-                    )
+                    if container == "png":
+                        new_payload = codecs.encode_png(
+                            res.reshape(-1), target_w, target_h, channels=ch
+                        )
+                    else:
+                        new_payload = codecs.encode_bmp(
+                            res.reshape(-1), target_w, target_h
+                        )
                     rows["payload"].append(new_payload)
                     rows["width"].append(target_w)
                     rows["height"].append(target_h)
                     rows["resized"].append(True)
-                except ValueError:  # not a decodable BMP: stub passthrough
+                except ValueError:  # not a decodable PNG/BMP: stub passthrough
                     rows["payload"].append(payload)
                     rows["width"].append(int(ow))
                     rows["height"].append(int(oh))
@@ -321,13 +349,20 @@ def frame_sample(media: DataFrame, every_k: int = 5) -> DataFrame:
 def media_conformance(media: DataFrame) -> DataFrame:
     """Metadata conformance per media_type — pure JVM aggregation:
     payload length must equal declared n_bytes; dims/rate/frames positive;
-    encoded payloads must carry their container's magic bytes (``BM`` for
-    BMP images, ``RIFF`` for WAV audio — a cheap JVM-side header check that
-    catches corrupt/misrouted blobs without any Python decode)."""
+    encoded payloads must carry their container's magic bytes (``BM`` /
+    the 8-byte PNG signature for images, ``RIFF`` for WAV audio — a cheap
+    JVM-side header check that catches corrupt/misrouted blobs without any
+    Python decode)."""
+    from driftval import codecs as _codecs
+
     magic_ok = (
         F.when(
             F.col("media_type") == "image",
-            F.expr("substring(payload, 1, 2)") == F.lit(bytearray(b"BM")),
+            (F.expr("substring(payload, 1, 2)") == F.lit(bytearray(b"BM")))
+            | (
+                F.expr("substring(payload, 1, 8)")
+                == F.lit(bytearray(_codecs.PNG_SIG))
+            ),
         )
         .when(
             F.col("media_type") == "audio",

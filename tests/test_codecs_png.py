@@ -1,0 +1,207 @@
+"""PNG codec tests: bit-exact round-trips over every filter type, an
+INDEPENDENT scalar-reference decode oracle (the test builds its own PNG
+bytes with struct+zlib and unfilters with a per-byte transcription of the
+PNG spec pseudocode — shared nothing with driftval.codecs), and the
+rejection matrix (CRC, interlace, palette, 16-bit, truncation)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from driftval import codecs
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    rng = np.random.default_rng(11)
+    for w, h, ch in ((5, 3, 3), (4, 4, 1), (17, 9, 4), (1, 1, 3), (2, 7, 1)):
+        px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8)
+        for ft in range(5):
+            for level in (0, 6):
+                blob = codecs.encode_png(
+                    px, w, h, channels=ch, filter_type=ft, level=level
+                )
+                if level == 0:
+                    assert len(blob) == codecs.png_size(w, h, ch)
+                dw, dh, dch, back = codecs.decode_png(blob)
+                assert (dw, dh, dch) == (w, h, ch)
+                assert np.array_equal(back, px), (w, h, ch, ft, level)
+
+
+def test_png_size_is_value_and_filter_independent():
+    """The closed form the DuckDB oracle twins rely on: at level=0 the
+    encoded size depends only on (w, h, channels) — not on pixel values or
+    the filter type."""
+    rng = np.random.default_rng(5)
+    sizes = {
+        len(codecs.encode_png(
+            rng.integers(0, 256, size=6 * 4 * 3, dtype=np.uint8),
+            6, 4, filter_type=ft,
+        ))
+        for ft in range(5)
+    }
+    assert sizes == {codecs.png_size(6, 4, 3)}
+
+
+def test_png_multiblock_stored_stream():
+    """Raw filtered data > 65535 bytes spans several stored-DEFLATE blocks;
+    the closed form counts them."""
+    rng = np.random.default_rng(2)
+    w, h = 200, 150  # raw = 150 * (1 + 600) = 90,150 bytes -> 2 blocks
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+    blob = codecs.encode_png(px, w, h, filter_type=4)
+    assert len(blob) == codecs.png_size(w, h, 3)
+    assert np.array_equal(codecs.decode_png(blob)[3], px)
+
+
+# --- independent reference construction ------------------------------------
+
+def _ref_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def _ref_png(width, height, channels, rows_with_filters, level=6):
+    """Build PNG bytes independently of codecs.encode_png: caller supplies
+    (filter_type, filtered_row_bytes) per scanline."""
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    raw = b"".join(bytes([f]) + bytes(r) for f, r in rows_with_filters)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _ref_chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0))
+        + _ref_chunk(b"IDAT", zlib.compress(raw, level))
+        + _ref_chunk(b"IEND", b"")
+    )
+
+
+def _ref_unfilter(rows_with_filters, stride, bpp):
+    """Per-byte transcription of the PNG spec's Recon() pseudocode —
+    the independent oracle."""
+    out = []
+    prev = [0] * stride
+    for f, d in rows_with_filters:
+        row = [0] * stride
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            row[i] = (d[i] + pred) & 0xFF
+        out.extend(row)
+        prev = row
+    return np.array(out, dtype=np.uint8)
+
+
+def test_png_decode_matches_independent_spec_reference():
+    """decode_png against a PNG assembled BY THE TEST with mixed filter
+    types per row, verified against the spec-pseudocode unfilter — guards
+    against an encode/decode pair that is self-consistent but wrong."""
+    rng = np.random.default_rng(23)
+    w, h, ch = 7, 6, 3
+    stride = w * ch
+    rows = [
+        (ft, rng.integers(0, 256, size=stride, dtype=np.uint8).tolist())
+        for ft in (0, 1, 2, 3, 4, 2)  # a different filter on every row
+    ]
+    blob = _ref_png(w, h, ch, rows)
+    dw, dh, dch, got = codecs.decode_png(blob)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert np.array_equal(got, _ref_unfilter(rows, stride, ch))
+
+
+def test_png_rejection_matrix():
+    px = np.zeros(4 * 3 * 3, dtype=np.uint8)
+    good = codecs.encode_png(px, 4, 3)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        codecs.decode_png(b"BM" + good[2:])
+    # flip one IDAT byte -> chunk CRC mismatch
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 3] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_png(good[:-6])
+
+    def ihdr_variant(**kw):
+        f = dict(depth=8, color=2, interlace=0)
+        f.update(kw)
+        body = struct.pack(">IIBBBBB", 4, 3, f["depth"], f["color"], 0, 0, f["interlace"])
+        raw = b"".join(b"\x00" + bytes(12) for _ in range(3))
+        return (
+            codecs.PNG_SIG
+            + _ref_chunk(b"IHDR", body)
+            + _ref_chunk(b"IDAT", zlib.compress(raw))
+            + _ref_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="interlaced"):
+        codecs.decode_png(ihdr_variant(interlace=1))
+    with pytest.raises(ValueError, match="unsupported"):
+        codecs.decode_png(ihdr_variant(color=3))  # palette
+    with pytest.raises(ValueError, match="unsupported"):
+        codecs.decode_png(ihdr_variant(depth=16))
+    # declared dims disagree with the inflated pixel data length
+    short = (
+        codecs.PNG_SIG
+        + _ref_chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 0))
+        + _ref_chunk(b"IDAT", zlib.compress(b"\x00" + bytes(12)))
+        + _ref_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        codecs.decode_png(short)
+    # bad per-row filter byte
+    badf = (
+        codecs.PNG_SIG
+        + _ref_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 2, 0, 0, 0))
+        + _ref_chunk(b"IDAT", zlib.compress(b"\x07" + bytes(12)))
+        + _ref_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type"):
+        codecs.decode_png(badf)
+
+
+def test_png_ancillary_chunks_skipped():
+    """tEXt/pHYs between IHDR and IDAT must be ignored, and IDAT may be
+    split across several chunks (both legal per the spec)."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=5 * 2 * 3, dtype=np.uint8)
+    raw = b"".join(
+        b"\x00" + px.reshape(2, 15)[y].tobytes() for y in range(2)
+    )
+    z = zlib.compress(raw)
+    blob = (
+        codecs.PNG_SIG
+        + _ref_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 8, 2, 0, 0, 0))
+        + _ref_chunk(b"tEXt", b"Comment\x00hello")
+        + _ref_chunk(b"IDAT", z[: len(z) // 2])
+        + _ref_chunk(b"IDAT", z[len(z) // 2 :])
+        + _ref_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(blob)[3], px)
+
+
+def test_decode_payload_png_rung():
+    """multimodal.decode_payload routes a PNG image payload through the real
+    codec (decoded pixels, not container bytes)."""
+    from driftval import multimodal
+
+    px = np.arange(4 * 2 * 3, dtype=np.uint8)
+    blob = codecs.encode_png(px, 4, 2, filter_type=3)
+    out = multimodal.decode_payload(blob, "image")
+    assert np.array_equal(out, px)
+    assert out.size < len(blob)

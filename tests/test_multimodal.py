@@ -64,22 +64,32 @@ def test_decode_features_matches_numpy(media):
 
 
 def test_media_payloads_are_real_containers(media):
-    """image payloads decode as real BMPs (pixel stream == text bytes cycled
-    to w*h*3), audio payloads as real PCM16 WAVs (samples == the documented
-    byte mapping), via the independent pure-NumPy codecs."""
+    """image payloads decode as real PNGs (doc_id % 6 == 0) / BMPs (% 6 == 3)
+    with pixel stream == text bytes cycled to w*h*3, audio payloads as real
+    PCM16 WAVs (samples == the documented byte mapping), via the independent
+    pure-stdlib codecs."""
     from driftval import codecs
 
+    saw_png = saw_bmp = False
     for r in media.collect():
         payload = bytes(r["payload"])
         if r["media_type"] == "image":
-            w, h, px = codecs.decode_bmp(payload)
+            if r["doc_id"] % 6 == 0:
+                w, h, ch, px = codecs.decode_png(payload)
+                assert ch == 3
+                assert len(payload) == codecs.png_size(w, h) == r["n_bytes"]
+                saw_png = True
+            else:
+                w, h, px = codecs.decode_bmp(payload)
+                assert len(payload) == codecs.bmp_size(w, h) == r["n_bytes"]
+                saw_bmp = True
             assert (w, h) == (r["width"], r["height"])
-            assert len(payload) == codecs.bmp_size(w, h) == r["n_bytes"]
         elif r["media_type"] == "audio":
             rate, s = codecs.decode_wav(payload)
             assert rate == r["sample_rate"]
             assert s.size == rate // 100
             assert len(payload) == codecs.wav_size(s.size) == r["n_bytes"]
+    assert saw_png and saw_bmp  # the fixture exercises BOTH image containers
 
 
 def test_codec_roundtrip_bit_exact():
@@ -181,9 +191,9 @@ def test_frame_sample_every_k(media):
 
 
 def test_resize_real_pixels(media):
-    """resize_images re-encodes REAL pixels: each output payload is a valid
-    8x8 BMP whose pixels equal an independent NumPy nearest-neighbor
-    resample of the decoded original."""
+    """resize_images re-encodes REAL pixels in the SOURCE container: each
+    output payload is a valid 8x8 PNG/BMP whose pixels equal an independent
+    NumPy nearest-neighbor resample of the decoded original."""
     from driftval import codecs
 
     originals = {
@@ -195,14 +205,22 @@ def test_resize_real_pixels(media):
     for r in out:
         assert r["resized"] and r["width"] == 8 and r["height"] == 8
         assert r["orig_width"] >= 16
-        w, h, px = codecs.decode_bmp(originals[r["doc_id"]])
+        is_png = r["doc_id"] % 6 == 0
+        if is_png:
+            w, h, _ch, px = codecs.decode_png(originals[r["doc_id"]])
+        else:
+            w, h, px = codecs.decode_bmp(originals[r["doc_id"]])
         img = px.reshape(h, w, 3)
         yi = (np.arange(8) * h) // 8
         xi = (np.arange(8) * w) // 8
         want = img[yi][:, xi].reshape(-1)
-        dw, dh, got = codecs.decode_bmp(bytes(r["payload"]))
+        if is_png:
+            dw, dh, dch, got = codecs.decode_png(bytes(r["payload"]))
+            assert dch == 3 and r["n_bytes"] == codecs.png_size(8, 8)
+        else:
+            dw, dh, got = codecs.decode_bmp(bytes(r["payload"]))
+            assert r["n_bytes"] == codecs.bmp_size(8, 8)
         assert (dw, dh) == (8, 8) and np.array_equal(got, want)
-        assert r["n_bytes"] == codecs.bmp_size(8, 8)
 
 
 def test_resize_passthrough_on_non_bmp(spark):
