@@ -1257,6 +1257,92 @@ def q_import_census(spark, sf_dir):
     )
 
 
+def _symbol_augmented(spark, sf_dir):
+    """(doc_id, lang, content) table for the symbol census: a per-lang
+    definition header (functions, classes, types — names keyed by
+    m = doc_id % 23 and m7 = m % 7 so popularity varies) prepended to the
+    document body with line structure synthesized. Pure ||/CASE over
+    doc_id, so the DuckDB twin rebuilds it byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lang = (
+        F.when(did % 5 == 0, F.lit("python"))
+        .when(did % 5 == 1, F.lit("java"))
+        .when(did % 5 == 2, F.lit("go"))
+        .when(did % 5 == 3, F.lit("js"))
+        .otherwise(F.lit("c"))
+    )
+    m = (did % 23).cast("string")
+    m7 = ((did % 23) % 7).cast("string")
+    hdr = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("def fn_"), m, F.lit("(x):\n    return x\nclass Cls_"),
+                m7, F.lit(":\n    pass\n"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.lit("public class Cls_"), m7,
+                F.lit(" {\n    public static int fn_"), m,
+                F.lit("(int x) { return x; }\n}\n"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("func fn_"), m, F.lit("() {}\ntype T_"), m7,
+                F.lit(" struct {}\nfunc (r T_"), m7, F.lit(") meth_"), m,
+                F.lit("() {}\n"),
+            ),
+        )
+        .when(
+            did % 5 == 3,
+            F.concat(
+                F.lit("function fn_"), m, F.lit("() {}\nclass Cls_"), m7,
+                F.lit(" {}\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("static int fn_"), m,
+                F.lit("(int x) { return x; }\nint helper_"), m7,
+                F.lit("(void);\n"),
+            )
+        )
+    )
+    body = F.replace(F.col("text"), F.lit(" data "), F.lit("\n"))
+    return d.select(
+        "doc_id", lang.alias("lang"), F.concat(hdr, body).alias("content")
+    )
+
+
+def q_symbol_census(spark, sf_dir):
+    """Per-(lang, kind, symbol) definition popularity
+    (driftval/codestats.py symbol_census): lang-dispatched
+    regexp_extract_all per kind, one explode, two-level skew-safe
+    aggregate — the corpus symbol dictionary."""
+    from driftval import codestats
+
+    return codestats.symbol_census(
+        _symbol_augmented(spark, sf_dir), "doc_id", "lang", "content"
+    )
+
+
+def q_symbol_defs(spark, sf_dir):
+    """Exploded per-definition rows for a deterministic slice of the corpus
+    (doc_id % 37 == 0 — pushed into the scan): the row-level output the
+    census aggregates, hash-checked directly."""
+    from driftval import codestats
+
+    aug = _symbol_augmented(spark, sf_dir).where(F.col("doc_id") % 37 == 0)
+    return codestats.symbol_defs(aug, "doc_id", "lang", "content").select(
+        F.col("_id").alias("doc_id"), "lang", "kind", "symbol"
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals. The synthetic corpus has
     no newlines, so line structure is synthesized portably first (every
@@ -1393,6 +1479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_clone_pairs": q_winnow_clone_pairs,
         "import_census": q_import_census,
+        # --- new in round 4 (second half): symbol census ---
+        "symbol_census": q_symbol_census,
+        "symbol_defs": q_symbol_defs,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -2009,6 +2098,86 @@ ex AS (
 )
 SELECT lang, module, count(*)::BIGINT AS n_files, sum(n)::BIGINT AS n_imports
 FROM pf GROUP BY 1, 2
+"""
+
+
+# symbol-census fixture: the same per-lang definition header the Spark
+# _symbol_augmented plants, byte-for-byte
+_SYMBOL_AUG_SQL = """
+  SELECT doc_id,
+         CASE doc_id % 5 WHEN 0 THEN 'python' WHEN 1 THEN 'java'
+              WHEN 2 THEN 'go' WHEN 3 THEN 'js' ELSE 'c' END AS lang,
+         CASE doc_id % 5
+           WHEN 0 THEN 'def fn_' || m || '(x):' || chr(10) || '    return x'
+                       || chr(10) || 'class Cls_' || m7 || ':' || chr(10)
+                       || '    pass' || chr(10)
+           WHEN 1 THEN 'public class Cls_' || m7 || ' {' || chr(10)
+                       || '    public static int fn_' || m
+                       || '(int x) { return x; }' || chr(10) || '}' || chr(10)
+           WHEN 2 THEN 'func fn_' || m || '() {}' || chr(10) || 'type T_' || m7
+                       || ' struct {}' || chr(10) || 'func (r T_' || m7
+                       || ') meth_' || m || '() {}' || chr(10)
+           WHEN 3 THEN 'function fn_' || m || '() {}' || chr(10)
+                       || 'class Cls_' || m7 || ' {}' || chr(10)
+           ELSE 'static int fn_' || m || '(int x) { return x; }' || chr(10)
+                || 'int helper_' || m7 || '(void);' || chr(10)
+         END || replace(text, ' data ', chr(10)) AS content
+  FROM (
+    SELECT doc_id, text,
+           (doc_id % 23)::VARCHAR AS m, ((doc_id % 23) % 7)::VARCHAR AS m7
+    FROM documents
+  )
+"""
+
+
+def _symbol_branches() -> str:
+    """One UNION ALL arm per symbol kind, each a lang-dispatched
+    regexp_extract_all — patterns imported from the SAME dict the Spark
+    operator uses (driftval/codestats.SYMBOL_PATTERNS), so the twins
+    cannot drift apart."""
+    from driftval.codestats import SYMBOL_PATTERNS
+
+    kinds = sorted({k for per in SYMBOL_PATTERNS.values() for k in per})
+    arms = []
+    for kind in kinds:
+        branches = "\n        ".join(
+            f"WHEN '{lang}' THEN regexp_extract_all(content, '{per[kind].replace(chr(39), chr(39) * 2)}', 1)"
+            for lang, per in SYMBOL_PATTERNS.items()
+            if kind in per
+        )
+        arms.append(
+            f"""  SELECT doc_id, lang, '{kind}' AS kind,
+      CASE lang
+        {branches}
+        ELSE []::VARCHAR[] END AS syms
+  FROM aug"""
+        )
+    return "\n  UNION ALL\n".join(arms)
+
+
+def _symbol_census_sql() -> str:
+    return f"""
+WITH aug AS ({_SYMBOL_AUG_SQL}),
+ex AS (
+{_symbol_branches()}
+), e AS (
+  SELECT doc_id, lang, kind, unnest(syms) AS symbol FROM ex
+), pf AS (
+  SELECT lang, kind, symbol, doc_id, count(*) AS n FROM e GROUP BY 1, 2, 3, 4
+)
+SELECT lang, kind, symbol, count(*)::BIGINT AS n_files, sum(n)::BIGINT AS n_defs
+FROM pf GROUP BY 1, 2, 3
+"""
+
+
+def _symbol_defs_sql() -> str:
+    return f"""
+WITH aug0 AS ({_SYMBOL_AUG_SQL}),
+aug AS (SELECT * FROM aug0 WHERE doc_id % 37 = 0),
+ex AS (
+{_symbol_branches()}
+)
+SELECT doc_id, lang, kind, unnest(syms) AS symbol FROM ex
 """
 
 
@@ -3213,6 +3382,8 @@ SELECT id_a, id_b, shared_fps,
 FROM sh JOIN cnt ca ON ca.doc_id = sh.id_a JOIN cnt cb ON cb.doc_id = sh.id_b
 """,
         "import_census": _import_census_sql(clone_aug),
+        "symbol_census": _symbol_census_sql(),
+        "symbol_defs": _symbol_defs_sql(),
         "repetition_signals": """
 WITH src AS (
   SELECT doc_id, replace(text, ' data ', chr(10)) AS text FROM documents

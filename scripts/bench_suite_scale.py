@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Suite-level scale bench: run the FULL constraint + drift validation suite
+(the BASELINE.json headline workload — column stats, uniqueness, referential,
+histogram/CDCStream/CDDA/Krimp drift, sha256 fidelity, checkpoint writes) at
+two corpus sizes a decade apart and record validated files/sec at both.
+
+The dedup-family scale evidence lives in BENCH/DEDUP_SCALE.md; this harness
+covers the suite itself — the metric the north rule is denominated in. A
+files/sec ratio near (or above) 1.0 between the scales means the suite's
+shuffles, checkpoint writes, and drift kernels are size-stable: no stage
+degrades super-linearly when the partition count is fixed and partitions
+grow 10x.
+
+Writes BENCH/suite_scale.json + BENCH/SUITE_SCALE.md. Knobs:
+DRIFTVAL_SUITE_SCALES="25000,250000" (rows per date-partition; the files
+table is 8 date partitions + a seeded-violation partition)
+DRIFTVAL_SUITE_SCALE_CPUS=32  DRIFTVAL_SUITE_SCALE_REPS=2
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import run_suite_bench  # noqa: E402
+from driftval.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(os.environ.get("DRIFTVAL_SUITE_SCALE_CPUS", "32"))
+    scales = [
+        int(s)
+        for s in os.environ.get("DRIFTVAL_SUITE_SCALES", "25000,250000").split(",")
+    ]
+    reps = int(os.environ.get("DRIFTVAL_SUITE_SCALE_REPS", "2"))
+    block_size = int(os.environ.get("DRIFTVAL_BENCH_BLOCK_SIZE", "2500"))
+
+    spark = build_session(
+        "driftval-suite-scale", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # same warm-up discipline as bench.py: codegen + python-worker spin-up
+    # paid before any timed rep
+    for _ in range(2):
+        run_suite_bench(spark, max(500, scales[0] // 10), block_size)
+
+    runs = []
+    for rows_pp in scales:
+        best = None
+        for _ in range(reps):
+            r = run_suite_bench(spark, rows_pp, block_size)
+            if best is None or r["suite_sec"] < best["suite_sec"]:
+                best = r
+        best["rows_per_partition"] = rows_pp
+        runs.append(best)
+        print(
+            f"rows_pp={rows_pp}: {best['suite_files']} files in "
+            f"{best['suite_sec']}s = {best['files_per_sec']} files/s",
+            file=sys.stderr,
+        )
+    spark.stop()
+
+    ratio = round(runs[-1]["files_per_sec"] / runs[0]["files_per_sec"], 3)
+    result = {
+        "cpus": cpus,
+        "block_size": block_size,
+        "reps_each": reps,
+        "runs": runs,
+        "throughput_ratio_large_over_small": ratio,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/suite_scale.json", "w") as f:
+        json.dump(result, f, indent=1)
+
+    lines = [
+        "# Suite-level scale bench",
+        "",
+        "Full validation suite (stats + uniqueness + referential + histogram/",
+        "CDCStream/CDDA/Krimp drift + sha256 fidelity + checkpoint writes) at two",
+        f"corpus sizes a decade apart, local[{cpus}], best of {reps} timed reps",
+        "after warm-up. Generated files table: 8 date partitions + 1 seeded-",
+        "violation partition, partition count fixed, partition SIZE scales.",
+        "",
+        "| files | suite wall (s) | validated files/s |",
+        "|---|---|---|",
+    ]
+    for r in runs:
+        lines.append(
+            f"| {r['suite_files']:,} | {r['suite_sec']} | {r['files_per_sec']:,} |"
+        )
+    lines += [
+        "",
+        f"Throughput ratio (large/small): **{ratio}** — ≥ ~1.0 means every",
+        "suite stage is size-stable at the next decade: per-file cost does not",
+        "grow, so scaling out (more executors at the same per-executor share)",
+        "is what the paired-cores runs in BENCH/BASELINE.md measure.",
+    ]
+    with open("BENCH/SUITE_SCALE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
