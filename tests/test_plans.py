@@ -297,3 +297,20 @@ def test_winnow_selects_inside_the_scan(spark, docs):
     # MapInPandas feeds straight from the projected scan (normalizer below)
     mi = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
     assert "Project" in lines[mi + 1] and "Scan parquet" in lines[mi + 2], tree
+
+
+def test_symbol_census_shuffles_symbols_not_content(spark, docs):
+    """The symbol census's two exchanges must carry (lang, kind, symbol[, id])
+    — short identifiers — never the content column, and all kind arrays must
+    explode from ONE scan (the kind-tagged union is an array literal over a
+    single projection, not a union of per-kind selects)."""
+    from driftval import codestats
+
+    code = docs.select(
+        "doc_id", F.lit("python").alias("lang"), F.col("text").alias("content")
+    )
+    plan = plan_of(codestats.symbol_census(code, "doc_id", "lang", "content"))
+    assert n_scans(plan) == 1, plan
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(exchanges) == 2, plan
+    assert all("content" not in l for l in exchanges), exchanges
