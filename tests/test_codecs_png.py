@@ -205,3 +205,31 @@ def test_decode_payload_png_rung():
     out = multimodal.decode_payload(blob, "image")
     assert np.array_equal(out, px)
     assert out.size < len(blob)
+
+
+def test_png_roundtrip_fuzz():
+    """Property-style fuzz: random dims/channels/filters/levels round-trip
+    bit-exactly, and adversarial pixel planes (all-0, all-255, gradients
+    that stress Average/Paeth tie-breaking) survive every filter."""
+    rng = np.random.default_rng(99)
+    for seed in range(40):
+        w = int(rng.integers(1, 50))
+        h = int(rng.integers(1, 40))
+        ch = int(rng.choice([1, 3, 4]))
+        ft = int(rng.integers(0, 5))
+        level = int(rng.choice([0, 1, 9]))
+        px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8)
+        blob = codecs.encode_png(px, w, h, channels=ch, filter_type=ft, level=level)
+        dw, dh, dch, back = codecs.decode_png(blob)
+        assert (dw, dh, dch) == (w, h, ch) and np.array_equal(back, px), (
+            seed, w, h, ch, ft, level,
+        )
+    for plane in (
+        np.zeros(9 * 7 * 3, dtype=np.uint8),
+        np.full(9 * 7 * 3, 255, dtype=np.uint8),
+        (np.arange(9 * 7 * 3) % 256).astype(np.uint8),
+        np.tile(np.array([0, 255, 128], dtype=np.uint8), 9 * 7),
+    ):
+        for ft in range(5):
+            blob = codecs.encode_png(plane, 9, 7, filter_type=ft)
+            assert np.array_equal(codecs.decode_png(blob)[3], plane), ft
