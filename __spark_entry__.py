@@ -1423,16 +1423,133 @@ def q_window_drift_events(spark, sf_dir):
     )
 
 
+def _chunks_code_augmented(spark, sf_dir):
+    """(doc_id, lang, content) table for the function-boundary chunker
+    (driftval/codestats.py code_chunks / function_clone_groups): each file
+    is a per-lang preamble + TWO definitions — fn_<h> whose body is keyed
+    by h = (doc_id div 3) % 41 (so files sharing (lang, h) carry the SAME
+    function: the function-level clone target), and g_<doc_id> whose body
+    is keyed by doc_id (never a clone).  A per-doc '// note N' comment sits
+    INSIDE fn's chunk, so the clone chunks are byte-different but identical
+    after comment normalization.  All content is ||/md5/CASE over doc_id,
+    so the DuckDB twin reproduces it byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    h = F.expr("(doc_id div 3) % 41").cast("string")
+    fa = F.md5(F.concat(F.lit("fa_"), h).cast("binary"))
+    fb = F.md5(F.concat(F.lit("fb_"), s).cast("binary"))
+    cmt = F.concat(F.lit("// note "), s, F.lit("\n"))
+    lang = (
+        F.when(did % 5 == 0, F.lit("python"))
+        .when(did % 5 == 1, F.lit("java"))
+        .when(did % 5 == 2, F.lit("go"))
+        .when(did % 5 == 3, F.lit("js"))
+        .otherwise(F.lit("c"))
+    )
+    content = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("import mod_"), (did % 23).cast("string"), F.lit("\n"),
+                F.lit("def fn_"), h, F.lit("(x):\n    return 0x"), fa, F.lit("\n"),
+                cmt,
+                F.lit("def g_"), s, F.lit("(x):\n    return 0x"), fb, F.lit("\n"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.lit("package p;\n"),
+                F.lit("public long fn_"), h, F.lit("() { return 0x"), fa, F.lit("; }\n"),
+                cmt,
+                F.lit("private long g_"), s, F.lit("() { return 0x"), fb, F.lit("; }\n"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("package main\n"),
+                F.lit("func fn_"), h, F.lit('() string { return "'), fa, F.lit('" }\n'),
+                cmt,
+                F.lit("func g_"), s, F.lit('() string { return "'), fb, F.lit('" }\n'),
+            ),
+        )
+        .when(
+            did % 5 == 3,
+            F.concat(
+                F.lit("const m = 1;\n"),
+                F.lit("function fn_"), h, F.lit('(x) { return "'), fa, F.lit('" }\n'),
+                cmt,
+                F.lit("function g_"), s, F.lit('(x) { return "'), fb, F.lit('" }\n'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("#include <m.h>\n"),
+                F.lit("long fn_"), h, F.lit("(void) { return 0x"), fa, F.lit("; }\n"),
+                cmt,
+                F.lit("long g_"), s, F.lit("(void) { return 0x"), fb, F.lit("; }\n"),
+            ),
+        )
+    )
+    return d.select("doc_id", lang.alias("lang"), content.alias("content"))
+
+
+def q_code_chunks(spark, sf_dir):
+    """Function-boundary chunker (driftval/codestats.py): split each file
+    at its per-lang definition lines via one sentinel-insert regexp +
+    split + posexplode — zero shuffle; preamble keeps chunk_idx 0."""
+    from driftval import codestats
+
+    return codestats.code_chunks(
+        _chunks_code_augmented(spark, sf_dir), "doc_id", "lang", "content"
+    )
+
+
+def q_function_clone_groups(spark, sf_dir):
+    """Function-level clone groups (driftval/codestats.py): chunk at def
+    boundaries, normalize comments/whitespace with the clone family's
+    shared normalizer, group by the digest — catches a copied helper
+    inside an otherwise-original file, which whole-file dedup misses."""
+    from driftval import codestats
+
+    return codestats.function_clone_groups(
+        _chunks_code_augmented(spark, sf_dir), "doc_id", "lang", "content",
+        min_files=2, min_chars=32,
+    )
+
+
+def q_decontamination_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination (driftval/textops.py
+    eval_ngram_overlap_bloom): same split as `decontamination`, but the
+    eval shingle set is carried as a fixed-size Bloom filter (built
+    distributed, bit_or-merged) and only the tiny survivor set does the
+    exact confirm join — the shape for deduping a corpus against another
+    CORPUS too big to broadcast.  No false negatives + exact confirm =
+    bit-identical output, so this entry shares the exact operator's
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return textops.eval_ngram_overlap_bloom(
+        corpus, ev, "doc_id", "text", n=3, min_hits=2, m_bits=1 << 20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Catalog rotation (round 4): the driver's correctness gate covers a
     # prefix of this dict.  Rounds 1-3 recorded green rows for the 50
-    # original entries (see CORRECTNESS_r03.json); this round fronts the 32
-    # entries added late in round 3 that the r3 gate did not reach, so that
-    # across CORRECTNESS_r03 + CORRECTNESS_r04 every catalog entry has a
-    # driver-verified row.  The previously-covered 50 follow in their
-    # original order.
+    # original entries (see CORRECTNESS_r03.json); this round fronts the
+    # entries added in round 4 plus the 32 added late in round 3 that the
+    # r3 gate did not reach — exactly 50, so that across CORRECTNESS_r03 +
+    # CORRECTNESS_r04 every catalog entry has a driver-verified row.  The
+    # previously-covered 50 follow in their original order.
     return {
         # --- rotation front: entries without a driver-side green row yet ---
+        "code_chunks": q_code_chunks,
+        "function_clone_groups": q_function_clone_groups,
+        "decontamination_bloom": q_decontamination_bloom,
         "license_scan_documents": q_license_scan_documents,
         "license_census_documents": q_license_census_documents,
         "code_filter_signals": q_code_filter_signals,
@@ -2181,6 +2298,86 @@ SELECT doc_id, lang, kind, unnest(syms) AS symbol FROM ex
 """
 
 
+def _chunkaug_sql() -> str:
+    """DuckDB twin of _chunks_code_augmented — same ||/md5/CASE builder."""
+    return """
+  SELECT doc_id,
+    CASE doc_id % 5 WHEN 0 THEN 'python' WHEN 1 THEN 'java'
+         WHEN 2 THEN 'go' WHEN 3 THEN 'js' ELSE 'c' END AS lang,
+    CASE doc_id % 5
+      WHEN 0 THEN 'import mod_' || (doc_id % 23)::VARCHAR || chr(10)
+        || 'def fn_' || h || '(x):' || chr(10) || '    return 0x' || fa || chr(10)
+        || cmt
+        || 'def g_' || s || '(x):' || chr(10) || '    return 0x' || fb || chr(10)
+      WHEN 1 THEN 'package p;' || chr(10)
+        || 'public long fn_' || h || '() {{ return 0x' || fa || '; }}' || chr(10)
+        || cmt
+        || 'private long g_' || s || '() {{ return 0x' || fb || '; }}' || chr(10)
+      WHEN 2 THEN 'package main' || chr(10)
+        || 'func fn_' || h || '() string {{ return "' || fa || '" }}' || chr(10)
+        || cmt
+        || 'func g_' || s || '() string {{ return "' || fb || '" }}' || chr(10)
+      WHEN 3 THEN 'const m = 1;' || chr(10)
+        || 'function fn_' || h || '(x) {{ return "' || fa || '" }}' || chr(10)
+        || cmt
+        || 'function g_' || s || '(x) {{ return "' || fb || '" }}' || chr(10)
+      ELSE '#include <m.h>' || chr(10)
+        || 'long fn_' || h || '(void) {{ return 0x' || fa || '; }}' || chr(10)
+        || cmt
+        || 'long g_' || s || '(void) {{ return 0x' || fb || '; }}' || chr(10)
+    END AS content
+  FROM (
+    SELECT doc_id, doc_id::VARCHAR AS s,
+           ((doc_id // 3) % 41)::VARCHAR AS h,
+           md5('fa_' || ((doc_id // 3) % 41)::VARCHAR) AS fa,
+           md5('fb_' || doc_id::VARCHAR) AS fb,
+           '// note ' || doc_id::VARCHAR || chr(10) AS cmt
+    FROM documents
+  )
+""".replace("{{", "{").replace("}}", "}")
+
+
+def _chunk_explode_sql() -> str:
+    """Shared CTE chain for the code_chunks family: sentinel insert,
+    split, zip-unnest numbering, empty-chunk filter, symbol extract — the
+    regexes come from the SAME dicts the Spark operator uses
+    (driftval/codestats.py CHUNK_BOUNDARY_PATTERNS / CHUNK_SYMBOL_PATTERNS)."""
+    from driftval.codestats import (
+        CHUNK_BOUNDARY_PATTERNS,
+        CHUNK_SYMBOL_PATTERNS,
+    )
+
+    bnd = "\n      ".join(
+        f"WHEN '{lang}' THEN regexp_replace(content, '{pat}', chr(1) || '\\1', 'g')"
+        for lang, pat in CHUNK_BOUNDARY_PATTERNS.items()
+    )
+    sym = "\n      ".join(
+        f"WHEN '{lang}' THEN regexp_extract(chunk, '{pat}', 1)"
+        for lang, pat in CHUNK_SYMBOL_PATTERNS.items()
+    )
+    return f"""
+mk AS (
+  SELECT doc_id, lang,
+    CASE lang
+      {bnd}
+      ELSE content END AS marked
+  FROM aug
+), pr AS (
+  SELECT doc_id, lang, string_split(marked, chr(1)) AS parts FROM mk
+), ex AS (
+  SELECT doc_id, lang,
+         unnest(parts) AS chunk,
+         unnest(generate_series(1, len(parts))) AS i
+  FROM pr
+), ck AS (
+  SELECT doc_id, lang, (i - 1)::BIGINT AS chunk_idx, chunk,
+    CASE lang
+      {sym}
+      ELSE '' END AS symbol
+  FROM ex WHERE length(chunk) > 0
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     lic_aug, lic_case, lic_fam = _license_sql_parts()
     code_aug, code_sig = _codestats_sql_parts()
@@ -2192,7 +2389,36 @@ def oracle_sql() -> dict[str, str]:
   UNION ALL
   SELECT (event_id // 500), 'a2', strftime(ts, '%H') FROM events
 """
-    return {
+    chunk_aug = _chunkaug_sql()
+    chunk_explode = _chunk_explode_sql()
+    out = {
+        "code_chunks": f"""
+WITH aug AS ({chunk_aug}),
+{chunk_explode}
+SELECT doc_id, lang, chunk_idx, symbol,
+       len(string_split(chunk, chr(10)))::BIGINT AS n_lines,
+       length(chunk)::BIGINT AS n_chars,
+       md5(chunk) AS chunk_md5
+FROM ck
+""",
+        "function_clone_groups": f"""
+WITH aug AS ({chunk_aug}),
+{chunk_explode},
+nc AS (
+  SELECT doc_id, lang, symbol,
+         {clone_norm.replace("(c, ", "(chunk, ")} AS nrm
+  FROM ck WHERE symbol <> ''
+), kd AS (
+  SELECT doc_id, lang, symbol, md5(nrm) AS norm_md5
+  FROM nc WHERE length(nrm) >= 32
+)
+SELECT norm_md5, min(symbol) AS symbol,
+       count(*)::BIGINT AS n_chunks,
+       count(DISTINCT doc_id)::BIGINT AS n_files,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       min(doc_id) AS min_id
+FROM kd GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+""",
         "colstats_documents": """
 SELECT source,
        count(*) AS n_rows,
@@ -3533,3 +3759,8 @@ SELECT pair_id,
 FROM masses GROUP BY pair_id
 """,
     }
+    # Bloom prefilter + exact confirm join is bit-identical to the exact
+    # operator (no false negatives; false positives die in the confirm),
+    # so the bloom entry is checked against the exact operator's oracle.
+    out["decontamination_bloom"] = out["decontamination"]
+    return out

@@ -1421,6 +1421,199 @@ def eval_ngram_overlap(
     )
 
 
+def _bloom_indices(h: "np.ndarray", m_bits: int, n_hashes: int) -> "np.ndarray":
+    """Double-hashing probe positions for a vector of 64-bit shingle
+    hashes: ``idx_i = (h1 + i*h2) mod m`` with ``h2`` forced odd — the
+    standard Kirsch-Mitzenmacher construction, deterministic given the
+    md5-prefix hash, so build and test sides always agree. Returns shape
+    ``(n_hashes, len(h))`` uint64."""
+    import numpy as np
+
+    hu = h.astype(np.uint64)
+    h1 = hu % np.uint64(m_bits)
+    h2 = (hu >> np.uint64(29)) | np.uint64(1)
+    steps = np.arange(n_hashes, dtype=np.uint64)[:, None]
+    return (h1[None, :] + steps * h2[None, :]) % np.uint64(m_bits)
+
+
+def build_shingle_bloom(
+    evalset: DataFrame,
+    text_col: str,
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> bytes:
+    """Distributed Bloom-filter build over the eval set's distinct shingle
+    hashes: each partition sets its bits in a local NumPy bitmap and emits
+    only the NONZERO 64-bit words as ``(word_idx, word)`` rows, a
+    ``groupBy(word_idx).agg(bit_or(word))`` ORs them JVM-side, and the
+    driver assembles the final ``m_bits/8``-byte bitmap from the (sparse)
+    result. Driver traffic is O(set words), never O(partitions × bitmap);
+    the eval TEXT never leaves its executors. ``m_bits`` must be a power
+    of two."""
+    import numpy as np
+    import pandas as pd
+
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    n_words = m_bits // 64
+
+    hashes = (
+        evalset.select(
+            F.explode(
+                F.transform(
+                    word_shingles(F.col(text_col), n),
+                    lambda s: token_hash64(s),
+                )
+            ).alias("_sh")
+        )
+        .distinct()
+    )
+
+    def _partition_words(batches):
+        words = np.zeros(n_words, dtype=np.uint64)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            idx = _bloom_indices(pdf["_sh"].to_numpy(np.int64), m_bits, n_hashes)
+            flat = idx.ravel()
+            np.bitwise_or.at(words, flat >> np.uint64(6), np.uint64(1) << (flat & np.uint64(63)))
+        if any_rows:
+            nz = np.flatnonzero(words)
+            yield pd.DataFrame(
+                {"word_idx": nz.astype(np.int64), "word": words[nz].view(np.int64)}
+            )
+
+    sparse = (
+        hashes.mapInPandas(_partition_words, schema="word_idx long, word long")
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
+    words = np.zeros(n_words, dtype=np.int64)
+    for row in sparse:
+        words[row["word_idx"]] = row["word"]
+    return words.tobytes()
+
+
+def eval_ngram_overlap_bloom(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_hits: int = 2,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """:func:`eval_ngram_overlap` for the regime where the eval side is too
+    big to broadcast as a raw hash set (deduping a corpus against another
+    CORPUS, not a benchmark): a fixed-size Bloom filter of the eval shingle
+    hashes (built distributed, see :func:`build_shingle_bloom`) prefilters
+    the corpus shingles executor-side, and only the (tiny) survivor set
+    does the exact shuffled semi-join against the eval hashes that kills
+    the false positives — so the OUTPUT IS BIT-IDENTICAL to the exact
+    operator (Bloom filters have no false negatives; every true hit
+    survives the prefilter and every false positive dies in the confirm
+    join), which is why this query shares the exact operator's oracle.
+
+    Scale shape: the corpus shingle projection runs ONCE (ids + counts and
+    the bloom-surviving hash array come out of the same pass; the Arrow
+    crossing carries 8-byte hashes, never text); the per-doc totals need no
+    join at all; the confirm join shuffles survivors ≈ true hits +
+    fpp × corpus shingles instead of the whole corpus shingle stream —
+    with the default 1 MiB / 4-probe filter, fpp < 1% up to ~10⁵ eval
+    shingles and the filter size is CHOSEN, not data-dependent, so the
+    plan is stable no matter how big the eval corpus grows."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    bloom_bytes = build_shingle_bloom(
+        evalset, text_col, n=n, m_bits=m_bits, n_hashes=n_hashes
+    )
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(bloom_bytes)
+
+    id_field = corpus.schema[id_col]
+    surv_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("n_shingles", T.LongType()),
+            T.StructField("_surv", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _bloom_filter_batches(batches):
+        words = np.frombuffer(bc.value, dtype=np.uint64)
+        for pdf in batches:
+            counts: list[int] = []
+            survivors: list[list[int]] = []
+            for arr in pdf["_shs"]:
+                if arr is None or len(arr) == 0:
+                    counts.append(0)
+                    survivors.append([])
+                    continue
+                h = np.asarray(arr, dtype=np.int64)
+                idx = _bloom_indices(h, m_bits, n_hashes)
+                hit = (
+                    (words[idx >> np.uint64(6)] >> (idx & np.uint64(63)))
+                    & np.uint64(1)
+                ).all(axis=0)
+                counts.append(len(h))
+                survivors.append(h[hit].tolist())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_shingles": counts, "_surv": survivors}
+            )
+
+    eval_hashes = (
+        evalset.select(
+            F.explode(
+                F.transform(
+                    word_shingles(F.col(text_col), n), lambda s: token_hash64(s)
+                )
+            ).alias("_sh")
+        )
+        .distinct()
+    )
+
+    per_doc = (
+        _spread(corpus.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: token_hash64(s)
+            ).alias("_shs"),
+        )
+        .mapInPandas(_bloom_filter_batches, schema=surv_schema)
+    )
+
+    hits = (
+        per_doc.select(F.col(id_col), F.explode("_surv").alias("_sh"))
+        .join(eval_hashes, "_sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+
+    joined = per_doc.select(id_col, "n_shingles").join(hits, id_col, "left")
+    h = F.coalesce(F.col("_hits"), F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        h.cast("long").alias("n_contaminated"),
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0, h.cast("double") / F.col("n_shingles")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).cast("double").alias("contamination_frac"),
+        (h >= min_hits).alias("flagged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-level n-gram statistics, length percentiles, canonical selection
 # ---------------------------------------------------------------------------

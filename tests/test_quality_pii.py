@@ -104,3 +104,83 @@ def test_pii_verdicts(spark):
     assert rows[("p1", "pii:email")]["violation_count"] == 1
     assert rows[("p2", "pii:email")]["passed"]
     assert rows[("p1", "pii:ipv4")]["passed"]
+
+
+def test_bloom_overlap_matches_exact(spark):
+    """eval_ngram_overlap_bloom is bit-identical to the exact operator —
+    even with a deliberately tiny, false-positive-heavy filter (the exact
+    confirm join must kill every FP; Bloom filters have no FNs)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    mk = lambda k: " ".join(rng.choice(vocab) for _ in range(k))
+    eval_df = spark.createDataFrame(
+        [(i, mk(rng.randint(3, 20))) for i in range(100, 110)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(i, mk(rng.randint(0, 25))) for i in range(60)],
+        "doc_id long, text string",
+    )
+
+    def key(rows):
+        return {
+            r["doc_id"]: (
+                r["n_shingles"], r["n_contaminated"],
+                r["contamination_frac"], r["flagged"],
+            )
+            for r in rows
+        }
+
+    exact = key(
+        textops.eval_ngram_overlap(
+            corpus, eval_df, "doc_id", "text", n=3, min_hits=2
+        ).collect()
+    )
+    for m_bits, n_hashes in [(1 << 16, 4), (1 << 9, 2)]:
+        got = key(
+            textops.eval_ngram_overlap_bloom(
+                corpus, eval_df, "doc_id", "text",
+                n=3, min_hits=2, m_bits=m_bits, n_hashes=n_hashes,
+            ).collect()
+        )
+        assert got == exact, (m_bits, n_hashes)
+    assert len(exact) == 60  # every corpus doc present, incl. shingle-less
+
+
+def test_bloom_build_rejects_bad_size(spark):
+    eval_df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textops.build_shingle_bloom(eval_df, "text", m_bits=1000)
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Every eval shingle hash tests positive against the built filter."""
+    import numpy as np
+
+    eval_df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} shared middle words") for i in range(25)],
+        "doc_id long, text string",
+    )
+    m_bits, n_hashes = 1 << 12, 4
+    words = np.frombuffer(
+        textops.build_shingle_bloom(eval_df, "text", n=3, m_bits=m_bits, n_hashes=n_hashes),
+        dtype=np.uint64,
+    )
+    hashes = (
+        eval_df.select(
+            F.explode(
+                F.transform(
+                    textops.word_shingles(F.col("text"), 3),
+                    lambda s: textops.token_hash64(s),
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .collect()
+    )
+    h = np.array([r["h"] for r in hashes], dtype=np.int64)
+    idx = textops._bloom_indices(h, m_bits, n_hashes)
+    hit = ((words[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1)).all(axis=0)
+    assert hit.all()
