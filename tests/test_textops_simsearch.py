@@ -555,3 +555,113 @@ def test_empty_shingle_set_docs_never_band_match(spark):
         idx, "doc_id", "text", n=3,
     )
     assert out.where(F.col("match_kind") == "banded").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_numpy(V, ids, M, K, qids, k):
+    """Independent NumPy reimplementation of stand-in PQ encode + ADC."""
+    import numpy as np
+
+    d = V.shape[1]
+    sd = d // M
+    cb = V[:K].reshape(K, M, sd)
+    codes = np.zeros((len(ids), M), dtype=int)
+    for m in range(M):
+        dist = ((V[:, None, m * sd:(m + 1) * sd] - cb[None, :, m, :]) ** 2).sum(-1).round(9)
+        codes[:, m] = dist.argmin(1)
+    adc = {}
+    for qi in qids:
+        q = V[list(ids).index(qi)]
+        lut = np.stack([
+            (((q[m * sd:(m + 1) * sd][None, :] - cb[:, m, :]) ** 2).sum(-1)).round(9)
+            for m in range(M)
+        ])
+        dists = np.array([
+            lut[np.arange(M), codes[ii]].sum().round(6) for ii in range(len(ids))
+        ])
+        order = sorted((dd, i) for dd, i in zip(dists, ids) if i != qi)[:k]
+        adc[qi] = [(rank + 1, i, dd) for rank, (dd, i) in enumerate(order)]
+    return codes, adc
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    V = rng.randn(40, 16).round(3)
+    ids = list(range(40))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    M, K, qids, k = 4, 8, [0, 3, 17], 4
+    codes, adc = _pq_numpy(V, ids, M, K, qids, k)
+
+    got = simsearch.pq_encode(df, "vec_id", "embedding", m_sub=M, n_codes=K).collect()
+    gmap = {(r["_id"], r["m"]): r["code"] for r in got}
+    assert len(gmap) == len(ids) * M
+    for ii, i in enumerate(ids):
+        for m in range(M):
+            assert gmap[(i, m)] == codes[ii, m], (i, m)
+
+    gk = simsearch.knn_pq(df, "vec_id", "embedding", qids, k=k, m_sub=M, n_codes=K).collect()
+    gm: dict[int, list] = {}
+    for r in gk:
+        gm.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["adist"]))
+    for qi in qids:
+        assert sorted(gm[qi]) == adc[qi], qi
+
+
+def test_pq_standin_codebook_encodes_seeds_to_themselves(spark):
+    """Vectors that ARE the stand-in codebook encode with zero error to
+    their own id in every subspace (distinct random subvectors)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    V = rng.randn(20, 8).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    got = simsearch.pq_encode(df, "vec_id", "embedding", m_sub=2, n_codes=6).collect()
+    for r in got:
+        if r["_id"] < 6:
+            assert r["code"] == r["_id"], (r["_id"], r["m"], r["code"])
+
+
+def test_pq_trained_deterministic_and_better(spark):
+    """train_pq_codebooks is run-to-run deterministic, and on two-cluster
+    data the trained cells beat the stand-in's quantization error."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    A = rng.randn(30, 8) * 0.05 + 4.0
+    B = rng.randn(30, 8) * 0.05 - 4.0
+    V = np.vstack([A, B]).round(3)
+    # stand-in seeds (first K ids) all come from cluster A — worst case
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    M, K = 2, 4
+    cb1 = simsearch.train_pq_codebooks(df, "vec_id", "embedding", m_sub=M, n_codes=K, n_iters=3)
+    cb2 = simsearch.train_pq_codebooks(df, "vec_id", "embedding", m_sub=M, n_codes=K, n_iters=3)
+    assert cb1 == cb2
+    assert len(cb1) == M * K
+
+    def err(codebooks):
+        wb = simsearch.with_norm(df, "vec_id", "embedding")
+        cb = simsearch._pq_codebook_frame(df, wb, M, K, codebooks)
+        sub = simsearch._subspaces(wb, M)
+        scored = sub.join(F.broadcast(cb), "m").select(
+            "_id", "m",
+            simsearch._pq_sub_dist(F.col("sv"), F.col("cent")).alias("d2"),
+        )
+        best = scored.groupBy("_id", "m").agg(F.min("d2").alias("d2"))
+        return best.agg(F.sum("d2")).collect()[0][0]
+
+    assert err(cb1) < err(None) * 0.5  # trained cells cover cluster B
