@@ -161,6 +161,7 @@ def cmd_suite(spark, args) -> int:
         spark, files, cfg, args.checkpoint, run_id=args.run_id,
         dim_repos=dim_repos, dim_commits=dim_commits, manifest=manifest,
         violations_path=args.violations_out, diff_run_id=args.diff_against,
+        snapshot_root=args.snapshot_root, snapshot_id=args.snapshot_id,
     ).toPandas()
     verdicts = verdicts.sort_values(["partition_value", "check_name"])
     cols = ["partition_value", "check_name", "passed", "metric", "violation_count"]

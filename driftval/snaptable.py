@@ -268,3 +268,43 @@ def snapshot_file_diff(root: str, snapshot_a: int, snapshot_b: int) -> dict:
     a = {f["path"] for f in read_manifest(root, snapshot_a)["files"]}
     b = {f["path"] for f in read_manifest(root, snapshot_b)["files"]}
     return {"added": sorted(b - a), "removed": sorted(a - b)}
+
+
+def snapshot_schema_diff(
+    root: str, snapshot_a: int, snapshot_b: int
+) -> dict:
+    """Metadata-only schema-evolution diff of two snapshots (Iceberg keeps
+    a schema per snapshot; so does each manifest here): column sets and
+    types compared by field name. Returns ``{"added": [(col, type)],
+    "removed": [(col, type)], "retyped": [(col, type_a, type_b)],
+    "renullabled": [(col, nullable_a, nullable_b)]}`` — the planning
+    primitive for a schema-drift verdict: additions are
+    backward-compatible, removals and retypes break readers pinned to the
+    old schema. Driver-side O(columns); no data files are touched."""
+
+    def _fields(sid: int) -> dict[str, tuple[str, bool]]:
+        sch = read_manifest(root, sid)["schema"]
+        return {
+            f["name"]: (json.dumps(f["type"], sort_keys=True), bool(f["nullable"]))
+            for f in sch["fields"]
+        }
+
+    fa, fb = _fields(snapshot_a), _fields(snapshot_b)
+    added = sorted((c, fb[c][0]) for c in fb.keys() - fa.keys())
+    removed = sorted((c, fa[c][0]) for c in fa.keys() - fb.keys())
+    retyped = sorted(
+        (c, fa[c][0], fb[c][0])
+        for c in fa.keys() & fb.keys()
+        if fa[c][0] != fb[c][0]
+    )
+    renullabled = sorted(
+        (c, fa[c][1], fb[c][1])
+        for c in fa.keys() & fb.keys()
+        if fa[c][0] == fb[c][0] and fa[c][1] != fb[c][1]
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "retyped": retyped,
+        "renullabled": renullabled,
+    }

@@ -40,7 +40,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from driftval.blocks import UNIFORM_ORDER_MAX, order_key
-from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore, verdict_diff
+from driftval.checkpoint import (
+    CHECKPOINT_SCHEMA,
+    REPORT_SCHEMA,
+    CheckpointStore,
+    verdict_diff,
+)
 from driftval.checks import drift_cdcstream, drift_cdda
 from driftval.checks.fidelity import (
     fidelity_verdicts,
@@ -719,6 +724,71 @@ def _write_violation_rows(
     )
 
 
+def _schema_drift_frames(
+    spark: SparkSession,
+    snapshot_root: str,
+    snapshot_id: int | None,
+    run_id: str,
+    completed_at: dt.datetime,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Table-level schema-evolution verdict + per-column report rows for a
+    snapshot-pinned run (driftval.snaptable.snapshot_schema_diff — Iceberg
+    keeps a schema per snapshot; so does each manifest here). Removals and
+    retypes are BREAKING (verdict fails, they strand readers pinned to the
+    old schema); additions and nullability flips pass but are reported.
+    The first snapshot (no parent) passes with zero changes. Metadata-only:
+    O(columns) driver work, no data files touched."""
+    from driftval import snaptable
+
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else snaptable.current_snapshot_id(snapshot_root)
+    )
+    parent = snaptable.read_manifest(snapshot_root, sid).get("parent_id")
+    if parent is None:
+        diff = {"added": [], "removed": [], "retyped": [], "renullabled": []}
+    else:
+        diff = snaptable.snapshot_schema_diff(snapshot_root, parent, sid)
+    breaking = len(diff["removed"]) + len(diff["retyped"])
+    total = breaking + len(diff["added"]) + len(diff["renullabled"])
+    verdict = spark.createDataFrame(
+        [
+            (
+                "_table",
+                "schema_drift",
+                breaking == 0,
+                float(breaking),
+                0.0,
+                total,
+                None,
+                None,
+                None,
+                None,
+                run_id,
+                completed_at.replace(tzinfo=None),
+            )
+        ],
+        CHECKPOINT_SCHEMA,
+    )
+    rows = []
+    for col, typ in diff["added"]:
+        rows.append((col, "added", None, typ))
+    for col, typ in diff["removed"]:
+        rows.append((col, "removed", None, typ))
+    for col, ta, tb in diff["retyped"]:
+        rows.append((col, "retyped", None, f"{ta} -> {tb}"))
+    for col, na, nb in diff["renullabled"]:
+        rows.append((col, "renullabled", None, f"nullable {na} -> {nb}"))
+    if not rows:
+        return verdict, None
+    report = spark.createDataFrame(
+        [(e, m, v, s, "schema_drift", run_id) for e, m, v, s in rows],
+        REPORT_SCHEMA,
+    )
+    return verdict, report
+
+
 def run_suite(
     spark: SparkSession,
     files: DataFrame,
@@ -732,6 +802,8 @@ def run_suite(
     partition_limit: int | None = None,
     violations_path: str | None = None,
     diff_run_id: str | None = None,
+    snapshot_root: str | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """One resumable validation pass; returns this run's full verdict frame.
 
@@ -739,6 +811,12 @@ def run_suite(
     the kill/resume e2e test to simulate an interrupted run).
     ``diff_run_id`` writes a cross-run ``verdict_diff`` report (vs that
     earlier run) into the checkpoint's companion reports dataset.
+    ``snapshot_root`` (with optional ``snapshot_id``, same meaning as in
+    ``read_files_table``) adds a table-level ``schema_drift`` verdict: the
+    validated snapshot's schema compared to its PARENT snapshot's — column
+    removals and retypes FAIL (they break readers pinned to the old
+    schema), additions and nullability flips are reported but pass.
+    Metadata-only: no data files are read for it.
     """
     store = CheckpointStore(spark, checkpoint_path)
     pcol = cfg.partition_col
@@ -1048,6 +1126,13 @@ def run_suite(
     out["rows_scanned"] = out["rows_scanned"].astype("Int64")
 
     result = spark.createDataFrame(out[[f.name for f in CHECKPOINT_SCHEMA.fields]], CHECKPOINT_SCHEMA)
+    if snapshot_root is not None:
+        sv, srep = _schema_drift_frames(
+            spark, snapshot_root, snapshot_id, run_id, completed_at
+        )
+        result = result.unionByName(sv)
+        if srep is not None:
+            report_frames.append(srep)
     with _timed("checkpoint-write"):
         store.write(result)
 

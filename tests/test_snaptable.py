@@ -212,3 +212,90 @@ def test_incremental_validation_across_snapshots(spark, root, tmp_path):
     n2 = v2.groupby("partition_value").size()
     for p in ("2026-01-01", "2026-01-02"):
         assert n1[p] == n2[p]
+
+
+def test_snapshot_schema_diff(spark, root):
+    """Schema evolution between snapshots is detected from metadata alone:
+    added / removed / retyped / re-nullabled columns by name."""
+    df1 = _files(spark, ["2026-01-01"], ["py"])
+    snaptable.commit_append(spark, root, df1, ["part_date"])
+    # v2: drop `lang`, add `stars` (long), retype `commit` -> int-ish long
+    df2 = (
+        _files(spark, ["2026-01-02"], ["go"], start=10)
+        .drop("lang")
+        .withColumn("stars", F.lit(7).cast("long"))
+        .withColumn("commit", F.lit(1).cast("long"))
+    )
+    snaptable.commit_append(spark, root, df2, ["part_date"])
+
+    d = snaptable.snapshot_schema_diff(root, 1, 2)
+    assert [c for c, _ in d["added"]] == ["stars"]
+    assert [c for c, _ in d["removed"]] == ["lang"]
+    assert [c for c, *_ in d["retyped"]] == ["commit"]
+    assert d["renullabled"] == []
+
+    # identical schemas -> empty diff in every bucket
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-03"], ["py"], start=20), ["part_date"]
+    )
+    d13 = snaptable.snapshot_schema_diff(root, 1, 3)
+    assert d13 == {"added": [], "removed": [], "retyped": [], "renullabled": []}
+
+
+def test_suite_schema_drift_verdict(spark, root, tmp_path):
+    """With snapshot_root, the suite emits a table-level schema_drift
+    verdict vs the parent snapshot: the first snapshot passes with zero
+    changes; a snapshot that drops/retypes columns FAILS and the changed
+    columns land in the reports dataset."""
+    from driftval.checkpoint import CheckpointStore
+    from driftval.suite import SuiteConfig, run_suite
+
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-01", "2026-01-02"], ["py"]), ["part_date"]
+    )
+    cfg = SuiteConfig(baseline_partitions=["2026-01-01"], block_size=2)
+    ckpt = str(tmp_path / "ckpt")
+    v1 = run_suite(
+        spark,
+        read_files_table(spark, snapshot_root=root, snapshot_id=1),
+        cfg,
+        ckpt,
+        run_id="s1",
+        snapshot_root=root,
+        snapshot_id=1,
+    ).toPandas()
+    sd1 = v1[v1["check_name"] == "schema_drift"]
+    assert len(sd1) == 1
+    assert bool(sd1.iloc[0]["passed"]) and sd1.iloc[0]["violation_count"] == 0
+
+    # v2 drops `lang` (breaking) and adds `stars` (compatible)
+    df2 = (
+        _files(spark, ["2026-01-03"], ["py"], start=40)
+        .drop("lang")
+        .withColumn("stars", F.lit(3).cast("long"))
+    )
+    snaptable.commit_append(spark, root, df2, ["part_date"])
+    cfg2 = SuiteConfig(
+        baseline_partitions=["2026-01-01"], block_size=2, lang_col="part_date"
+    )
+    v2 = run_suite(
+        spark,
+        read_files_table(spark, snapshot_root=root, snapshot_id=2),
+        cfg2,
+        str(tmp_path / "ckpt2"),
+        run_id="s2",
+        snapshot_root=root,
+        snapshot_id=2,
+    ).toPandas()
+    sd2 = v2[v2["check_name"] == "schema_drift"]
+    assert len(sd2) == 1
+    assert not bool(sd2.iloc[0]["passed"])
+    assert sd2.iloc[0]["metric"] == 1.0  # one breaking change (removed lang)
+    assert sd2.iloc[0]["violation_count"] == 2  # removed + added
+
+    reports = CheckpointStore(spark, str(tmp_path / "ckpt2")).read_reports()
+    rows = {
+        (r["entity"], r["metric"])
+        for r in reports.where(F.col("kind") == "schema_drift").collect()
+    }
+    assert ("lang", "removed") in rows and ("stars", "added") in rows
