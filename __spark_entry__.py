@@ -1581,6 +1581,35 @@ def q_knn_pq_trained(spark, sf_dir):
     )
 
 
+BPE_N_MERGES = 20
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary learning (driftval/bpe.py, Sennrich 2016):
+    the corpus collapses to its distinct-word frequency table, then each
+    merge round is one explode+aggregate over O(|vocab|) symbol sequences
+    plus a 1-row collect — rows-only in the catalog (iterative, not
+    ANSI-SQL-expressible); learn + segment are golden-pinned against an
+    independent pure-Python reference (tests/test_bpe.py)."""
+    from driftval import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe.bpe_merges_frame(d, "text", n_merges=BPE_N_MERGES)
+
+
+def q_bpe_segment_counts(spark, sf_dir):
+    """Apply the learned BPE merge list to the corpus: per-doc word and
+    subword counts (the compression a candidate vocab buys). The
+    rank-greedy segmenter runs once per DISTINCT word in an Arrow
+    mapInPandas; documents are scanned once and never cross into Python.
+    Rows-only (depends on the iterative learner's output)."""
+    from driftval import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges(d, "text", n_merges=BPE_N_MERGES)
+    return bpe.bpe_segment_counts(d, "doc_id", "text", merges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Catalog rotation (round 4): the driver's correctness gate covers a
     # prefix of this dict.  Rounds 1-3 recorded green rows for the 50
@@ -1651,6 +1680,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "knn_pq": q_knn_pq,
         "knn_pq_trained": q_knn_pq_trained,
+        # BPE tokenizer induction: rows-only (iterative), golden-pinned
+        # against a pure-Python Sennrich reference in tests/test_bpe.py.
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment_counts": q_bpe_segment_counts,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,

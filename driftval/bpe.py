@@ -1,0 +1,222 @@
+"""Distributed BPE vocabulary learning (Sennrich/Haddow/Birch 2016 §3.2 —
+public methodology; word-level merges, the GPT-2-style tokenizer-training
+front end).
+
+The scale move is the FIRST step: the corpus collapses to its distinct-word
+frequency table (tokens → groupBy word → sum), so every merge iteration runs
+over O(|vocab|) short symbol sequences, never the corpus — a 100 TB corpus
+and a 100 GB corpus with the same vocabulary pay the same per-merge cost.
+Each round is then:
+
+1. pair counts: one projection builds each word's adjacent symbol pairs
+   (indexed ``transform`` over the symbol array — per POSITION, so ``aaa``
+   counts ``(a,a)`` twice, exactly Sennrich's ``get_stats``), one explode +
+   hash aggregate weighted by word frequency;
+2. best pair: ``orderBy(count DESC, left ASC, right ASC).limit(1)`` — the
+   lexicographic tie-break is pinned so the merge list is deterministic
+   (the reference implementation's ``max(pairs, key=pairs.get)`` ties are
+   dict-order accidents; the golden oracle uses the same pinned order);
+3. apply: a left-to-right ``aggregate`` fold over each symbol array merges
+   non-overlapping occurrences (after a merge the new symbol is the fold's
+   tail, so ``aaa`` under ``(a,a)`` becomes ``[aa, a]``, not ``[aa, aa]``) —
+   JVM-side, no Python in the loop;
+4. ``localCheckpoint(eager=True)`` truncates the plan so lineage does not
+   grow with the merge count (at production scale this would be a reliable
+   checkpoint directory; the contract is the same).
+
+Driver traffic: ONE row per merge round (the winning pair) plus the final
+merge table — O(n_merges), independent of corpus and vocabulary size.
+
+Segmentation (``bpe_segment_counts``) applies a learned merge list to a
+corpus with the standard rank-greedy loop (repeatedly merge the
+lowest-rank adjacent pair) inside one Arrow ``mapInPandas`` over the
+corpus's distinct words, then joins the per-word subword counts back to
+documents — the corpus is scanned once, the Python crossing carries only
+distinct words.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from driftval.textops import tokens
+
+# end-of-word marker appended to each word's final character (Sennrich §3.2)
+EOW = "</w>"
+
+MERGES_SCHEMA = "rank int, left string, right string, pair_count long"
+
+
+def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq): the distinct-word frequency table every BPE stage runs
+    over — one tokenize projection, one map-side-combined hash aggregate;
+    the shuffle carries (word, partial count), never documents."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Character symbols with the end-of-word marker fused onto the last
+    character: ``low -> [l, o, w</w>]``."""
+    chars = F.split(word, "")
+    n = F.size(chars)
+    return F.transform(
+        chars,
+        lambda c, i: F.when(i == n - 1, F.concat(c, F.lit(EOW))).otherwise(c),
+    )
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """Per-position adjacent pairs of a symbol array (overlaps counted,
+    matching the reference ``get_stats``). Spark's ``sequence()`` counts
+    DOWN when start > stop, hence the single-symbol guard."""
+    idx = F.when(
+        F.size(sym) >= 2, F.sequence(F.lit(1), F.size(sym) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(sym, i).alias("left"),
+            F.element_at(sym, i + 1).alias("right"),
+        ),
+    )
+
+
+def _apply_merge(sym: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping merge of (left, right) in one fold:
+    append each symbol, except when the accumulator's tail is ``left`` and
+    the incoming symbol is ``right`` — then replace the tail with the fused
+    symbol. The fused tail never re-merges with the NEXT ``right`` (its
+    text is ``left||right``, not ``left``), which is exactly the
+    non-overlapping scan of the reference implementation."""
+    fused = left + right
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 30,
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus; returns
+    ``[(rank, left, right, pair_count)]`` in merge order. Stops early when
+    no adjacent pair reaches ``min_pair_count`` (the reference stops at
+    count < 2 — a merge seen once generalizes to nothing)."""
+    words = (
+        word_freqs(df, text_col)
+        .select(_initial_symbols(F.col("word")).alias("sym"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            words.select(F.explode(_adjacent_pairs(F.col("sym"))).alias("p"), "freq")
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("left").asc(), F.col("right").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or int(best[0]["n"]) < min_pair_count:
+            break
+        left, right, n = best[0]["left"], best[0]["right"], int(best[0]["n"])
+        merges.append((rank, left, right, n))
+        nxt = words.select(
+            _apply_merge(F.col("sym"), left, right).alias("sym"), "freq"
+        ).localCheckpoint(eager=True)
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return merges
+
+
+def bpe_merges_frame(
+    df: DataFrame, text_col: str, n_merges: int = 30, min_pair_count: int = 2
+) -> DataFrame:
+    """:func:`learn_bpe_merges` as a DataFrame (rank, left, right,
+    pair_count) — the catalog/driver surface."""
+    merges = learn_bpe_merges(df, text_col, n_merges, min_pair_count)
+    return df.sparkSession.createDataFrame(merges or [], MERGES_SCHEMA)
+
+
+def bpe_segment_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: per doc,
+    ``(id, n_words, n_subwords)`` — the compression a vocab buys, the
+    number a token-budget planner needs per candidate tokenizer.
+
+    The rank-greedy segmenter (repeatedly fuse the lowest-rank adjacent
+    pair — the standard apply loop) runs ONCE PER DISTINCT WORD inside an
+    Arrow ``mapInPandas`` (the per-word while-loop is inherently
+    sequential — exactly the built-in-operator gap Pandas UDFs exist for),
+    and the per-word subword counts broadcast-join back to the corpus's
+    (id, word) pairs: the documents are scanned once and never cross into
+    Python."""
+    import pandas as pd
+
+    rank_of = {(l, r): k for k, l, r, _ in merges}
+
+    def _segment_batches(batches):
+        cache: dict[str, int] = {}
+
+        def seg_len(word: str) -> int:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            sym = list(word)
+            if sym:
+                sym[-1] += EOW
+            while len(sym) > 1:
+                ranked = [
+                    (rank_of[(a, b)], i)
+                    for i, (a, b) in enumerate(zip(sym, sym[1:]))
+                    if (a, b) in rank_of
+                ]
+                if not ranked:
+                    break
+                _, i = min(ranked)
+                sym[i : i + 2] = [sym[i] + sym[i + 1]]
+            cache[word] = len(sym)
+            return len(sym)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_sub": [seg_len(w) for w in pdf["word"]],
+                }
+            )
+
+    pairs = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("word")
+    )
+    distinct_words = pairs.select("word").where(F.col("word").isNotNull()).distinct()
+    sub_counts = distinct_words.mapInPandas(
+        _segment_batches, schema="word string, n_sub int"
+    )
+    return (
+        pairs.join(F.broadcast(sub_counts), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("word").cast("long").alias("n_words"),
+            F.coalesce(F.sum("n_sub"), F.lit(0)).cast("long").alias("n_subwords"),
+        )
+    )

@@ -1,0 +1,148 @@
+"""Distributed BPE vocabulary learning (driftval.bpe) — golden-tested
+against an independent pure-Python Sennrich reference (learn + segment),
+including the pinned deterministic tie-break."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval import bpe
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+# -- pure-Python reference (Sennrich et al. 2016 algorithm 1) ---------------
+
+
+def _ref_word_freqs(texts):
+    wf = Counter()
+    for t in texts:
+        wf.update(t.lower().split())
+    return wf
+
+
+def _ref_learn(texts, n_merges, min_pair_count=2):
+    wf = _ref_word_freqs(texts)
+    vocab = {}
+    for w, f in wf.items():
+        sym = list(w)
+        sym[-1] += bpe.EOW
+        vocab[tuple(sym)] = vocab.get(tuple(sym), 0) + f
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        # pinned tie-break: count DESC, then (left, right) ASC
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((rank, a, b, n))
+        new_vocab = {}
+        for sym, f in vocab.items():
+            out = []
+            for x in sym:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def _ref_segment_len(word, rank_of):
+    sym = list(word)
+    sym[-1] += bpe.EOW
+    while len(sym) > 1:
+        ranked = [
+            (rank_of[(x, y)], i)
+            for i, (x, y) in enumerate(zip(sym, sym[1:]))
+            if (x, y) in rank_of
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        sym[i : i + 2] = [sym[i] + sym[i + 1]]
+    return len(sym)
+
+
+TEXTS = [
+    "low low low lower lower lowest",
+    "new newer newest new new newer",
+    "wide wider widest wide wide",
+    "low new wide slow slower",
+    "the newer the lower the wider",
+]
+
+
+def test_learn_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    got = bpe.learn_bpe_merges(df, "text", n_merges=25)
+    want = _ref_learn(TEXTS, 25)
+    assert got == want
+    assert len(got) > 5  # the fixture genuinely exercises multiple rounds
+
+
+def test_learn_overlap_and_tiebreak(spark):
+    """Overlapping pairs count per position ('aaaa' has three (a,a)) and
+    the merge scan is left-to-right non-overlapping ('aaaa' -> [aa, aa])."""
+    texts = ["aaaa aaaa baaa"]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    got = bpe.learn_bpe_merges(df, "text", n_merges=3)
+    want = _ref_learn(texts, 3)
+    assert got == want
+    # first merge is (a, a): 'aaaa' = [a,a,a,a</w>] has two (a,a) (x2 freq),
+    # 'baaa' = [b,a,a,a</w>] has one
+    assert got[0][1:] == ("a", "a", 2 * 2 + 1)
+
+
+def test_learn_stops_when_pairs_dry_up(spark):
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    # every word is a single symbol (char + eow) -> no adjacent pairs at all
+    assert bpe.learn_bpe_merges(df, "text", n_merges=10) == []
+
+
+def test_merges_frame_schema(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    frame = bpe.bpe_merges_frame(df, "text", n_merges=5)
+    rows = frame.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    assert frame.columns == ["rank", "left", "right", "pair_count"]
+
+
+def test_segment_counts_match_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    merges = bpe.learn_bpe_merges(df, "text", n_merges=20)
+    rank_of = {(l, r): k for k, l, r, _ in merges}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe.bpe_segment_counts(df, "doc_id", "text", merges).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        words = t.lower().split()
+        want = (len(words), sum(_ref_segment_len(w, rank_of) for w in words))
+        assert got[i] == want, (i, got[i], want)
+    # more merges -> no more subwords than words-as-chars, and fewer than
+    # the unmerged segmentation
+    base = {
+        r["doc_id"]: r["n_subwords"]
+        for r in bpe.bpe_segment_counts(df, "doc_id", "text", []).collect()
+    }
+    assert all(got[i][1] <= base[i] for i in got)
+    assert any(got[i][1] < base[i] for i in got)
+
+
+def test_segment_counts_empty_doc(spark):
+    df = spark.createDataFrame([(0, ""), (1, "   "), (2, "low")], "doc_id long, text string")
+    merges = bpe.learn_bpe_merges(df, "text", n_merges=3, min_pair_count=1)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe.bpe_segment_counts(df, "doc_id", "text", merges).collect()
+    }
+    assert got[0] == (0, 0) and got[1] == (0, 0)
+    assert got[2][0] == 1
