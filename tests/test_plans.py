@@ -314,3 +314,55 @@ def test_symbol_census_shuffles_symbols_not_content(spark, docs):
     exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert len(exchanges) == 2, plan
     assert all("content" not in l for l in exchanges), exchanges
+
+
+def test_code_chunks_is_shuffle_free(spark, docs):
+    """The function-boundary chunker is ONE projection chain over the scan —
+    sentinel insert, split, posexplode, digests — with no exchange at all."""
+    from driftval import codestats
+
+    code = docs.select(
+        "doc_id", F.lit("python").alias("lang"), F.col("text").alias("content")
+    )
+    plan = plan_of(codestats.code_chunks(code, "doc_id", "lang", "content"))
+    assert n_scans(plan) == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_function_clone_groups_shuffle_digests_only(spark, docs):
+    """Function-level clone grouping shuffles (digest, symbol, counts) for
+    its two-level aggregate — chunk text never moves."""
+    from driftval import codestats
+
+    code = docs.select(
+        "doc_id", F.lit("python").alias("lang"), F.col("text").alias("content")
+    )
+    plan = plan_of(
+        codestats.function_clone_groups(code, "doc_id", "lang", "content")
+    )
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert exchanges, plan
+    assert all("chunk" not in l and "content" not in l for l in exchanges), exchanges
+
+
+def test_pq_encode_broadcasts_codebook_no_window(spark):
+    """PQ encode: the codebook side is broadcast, the argmin is an
+    aggregate (no per-vector window / global sort)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(simsearch.pq_encode(e, "vec_id", "embedding", m_sub=8, n_codes=16))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan and "rank" not in plan.lower(), plan
+
+
+def test_knn_pq_corpus_side_carries_codes_not_vectors(spark):
+    """ADC search: the LUT side is broadcast; every hash exchange carries
+    codes/distances, never the embedding column."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(
+        simsearch.knn_pq(e, "vec_id", "embedding", [0, 1, 2], k=3, m_sub=8, n_codes=16)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert exchanges, plan
+    assert all("embedding" not in l for l in exchanges), exchanges
