@@ -1581,6 +1581,23 @@ def q_knn_pq_trained(spark, sf_dir):
     )
 
 
+IVFPQ_N_PROBE = 2
+
+
+def q_knn_ivf_pq(spark, sf_dir):
+    """IVF + PQ composed (driftval/simsearch.py knn_ivf_pq — the FAISS
+    IVFx,PQy production ANN shape): coarse cosine cells prune the corpus
+    to each query's n_probe cells, PQ asymmetric distance scores the
+    survivors over their 8-byte codes; one corpus pass yields
+    (id, cell, m, code), raw vectors never move past the scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.knn_ivf_pq(
+        e, "vec_id", "embedding", KNN_QUERY_IDS, k=5,
+        n_centroids=8, n_probe=IVFPQ_N_PROBE,
+        m_sub=PQ_M_SUB, n_codes=PQ_N_CODES,
+    )
+
+
 BPE_N_MERGES = 20
 
 
@@ -1680,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "knn_pq": q_knn_pq,
         "knn_pq_trained": q_knn_pq_trained,
+        "knn_ivf_pq": q_knn_ivf_pq,
         # BPE tokenizer induction: rows-only (iterative), golden-pinned
         # against a pure-Python Sennrich reference in tests/test_bpe.py.
         "bpe_merges": q_bpe_merges,
@@ -3187,6 +3205,56 @@ sub AS (
   SELECT l.query_id, c.vec_id AS neighbor_id, round(sum(l.qd2), 6) AS adist
   FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
   WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adist, rank::INT AS rank FROM ranked WHERE rank <= 5
+""",
+        "knn_ivf_pq": f"""
+WITH v AS (
+  SELECT vec_id AS _id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+), c AS (
+  SELECT _id AS cluster_id, vec AS centroid FROM v WHERE _id < 8
+), csc AS (
+  SELECT v._id, v.vec, c.cluster_id,
+         round(list_dot_product(v.vec, c.centroid) /
+               (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS csim
+  FROM v CROSS JOIN c
+), assigned AS (
+  SELECT _id, vec, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id ORDER BY csim DESC, cluster_id ASC) AS rk FROM csc
+  ) WHERE rk = 1
+), probes AS (
+  SELECT _id AS query_id, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id ORDER BY csim DESC, cluster_id ASC) AS rk FROM csc
+  ) WHERE rk <= {IVFPQ_N_PROBE} AND _id < 10
+), ms AS (SELECT unnest(generate_series(0, {PQ_M_SUB - 1})) AS m),
+sub AS (
+  SELECT a._id, a.cluster_id, m,
+         a.vec[m*(len(a.vec)//{PQ_M_SUB})+1 : (m+1)*(len(a.vec)//{PQ_M_SUB})] AS sv
+  FROM assigned a, ms
+), cb AS (
+  SELECT m, _id::INT AS cid, sv AS cent FROM sub WHERE _id < {PQ_N_CODES}
+), dist AS (
+  SELECT s._id, s.cluster_id, s.m, c.cid,
+         round(list_sum(list_transform(generate_series(1, len(s.sv)),
+               i -> (s.sv[i] - c.cent[i]) * (s.sv[i] - c.cent[i]))), 9) AS d2
+  FROM sub s JOIN cb c USING (m)
+), codes AS (
+  SELECT _id, cluster_id, m, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id, m ORDER BY d2 ASC, cid ASC) AS r
+    FROM dist
+  ) WHERE r = 1
+), lut AS (
+  SELECT _id AS query_id, m, cid, d2 AS qd2 FROM dist WHERE _id < 10
+), scored AS (
+  SELECT p.query_id, x._id AS neighbor_id, round(sum(l.qd2), 6) AS adist
+  FROM codes x
+  JOIN probes p ON x.cluster_id = p.cluster_id
+  JOIN lut l ON l.query_id = p.query_id AND l.m = x.m AND l.cid = x.code
+  WHERE x._id <> p.query_id
   GROUP BY 1, 2
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank

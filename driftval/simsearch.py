@@ -857,7 +857,7 @@ def knn_pq(
     qsub = _subspaces(wb.where(F.col("_id").isin(query_ids)), m_sub).select(
         F.col("_id").alias("query_id"), "m", "sv"
     )
-    lut = qsub.join(cb, "m").select(
+    lut = qsub.join(broadcast(cb), "m").select(
         "query_id",
         "m",
         "cid",
@@ -955,3 +955,125 @@ def train_pq_codebooks(
         cents = new_cents
     sample.unpersist()
     return cents
+
+
+def knn_ivf_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the production ANN shape at 10⁹+ vectors
+    (FAISS ``IVFx,PQy``): the coarse quantizer prunes the corpus to the
+    query's ``n_probe`` cells (same cosine cells and probe rule as
+    :func:`knn_ivf`, so the recall dial composes), and the surviving
+    candidates are scored by PQ asymmetric distance over their 8-byte
+    codes instead of their raw vectors. Returns ``(query_id, neighbor_id,
+    adist, rank)`` like :func:`knn_pq`.
+
+    Why this matters at scale: IVF alone still reads raw vectors for
+    every probed candidate (d floats each); PQ alone still scans every
+    code row per query. Composed, the per-query work is
+    ``n_probe/n_centroids`` of the corpus × m_sub one-byte LUT lookups —
+    both dials independent of d.
+
+    Plan shape: ONE corpus pass produces (id, cluster_id, m, code) — the
+    cluster assignment's argmax and the encode's argmin share the
+    assignment frame, so no corpus-corpus join on id — then two broadcast
+    equi-joins (probed (query, cell) pairs; the query LUT) and one
+    (query, id) partial aggregate. Raw vectors never move past the scan.
+    Stand-in centroids + codebooks keep the DuckDB twin exact; pass
+    trained ones for real cells (same plumbing, pinned by the IVF/PQ
+    training tests)."""
+    aw = assign_ivf_cluster(df, id_col, vec_col, n_centroids, centroids=centroids)
+    cb = _pq_codebook_frame(df, aw, m_sub, n_codes, codebooks)
+
+    sub_d = (F.size("_vec") / m_sub).cast("int")
+    sub = aw.select(
+        "_id",
+        "cluster_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        F.col("_vec"),
+    ).select(
+        "_id",
+        "cluster_id",
+        "m",
+        F.slice(
+            F.transform("_vec", lambda x: x.cast("double")),
+            F.col("m") * sub_d + 1,
+            sub_d,
+        ).alias("sv"),
+    )
+    d2 = _pq_sub_dist(F.col("sv"), F.col("cent"))
+    codes = (
+        sub.join(broadcast(cb), "m")
+        .select("_id", "cluster_id", "m", F.col("cid"), d2.alias("d2"))
+        .groupBy("_id", "m")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("mn"),
+            F.first("cluster_id").alias("cluster_id"),
+        )
+        .select("_id", "cluster_id", "m", F.col("mn.cid").alias("code"))
+    )
+
+    # probed (query_id, cluster_id) pairs — knn_ivf's top-n_probe rule
+    # (cosine to centroid, ties -> lowest cluster_id) on broadcast-small
+    # frames; n_probe=1 reproduces the query's own cell exactly.
+    qvecs = aw.where(F.col("_id").isin(query_ids)).select("_id", "_vec", "_n")
+    cent_df = _ivf_centroid_frame(df, aw, n_centroids, centroids)
+    csim = F.round(
+        _dot(F.col("_vec"), F.col("centroid")) / (F.col("_n") * F.col("_cn")), 6
+    )
+    probe_item = F.struct(csim.alias("s"), (-F.col("cluster_id")).alias("negc"))
+    probes = (
+        qvecs.join(broadcast(cent_df))
+        .groupBy("_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(probe_item), False), 1, int(n_probe)
+            ).alias("_tk")
+        )
+        .select(F.col("_id").alias("query_id"), F.explode("_tk").alias("_it"))
+        .select("query_id", (-F.col("_it.negc")).alias("cluster_id"))
+    )
+
+    qsub = _subspaces(aw.where(F.col("_id").isin(query_ids)), m_sub).select(
+        F.col("_id").alias("query_id"), "m", "sv"
+    )
+    lut = qsub.join(broadcast(cb), "m").select(
+        "query_id", "m", "cid", _pq_sub_dist(F.col("sv"), F.col("cent")).alias("qd2")
+    )
+
+    cands = codes.join(broadcast(probes), "cluster_id")
+    scored = (
+        cands.join(
+            broadcast(lut),
+            (cands["query_id"] == lut["query_id"])
+            & (cands["m"] == lut["m"])
+            & (cands["code"] == lut["cid"]),
+        )
+        .where(F.col("_id") != cands["query_id"])
+        .groupBy(cands["query_id"], F.col("_id"))
+        .agg(F.round(F.sum("qd2"), 6).alias("adist"))
+    )
+    ranked = _topk(
+        scored.select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            (-F.col("adist")).alias("sim"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        F.round(-F.col("sim"), 6).alias("adist"),
+        "rank",
+    )

@@ -366,3 +366,19 @@ def test_knn_pq_corpus_side_carries_codes_not_vectors(spark):
     exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert exchanges, plan
     assert all("embedding" not in l for l in exchanges), exchanges
+
+
+def test_knn_ivf_pq_one_corpus_derivation(spark):
+    """IVF+PQ: cluster assignment and PQ encode share one corpus pass (no
+    corpus-corpus join on id), probe and LUT sides broadcast, no window."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(
+        simsearch.knn_ivf_pq(
+            e, "vec_id", "embedding", [0, 1], k=3, n_centroids=8, n_probe=2
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert all("embedding" not in l for l in exchanges), exchanges

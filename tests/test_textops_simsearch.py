@@ -665,3 +665,35 @@ def test_pq_trained_deterministic_and_better(spark):
         return best.agg(F.sum("d2")).collect()[0][0]
 
     assert err(cb1) < err(None) * 0.5  # trained cells cover cluster B
+
+
+def test_knn_ivf_pq_full_probe_equals_knn_pq(spark):
+    """With n_probe = n_centroids every cell is probed, so IVF+PQ must
+    degenerate to plain PQ-ADC exactly — same rows, distances, ranks."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    V = rng.randn(50, 16).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(k=4, m_sub=4, n_codes=8)
+    qids = [0, 7, 21]
+
+    def key(rows):
+        return sorted((r["query_id"], r["rank"], r["neighbor_id"], r["adist"]) for r in rows)
+
+    full = key(
+        simsearch.knn_ivf_pq(
+            df, "vec_id", "embedding", qids, n_centroids=5, n_probe=5, **kw
+        ).collect()
+    )
+    plain = key(simsearch.knn_pq(df, "vec_id", "embedding", qids, **kw).collect())
+    assert full == plain
+
+    # single probe returns a subset drawn from the query's own cell only
+    one = simsearch.knn_ivf_pq(
+        df, "vec_id", "embedding", qids, n_centroids=5, n_probe=1, **kw
+    ).collect()
+    assert one and all(r["rank"] >= 1 for r in one)
