@@ -835,6 +835,7 @@ def knn_pq(
     m_sub: int = 8,
     n_codes: int = 16,
     codebooks: list[tuple[int, int, list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus:
     each query precomputes its exact squared-L2 distance to every
@@ -852,7 +853,11 @@ def knn_pq(
     standard speed/recall trade at 10⁹+ vectors."""
     wb = with_norm(df, id_col, vec_col)
     cb = _pq_codebook_frame(df, wb, m_sub, n_codes, codebooks)
-    codes = pq_encode(df, id_col, vec_col, m_sub, n_codes, codebooks)
+    if codes is None:
+        # inline encode — the self-contained form; production pre-encodes
+        # ONCE (pq_encode -> parquet) and passes ``codes=``, so query time
+        # touches only the 8-byte-per-vector code table, never raw vectors
+        codes = pq_encode(df, id_col, vec_col, m_sub, n_codes, codebooks)
 
     qsub = _subspaces(wb.where(F.col("_id").isin(query_ids)), m_sub).select(
         F.col("_id").alias("query_id"), "m", "sv"
@@ -957,6 +962,54 @@ def train_pq_codebooks(
     return cents
 
 
+def ivf_pq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+) -> DataFrame:
+    """The offline IVF+PQ index build: ONE corpus pass yields
+    ``(_id, cluster_id, m, code)`` — the cluster assignment's argmax and
+    the PQ encode's argmin share the assignment frame, so there is no
+    corpus-corpus join on id. Persist the result (parquet, partitioned by
+    cluster_id at scale) and hand it to :func:`knn_ivf_pq` via
+    ``indexed=``: the searchable footprint is ~m_sub bytes + a cell id
+    per vector, and query time never rescans raw vectors."""
+    aw = assign_ivf_cluster(df, id_col, vec_col, n_centroids, centroids=centroids)
+    cb = _pq_codebook_frame(df, aw, m_sub, n_codes, codebooks)
+    sub_d = (F.size("_vec") / m_sub).cast("int")
+    sub = aw.select(
+        "_id",
+        "cluster_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        F.col("_vec"),
+    ).select(
+        "_id",
+        "cluster_id",
+        "m",
+        F.slice(
+            F.transform("_vec", lambda x: x.cast("double")),
+            F.col("m") * sub_d + 1,
+            sub_d,
+        ).alias("sv"),
+    )
+    d2 = _pq_sub_dist(F.col("sv"), F.col("cent"))
+    return (
+        sub.join(broadcast(cb), "m")
+        .select("_id", "cluster_id", "m", F.col("cid"), d2.alias("d2"))
+        .groupBy("_id", "m")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("mn"),
+            F.first("cluster_id").alias("cluster_id"),
+        )
+        .select("_id", "cluster_id", "m", F.col("mn.cid").alias("code"))
+    )
+
+
 def knn_ivf_pq(
     df: DataFrame,
     id_col: str,
@@ -969,6 +1022,7 @@ def knn_ivf_pq(
     n_codes: int = 16,
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: list[tuple[int, int, list[float]]] | None = None,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the production ANN shape at 10⁹+ vectors
     (FAISS ``IVFx,PQy``): the coarse quantizer prunes the corpus to the
@@ -994,34 +1048,16 @@ def knn_ivf_pq(
     training tests)."""
     aw = assign_ivf_cluster(df, id_col, vec_col, n_centroids, centroids=centroids)
     cb = _pq_codebook_frame(df, aw, m_sub, n_codes, codebooks)
-
-    sub_d = (F.size("_vec") / m_sub).cast("int")
-    sub = aw.select(
-        "_id",
-        "cluster_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
-        F.col("_vec"),
-    ).select(
-        "_id",
-        "cluster_id",
-        "m",
-        F.slice(
-            F.transform("_vec", lambda x: x.cast("double")),
-            F.col("m") * sub_d + 1,
-            sub_d,
-        ).alias("sv"),
-    )
-    d2 = _pq_sub_dist(F.col("sv"), F.col("cent"))
-    codes = (
-        sub.join(broadcast(cb), "m")
-        .select("_id", "cluster_id", "m", F.col("cid"), d2.alias("d2"))
-        .groupBy("_id", "m")
-        .agg(
-            F.min(F.struct(F.col("d2"), F.col("cid"))).alias("mn"),
-            F.first("cluster_id").alias("cluster_id"),
+    if indexed is not None:
+        # production path: the (id, cluster_id, m, code) index is built
+        # ONCE offline (ivf_pq_index -> parquet) — query time never reads
+        # raw corpus vectors beyond the handful of query rows
+        codes = indexed
+    else:
+        codes = ivf_pq_index(
+            df, id_col, vec_col, n_centroids, m_sub, n_codes,
+            centroids=centroids, codebooks=codebooks,
         )
-        .select("_id", "cluster_id", "m", F.col("mn.cid").alias("code"))
-    )
 
     # probed (query_id, cluster_id) pairs — knn_ivf's top-n_probe rule
     # (cosine to centroid, ties -> lowest cluster_id) on broadcast-small
