@@ -1113,3 +1113,154 @@ def knn_ivf_pq(
         F.round(-F.col("sim"), 6).alias("adist"),
         "rank",
     )
+
+
+def rerank_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    candidates: DataFrame,
+    k: int = 5,
+    query_ids: list[int] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact-cosine refinement of an ANN candidate list (the FAISS
+    ``refine`` stage): ``candidates`` is any ``(query_id, neighbor_id,
+    ...)`` frame — :func:`knn_pq`, :func:`knn_ivf_pq`, or :func:`knn_lsh`
+    output at ``k=shortlist`` — and every pair is re-scored with the TRUE
+    cosine fetched from the vector table by id, then two-phase top-k.
+    Returns ``(query_id, neighbor_id, sim, rank)`` — the
+    :func:`knn_bruteforce` contract, so ``shortlist >= corpus`` degenerates
+    to exact brute force (pinned in tests).
+
+    Why it exists: PQ collapses rank resolution WITHIN a quantization cell
+    (all residents of a cell tie at the same ADC distance), so recall@k of
+    raw ADC output degrades exactly when near-identical vectors cluster —
+    the common case in a dedup-shaped corpus. The refine stage restores
+    exact order for shortlist rows while still never scanning raw vectors
+    corpus-wide: the candidate list is n_queries × shortlist rows of two
+    longs, broadcast by construction, and the corpus streams ONCE through
+    a broadcast-hash semi-fetch of just the shortlisted ids. Per-query
+    cost O(shortlist · d), independent of corpus size — ``shortlist`` is
+    the recall/cost dial.
+    """
+    wb = with_norm(df, id_col, vec_col)
+    cand = candidates.select("query_id", "neighbor_id")
+    qside = wb.where(F.col("_id").isin(query_ids)) if query_ids is not None else (
+        wb.join(
+            broadcast(cand.select(F.col("query_id").alias("_id")).distinct()), "_id"
+        )
+    )
+    qv = qside.select(
+        F.col("_id").alias("query_id"),
+        F.col("_vec").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    nv = wb.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_vec").alias("_nv"),
+        F.col("_n").alias("_nn"),
+    )
+    sim = F.round(
+        _dot(F.col("_qv"), F.col("_nv")) / (F.col("_qn") * F.col("_nn")), round_digits
+    )
+    scored = (
+        nv.join(broadcast(cand), "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    return _topk(scored, k)
+
+
+def knn_pq_rerank(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 25,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC shortlist → exact rerank, composed: :func:`knn_pq` at
+    ``k=shortlist`` picks the candidates from the 8-byte code table (ties
+    by neighbor id — deterministic shortlist membership, which the DuckDB
+    twin reproduces), :func:`rerank_exact` restores true cosine order and
+    cuts to ``k``. This is the production PQ search shape (FAISS
+    ``IndexRefineFlat``): the corpus-wide scan touches only codes; raw
+    vectors are fetched for shortlist rows alone."""
+    cand = knn_pq(
+        df, id_col, vec_col, query_ids, k=shortlist,
+        m_sub=m_sub, n_codes=n_codes, codebooks=codebooks, codes=codes,
+    )
+    return rerank_exact(df, id_col, vec_col, cand, k=k, query_ids=query_ids)
+
+
+def knn_pq_against(
+    queries: DataFrame,
+    codes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[tuple[int, int, list[float]]],
+    k: int = 5,
+    m_sub: int = 8,
+    max_adist: float | None = None,
+) -> DataFrame:
+    """ADC top-k of a QUERY frame against a persisted PQ code index —
+    the batch-vs-index form of :func:`knn_pq` (the ANN sibling of
+    ``dedup_against_index`` / ``clones_against_index``): ``queries``
+    carries raw vectors (a daily ingest batch), ``codes`` is the
+    ``(_id, m, code)`` table :func:`pq_encode` persisted earlier, and
+    ``codebooks`` is the FROZEN quantizer the index was encoded with
+    (production trains once and pins it — re-training would silently
+    invalidate every stored code). Returns ``(query_id, neighbor_id,
+    adist, rank)``; ``max_adist`` keeps only matches at or under the
+    threshold (the "is this embedding near something we already have"
+    dedup question).
+
+    Scale shape: the per-query LUT is n_queries × m_sub × n_codes rows —
+    batch-sized, broadcast — so the index contributes only its code rows
+    to one equi-join + one (query, id) partial aggregate; index vectors
+    are NEVER re-read (they may no longer exist anywhere). With
+    ``queries`` = the corpus and ``codes`` = its own encoding this is
+    exactly :func:`knn_pq` (pinned in tests)."""
+    if not codebooks:
+        raise ValueError("knn_pq_against requires the frozen trained codebooks")
+    cb = queries.sparkSession.createDataFrame(
+        list(codebooks), "m int, cid int, cent array<double>"
+    )
+    wb = with_norm(queries, id_col, vec_col)
+    qsub = _subspaces(wb, m_sub).select(F.col("_id").alias("query_id"), "m", "sv")
+    lut = qsub.join(broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        _pq_sub_dist(F.col("sv"), F.col("cent")).alias("qd2"),
+    )
+    scored = (
+        codes.join(
+            broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["cid"]),
+        )
+        .where(F.col("_id") != F.col("query_id"))
+        .groupBy("query_id", "_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("adist"))
+    )
+    if max_adist is not None:
+        scored = scored.where(F.col("adist") <= float(max_adist))
+    ranked = _topk(
+        scored.select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            (-F.col("adist")).alias("sim"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        F.round(-F.col("sim"), 6).alias("adist"),
+        "rank",
+    )

@@ -851,3 +851,157 @@ def run_incremental_clone_stream(
     )
     query.awaitTermination()
     return runner
+
+
+class IncrementalAnnRunner:
+    """The daily-ingest EMBEDDING match as a ``foreachBatch`` stream — the
+    vector sibling of :class:`IncrementalDedupRunner` /
+    :class:`IncrementalCloneRunner`: each micro-batch of new vectors is
+    ADC-searched against the persisted PQ code index
+    (:func:`driftval.simsearch.knn_pq_against` — "is this embedding near
+    something the corpus already has"), matches land in ``matches_path``,
+    and the batch's OWN codes (:func:`driftval.simsearch.pq_encode` under
+    the same frozen quantizer) are appended to ``index_path`` — later
+    batches match against everything earlier batches brought in, while
+    index VECTORS are never re-read (only their m_sub-byte codes exist).
+
+    The quantizer (``codebooks``) is trained ONCE offline and pinned for
+    the life of the index — re-training would silently invalidate every
+    stored code, so the runner takes the trained list, not training
+    parameters.
+
+    Scale shape per micro-batch: a batch-sized LUT broadcast against the
+    code index (one equi-join + one partial aggregate — the index never
+    shuffles), then a batch-sized encode append. Delivery semantics
+    mirror the dedup runner: ``foreachBatch`` is at-least-once, matches
+    write per-batch (``matches_path/batch_id=N``, overwrite), the index
+    read excludes rows owned by this batch's ids (globally-unique ids
+    assumed) so a replay sees first-attempt state, and the append
+    anti-joins the unfiltered index on the id so a vector is never
+    indexed twice."""
+
+    def __init__(
+        self,
+        index_path: str,
+        matches_path: str,
+        id_col: str,
+        vec_col: str,
+        codebooks: list[tuple[int, int, list[float]]],
+        m_sub: int = 8,
+        n_codes: int = 16,
+        k: int = 1,
+        max_adist: float | None = None,
+    ):
+        if not codebooks:
+            raise ValueError("IncrementalAnnRunner requires trained codebooks")
+        self.index_path = index_path
+        self.matches_path = matches_path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.codebooks = list(codebooks)
+        self.m_sub = m_sub
+        self.n_codes = n_codes
+        self.k = k
+        self.max_adist = max_adist
+        self.n_batches = 0
+
+    def _read_index(self, spark: SparkSession) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(self.index_path)
+        except AnalysisException as e:
+            # same contract as the sibling runners: ONLY path-not-found
+            # means "fresh index"; anything else propagates
+            err_cls = ""
+            get_cls = getattr(e, "getErrorClass", None)
+            if callable(get_cls):
+                err_cls = get_cls() or ""
+            if err_cls == "PATH_NOT_FOUND" or (
+                not err_cls and "Path does not exist" in str(e)
+            ):
+                return None
+            raise
+
+    def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from driftval import simsearch
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            idx = self._read_index(spark)
+            if idx is not None:
+                own = batch_df.select(F.col(self.id_col).alias("_id")).distinct()
+                seen = idx.join(F.broadcast(own), "_id", "left_anti")
+                matches = simsearch.knn_pq_against(
+                    batch_df,
+                    seen,
+                    self.id_col,
+                    self.vec_col,
+                    self.codebooks,
+                    k=self.k,
+                    m_sub=self.m_sub,
+                    max_adist=self.max_adist,
+                )
+            else:
+                from pyspark.sql import types as T
+
+                id_type = batch_df.schema[self.id_col].dataType
+                matches = spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("query_id", id_type),
+                            T.StructField("neighbor_id", id_type),
+                            T.StructField("adist", T.DoubleType()),
+                            T.StructField("rank", T.IntegerType()),
+                        ]
+                    ),
+                )
+            matches.write.mode("overwrite").parquet(
+                f"{self.matches_path}/batch_id={int(batch_id)}"
+            )
+            new_rows = simsearch.pq_encode(
+                batch_df,
+                self.id_col,
+                self.vec_col,
+                m_sub=self.m_sub,
+                n_codes=self.n_codes,
+                codebooks=self.codebooks,
+            )
+            if idx is not None:
+                new_rows = new_rows.join(
+                    spark.read.parquet(self.index_path).select("_id").distinct(),
+                    "_id",
+                    "left_anti",
+                )
+            new_rows.write.mode("append").parquet(self.index_path)
+            self.n_batches += 1
+        finally:
+            batch_df.unpersist()
+
+
+def run_incremental_ann_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[tuple[int, int, list[float]]],
+    **kwargs,
+) -> IncrementalAnnRunner:
+    """Drain an available-now vector stream through
+    :class:`IncrementalAnnRunner`; returns the runner (near matches in
+    ``matches_path``, the grown PQ code index in ``index_path``)."""
+    runner = IncrementalAnnRunner(
+        index_path, matches_path, id_col, vec_col, codebooks, **kwargs
+    )
+    query = (
+        stream_df.writeStream.foreachBatch(runner.on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return runner

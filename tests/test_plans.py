@@ -382,3 +382,22 @@ def test_knn_ivf_pq_one_corpus_derivation(spark):
     assert "SortMergeJoin" not in plan, plan
     exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
     assert all("embedding" not in l for l in exchanges), exchanges
+
+
+def test_rerank_fetches_vectors_via_broadcast_no_window(spark):
+    """The refine stage: candidate list and query vectors are broadcast
+    (the corpus streams once through broadcast-hash fetches); final top-k
+    is the two-phase aggregate, not a window; no shuffle carries the
+    embedding column."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(
+        simsearch.knn_pq_rerank(
+            e, "vec_id", "embedding", [0, 1, 2], k=3, shortlist=10,
+            m_sub=8, n_codes=16,
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert all("embedding" not in l for l in exchanges), exchanges

@@ -582,3 +582,127 @@ def test_incremental_clone_stream_matches_sequential_replay(spark, tmp_path):
     }
     replay = {(r["fingerprint"], r["_id"], r["_nfp"]) for r in idx.collect()}
     assert final == replay
+
+
+def test_knn_pq_against_own_encoding_equals_knn_pq(spark):
+    """queries = the corpus, codes = its own encoding, same quantizer ->
+    knn_pq_against must reproduce knn_pq exactly."""
+    import numpy as np
+    from driftval import simsearch
+
+    rng = np.random.RandomState(59)
+    V = rng.randn(30, 8).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    M, K = 2, 4
+    cbs = [
+        (int(r["m"]), int(r["cid"]), list(r["cent"]))
+        for r in simsearch._pq_codebook_frame(
+            df, simsearch.with_norm(df, "vec_id", "embedding"), M, K, None
+        ).collect()
+    ]
+    qids = [0, 4, 9]
+    want = {
+        tuple(r)
+        for r in simsearch.knn_pq(
+            df, "vec_id", "embedding", qids, k=3, m_sub=M, n_codes=K, codebooks=cbs
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in simsearch.knn_pq_against(
+            df.where(F.col("vec_id").isin(qids)),
+            simsearch.pq_encode(df, "vec_id", "embedding", M, K, codebooks=cbs),
+            "vec_id",
+            "embedding",
+            cbs,
+            k=3,
+            m_sub=M,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_incremental_ann_stream_matches_sequential_replay(spark, tmp_path):
+    """run_incremental_ann_stream over 3 micro-batches == driver-side
+    sequential replay (knn_pq_against per batch with a growing pq_encode
+    index under the same frozen quantizer): identical match sets,
+    identical final code index. Batches plant cross-batch near-dup
+    vectors and brand-new directions."""
+    from driftval import simsearch
+
+    # frozen quantizer: 2 subspaces x 2 codes around the planted corners
+    cbs = [
+        (0, 0, [0.0, 0.0]),
+        (0, 1, [5.0, 5.0]),
+        (1, 0, [0.0, 0.0]),
+        (1, 1, [5.0, 5.0]),
+    ]
+    chunks = [
+        [(1, [0.1, 0.2, 5.0, 5.1]), (2, [5.0, 5.1, 0.0, 0.1])],
+        [(10, [0.12, 0.18, 5.05, 5.0]), (11, [9.0, 9.0, 9.0, 9.0])],
+        [(20, [5.1, 5.0, 0.05, 0.02]), (21, [0.3, 0.1, 5.2, 5.0])],
+    ]
+    schema = "vec_id long, embedding array<double>"
+
+    src = str(tmp_path / "vec-src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src + f"/part-{i:05d}")
+        time.sleep(1.05)
+
+    kw = dict(m_sub=2, n_codes=2, k=2)
+    stream_df = streaming.read_chunk_stream(
+        spark, src + "/part-*", spark.createDataFrame([], schema).schema
+    )
+    streaming.run_incremental_ann_stream(
+        stream_df,
+        str(tmp_path / "ann-index"),
+        str(tmp_path / "ann-matches"),
+        str(tmp_path / "ann-ckpt"),
+        "vec_id",
+        "embedding",
+        cbs,
+        **kw,
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adist"], r["rank"])
+        for r in spark.read.parquet(str(tmp_path / "ann-matches")).collect()
+    }
+
+    # sequential replay with the batch operators
+    idx = None
+    want = set()
+    for rows in chunks:
+        bdf = spark.createDataFrame(rows, schema)
+        if idx is not None:
+            want |= {
+                (r["query_id"], r["neighbor_id"], r["adist"], r["rank"])
+                for r in simsearch.knn_pq_against(
+                    bdf, idx, "vec_id", "embedding", cbs, k=2, m_sub=2
+                ).collect()
+            }
+        new = simsearch.pq_encode(
+            bdf, "vec_id", "embedding", 2, 2, codebooks=cbs
+        )
+        idx = new if idx is None else idx.unionByName(new)
+    assert got == want
+
+    # planted paths fired: batch-2's near-dup of id 1, batch-3's of id 2,
+    # and 21 matching the (0,1)-cell residents
+    pair_ids = {(m[0], m[1]) for m in got}
+    assert (10, 1) in pair_ids
+    assert (20, 2) in pair_ids
+    assert (21, 1) in pair_ids or (21, 10) in pair_ids
+
+    # final index == replay index (each vector encoded exactly once)
+    final = {
+        (r["_id"], r["m"], r["code"])
+        for r in spark.read.parquet(str(tmp_path / "ann-index")).collect()
+    }
+    replay = {(r["_id"], r["m"], r["code"]) for r in idx.collect()}
+    assert final == replay

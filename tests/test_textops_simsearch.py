@@ -697,3 +697,138 @@ def test_knn_ivf_pq_full_probe_equals_knn_pq(spark):
         df, "vec_id", "embedding", qids, n_centroids=5, n_probe=1, **kw
     ).collect()
     assert one and all(r["rank"] >= 1 for r in one)
+
+
+def test_knn_pq_rerank_full_shortlist_equals_bruteforce(spark):
+    """shortlist >= corpus makes the refine stage see every candidate, so
+    knn_pq_rerank must degenerate to exact brute force — same neighbors,
+    same cosines, same ranks."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    V = rng.randn(40, 16).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    qids = [0, 9, 33]
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["sim"]) for r in rows
+        )
+
+    got = key(
+        simsearch.knn_pq_rerank(
+            df, "vec_id", "embedding", qids, k=4, shortlist=40, m_sub=4, n_codes=8
+        ).collect()
+    )
+    exact = key(
+        simsearch.knn_bruteforce(df, "vec_id", "embedding", qids, k=4).collect()
+    )
+    assert got == exact
+
+
+def test_rerank_restores_order_inside_quantization_cell(spark):
+    """Vectors that share one PQ code tie at the same ADC distance (rank
+    inside the cell is id order, not true order); the refine stage must
+    recover the TRUE nearest from the tied shortlist."""
+    base = [4.0, -2.0, 3.0, 1.0, -1.0, 2.0, 0.5, -3.0]
+    rows = [(0, list(base)), (1, [v * -7.0 - 3.0 for v in base])]  # query + far seed
+    for i in range(2, 9):
+        # ids 2..8 tilt away from the query by (9-i)*0.05 on dim 0: id 8 is
+        # the true cosine-nearest (differences ~1e-4, well above the 6-digit
+        # rounding), but the whole cluster still encodes to code 0 (seed 1
+        # is far away), so ADC ties them all and knn_pq's id-order
+        # tie-break ranks id 2 first.
+        rows.append((i, [v + (9 - i) * 0.05 * (1 - min(d, 1)) for d, v in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    plain = simsearch.knn_pq(
+        df, "vec_id", "embedding", [0], k=1, m_sub=2, n_codes=2
+    ).collect()
+    assert plain[0]["neighbor_id"] == 2  # ADC tie -> lowest id
+
+    refined = simsearch.knn_pq_rerank(
+        df, "vec_id", "embedding", [0], k=1, shortlist=7, m_sub=2, n_codes=2
+    ).collect()
+    assert refined[0]["neighbor_id"] == 8  # true nearest recovered
+
+
+def test_rerank_exact_composes_with_ivf_pq(spark):
+    """rerank_exact accepts any candidate frame; without query_ids it
+    derives the query set from the candidates themselves."""
+    import numpy as np
+
+    rng = np.random.RandomState(47)
+    V = rng.randn(50, 16).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    qids = [0, 7]
+    cand = simsearch.knn_ivf_pq(
+        df, "vec_id", "embedding", qids, k=20,
+        n_centroids=5, n_probe=5, m_sub=4, n_codes=8,
+    )
+    got = simsearch.rerank_exact(df, "vec_id", "embedding", cand, k=3).collect()
+    assert {r["query_id"] for r in got} == set(qids)
+    assert all(set(r.asDict()) == {"query_id", "neighbor_id", "sim", "rank"} for r in got)
+    # full probe + full shortlist == brute force on the same data
+    full = simsearch.rerank_exact(
+        df, "vec_id", "embedding",
+        simsearch.knn_ivf_pq(
+            df, "vec_id", "embedding", qids, k=49,
+            n_centroids=5, n_probe=5, m_sub=4, n_codes=8,
+        ),
+        k=3,
+    ).collect()
+    exact = simsearch.knn_bruteforce(df, "vec_id", "embedding", qids, k=3).collect()
+
+    def key(rows):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["sim"]) for r in rows
+        )
+
+    assert key(full) == key(exact)
+
+
+def test_prebuilt_index_parquet_roundtrip_matches_inline(spark, tmp_path):
+    """The production pre-encode: pq_encode / ivf_pq_index written to
+    parquet and read back must drive knn_pq / knn_ivf_pq to the exact
+    rows the self-contained (inline-encode) form produces."""
+    import numpy as np
+
+    rng = np.random.RandomState(53)
+    V = rng.randn(40, 16).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    qids = [0, 5, 11]
+    kw = dict(m_sub=4, n_codes=8)
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    pq_path = str(tmp_path / "pq_codes")
+    simsearch.pq_encode(df, "vec_id", "embedding", **kw).write.parquet(pq_path)
+    got = simsearch.knn_pq(
+        df, "vec_id", "embedding", qids, k=4,
+        codes=spark.read.parquet(pq_path), **kw,
+    ).collect()
+    inline = simsearch.knn_pq(df, "vec_id", "embedding", qids, k=4, **kw).collect()
+    assert key(got) == key(inline)
+
+    ivf_path = str(tmp_path / "ivfpq_index")
+    simsearch.ivf_pq_index(
+        df, "vec_id", "embedding", n_centroids=5, **kw
+    ).write.parquet(ivf_path)
+    got2 = simsearch.knn_ivf_pq(
+        df, "vec_id", "embedding", qids, k=4, n_centroids=5, n_probe=2,
+        indexed=spark.read.parquet(ivf_path), **kw,
+    ).collect()
+    inline2 = simsearch.knn_ivf_pq(
+        df, "vec_id", "embedding", qids, k=4, n_centroids=5, n_probe=2, **kw
+    ).collect()
+    assert key(got2) == key(inline2)
