@@ -87,10 +87,20 @@ def read_manifest(root: str, snapshot_id: int | None = None) -> dict:
 
 
 def snapshots(root: str) -> list[dict]:
-    """Commit log, oldest first: (snapshot_id, parent_id, spec, n_files)."""
+    """Commit log, oldest first: (snapshot_id, parent_id, spec, n_files).
+    Enumerates the metadata dir (NOT a walk from v1 — after
+    :func:`expire_snapshots` removes old manifests the surviving ids no
+    longer start at 1, and a contiguous walk would miss them all)."""
+    meta = _meta_dir(root)
+    if not os.path.isdir(meta):
+        return []
+    ids = sorted(
+        int(n[1:-5])
+        for n in os.listdir(meta)
+        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+    )
     out = []
-    sid = 1
-    while os.path.exists(_manifest_path(root, sid)):
+    for sid in ids:
         m = read_manifest(root, sid)
         out.append(
             {
@@ -101,7 +111,6 @@ def snapshots(root: str) -> list[dict]:
                 "n_rows": sum(f["rows"] for f in m["files"]),
             }
         )
-        sid += 1
     return out
 
 
@@ -308,3 +317,178 @@ def snapshot_schema_diff(
         "retyped": retyped,
         "renullabled": renullabled,
     }
+
+
+def commit_overwrite(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_by: list[str] | tuple[str, ...] = (),
+    replace_where: dict[str, object] | None = None,
+) -> int:
+    """Overwrite-commit (Iceberg's dynamic partition overwrite): the new
+    snapshot's file list = parent files MINUS those whose partition tuple
+    matches ``replace_where`` (None = replace the whole table) PLUS the
+    new files. Data files are never mutated or deleted here — the
+    replaced files stay on disk, referenced by EARLIER snapshots only, so
+    time travel to the pre-overwrite snapshot still works; physical
+    removal is :func:`expire_snapshots`' job once those snapshots age
+    out. Same crash contract as :func:`commit_append` (pointer flips
+    last)."""
+    partition_by = list(partition_by)
+    for c in partition_by:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in {df.columns}")
+    parent_id = current_snapshot_id(root)
+    if parent_id is None:
+        raise FileNotFoundError(f"no committed snapshot under {root} to overwrite")
+    new_id = parent_id + 1
+    data_rel = os.path.join("data", f"snap-{new_id}")
+    data_dir = os.path.join(root, data_rel)
+
+    writer = df
+    for c in partition_by:
+        writer = writer.withColumn(f"_p_{c}", F.col(c).cast("string"))
+    w = writer.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*[f"_p_{c}" for c in partition_by])
+    w.parquet(data_dir)
+
+    def _norm(p: str) -> str:
+        if p.startswith("file:"):
+            p = p[len("file:") :].lstrip("/")
+            p = "/" + p
+        return os.path.abspath(p)
+
+    new_paths = [os.path.relpath(p, root) for p in _list_leaf_files(data_dir)]
+    counts = {
+        _norm(r["f"]): r["n"]
+        for r in spark.read.parquet(data_dir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    new_files = [
+        {
+            "path": p,
+            "rows": int(counts.get(_norm(os.path.join(root, p)), 0)),
+            "partition": _partition_of(p, partition_by),
+            "spec": partition_by,
+        }
+        for p in new_paths
+    ]
+    parent_files = read_manifest(root, parent_id)["files"]
+    if replace_where is None:
+        survivors: list[dict] = []
+    else:
+        # a parent file survives unless EVERY replace_where column is in
+        # its spec AND matches — conservative on old-spec files would be
+        # WRONG here (silently keeping rows the caller asked to replace),
+        # so files whose spec lacks a predicate column are refused
+        missing = [
+            f["path"]
+            for f in parent_files
+            if any(c not in f["spec"] for c in replace_where)
+        ]
+        if missing:
+            raise ValueError(
+                "replace_where columns not in the partition spec of "
+                f"{len(missing)} parent file(s) (e.g. {missing[0]}); "
+                "overwrite would be ambiguous under spec evolution"
+            )
+        allowed = {
+            c: {str(v) for v in (vs if isinstance(vs, (list, tuple, set)) else [vs])}
+            for c, vs in replace_where.items()
+        }
+        survivors = [
+            f
+            for f in parent_files
+            if not all(f["partition"].get(c) in vals for c, vals in allowed.items())
+        ]
+
+    manifest = {
+        "snapshot_id": new_id,
+        "parent_id": parent_id,
+        "partition_spec": partition_by,
+        "schema": json.loads(df.schema.json()),
+        "files": survivors + new_files,
+    }
+    mpath = _manifest_path(root, new_id)
+    tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, mpath)
+    hint = os.path.join(_meta_dir(root), _HINT)
+    tmp = hint + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(new_id))
+    os.replace(tmp, hint)
+    return new_id
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> dict:
+    """Iceberg's ``expireSnapshots`` maintenance op: retire all but the
+    newest ``keep_last`` snapshots — their manifests are deleted (pinned
+    reads of them now fail loudly instead of resolving stale state) and
+    any data file referenced ONLY by expired snapshots is physically
+    removed (files an overwrite replaced; append-only histories delete
+    nothing, because every older file is still referenced by the retained
+    manifests). The metadata pointer is untouched — the current snapshot
+    and its full history window keep working. Metadata-only planning:
+    O(files) set arithmetic on the manifests, no data read.
+
+    Returns ``{"expired_snapshots": [...], "deleted_files": [...],
+    "kept_snapshots": [...]}`` (paths relative to root, sorted)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current snapshot must survive)")
+    cur = current_snapshot_id(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    all_ids = [s["snapshot_id"] for s in snapshots(root)]
+    retained = [sid for sid in all_ids if sid > cur - keep_last]
+    expired = [sid for sid in all_ids if sid not in retained]
+    if not expired:
+        return {"expired_snapshots": [], "deleted_files": [], "kept_snapshots": retained}
+    referenced = {
+        f["path"] for sid in retained for f in read_manifest(root, sid)["files"]
+    }
+    candidates = {
+        f["path"] for sid in expired for f in read_manifest(root, sid)["files"]
+    }
+    doomed = sorted(candidates - referenced)
+    for rel in doomed:
+        p = os.path.join(root, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    for sid in expired:
+        os.remove(_manifest_path(root, sid))
+    return {
+        "expired_snapshots": expired,
+        "deleted_files": doomed,
+        "kept_snapshots": retained,
+    }
+
+
+def orphan_files(root: str, delete: bool = False) -> list[str]:
+    """Iceberg's ``remove_orphan_files``: data files on disk under
+    ``data/`` that NO existing manifest references — the residue of a
+    commit that crashed after writing parquet but before its manifest (or
+    of an expired-then-recommitted id collision). Returns the sorted
+    relative paths; ``delete=True`` also removes them. Never touches a
+    referenced file: the reference set is the union over ALL manifests
+    still present, not just the current one (pinned readers of retained
+    old snapshots stay safe)."""
+    referenced: set[str] = set()
+    for s in snapshots(root):
+        referenced |= {
+            f["path"] for f in read_manifest(root, s["snapshot_id"])["files"]
+        }
+    data_dir = os.path.join(root, "data")
+    if not os.path.isdir(data_dir):
+        return []
+    on_disk = {os.path.relpath(p, root) for p in _list_leaf_files(data_dir)}
+    orphans = sorted(on_disk - referenced)
+    if delete:
+        for rel in orphans:
+            os.remove(os.path.join(root, rel))
+    return orphans

@@ -299,3 +299,120 @@ def test_suite_schema_drift_verdict(spark, root, tmp_path):
         for r in reports.where(F.col("kind") == "schema_drift").collect()
     }
     assert ("lang", "removed") in rows and ("stars", "added") in rows
+
+
+def test_overwrite_replaces_partition_keeps_time_travel(spark, root):
+    """Dynamic partition overwrite: the new snapshot serves the replaced
+    partition from the new files only, while a pinned read of the
+    pre-overwrite snapshot still sees the old rows (data files are not
+    touched until expiry)."""
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-01", "2026-01-02"], ["py"]), ["part_date"]
+    )
+    fixed = _files(spark, ["2026-01-02"], ["go", "rs"], start=200)
+    s2 = snaptable.commit_overwrite(
+        spark, root, fixed, ["part_date"], replace_where={"part_date": "2026-01-02"}
+    )
+    assert s2 == 2
+
+    latest = snaptable.read_snapshot(spark, root)
+    d2 = latest.where(F.col("part_date") == "2026-01-02")
+    assert sorted(r.lang for r in d2.collect()) == ["go", "rs"]
+    # untouched partition intact
+    assert latest.where(F.col("part_date") == "2026-01-01").count() == 1
+
+    pinned = snaptable.read_snapshot(spark, root, snapshot_id=1)
+    assert sorted(
+        r.lang for r in pinned.where(F.col("part_date") == "2026-01-02").collect()
+    ) == ["py"]
+
+    # whole-table overwrite drops every parent file from the new manifest
+    s3 = snaptable.commit_overwrite(
+        spark, root, _files(spark, ["2026-02-01"], ["py"], start=300), ["part_date"]
+    )
+    assert snaptable.read_snapshot(spark, root).count() == 1
+    assert {f["path"] for f in snaptable.read_manifest(root, s3)["files"]}.isdisjoint(
+        {f["path"] for f in snaptable.read_manifest(root, 1)["files"]}
+    )
+
+
+def test_overwrite_refuses_ambiguous_spec_evolution(spark, root):
+    """replace_where on a column missing from an old file's spec would
+    silently keep rows the caller asked to replace — must raise."""
+    snaptable.commit_append(spark, root, _files(spark, ["2026-01-01"], ["py"]), [])
+    with pytest.raises(ValueError, match="spec"):
+        snaptable.commit_overwrite(
+            spark,
+            root,
+            _files(spark, ["2026-01-01"], ["go"], start=50),
+            ["part_date"],
+            replace_where={"part_date": "2026-01-01"},
+        )
+
+
+def test_expire_snapshots_removes_only_unreferenced_files(spark, root):
+    """expireSnapshots: manifests older than the retention window are
+    deleted, data files referenced ONLY by them are physically removed,
+    and everything the retained snapshots reference survives byte-for-byte."""
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-01", "2026-01-02"], ["py"]), ["part_date"]
+    )
+    snaptable.commit_overwrite(
+        spark,
+        root,
+        _files(spark, ["2026-01-02"], ["go"], start=200),
+        ["part_date"],
+        replace_where={"part_date": "2026-01-02"},
+    )
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-03"], ["py"], start=300), ["part_date"]
+    )
+    replaced = set(
+        snaptable.snapshot_file_diff(root, 1, 2)["removed"]
+    )  # the overwritten 01-02 file(s)
+    assert replaced
+
+    res = snaptable.expire_snapshots(root, keep_last=2)
+    assert res["expired_snapshots"] == [1]
+    assert set(res["deleted_files"]) == replaced
+    assert res["kept_snapshots"] == [2, 3]
+    for rel in replaced:
+        assert not os.path.exists(os.path.join(root, rel))
+
+    # expired snapshot now fails loudly; retained ones read fully
+    with pytest.raises(FileNotFoundError):
+        snaptable.read_snapshot(spark, root, snapshot_id=1)
+    assert snaptable.read_snapshot(spark, root).count() == 3
+    assert snaptable.read_snapshot(spark, root, snapshot_id=2).count() == 2
+    # commit log survives the v1 gap (metadata-dir enumeration, not a walk)
+    assert [s["snapshot_id"] for s in snaptable.snapshots(root)] == [2, 3]
+
+    # append-only history: nothing is ever deletable
+    res2 = snaptable.expire_snapshots(root, keep_last=1)
+    assert res2["expired_snapshots"] == [2] and res2["deleted_files"] == []
+
+    with pytest.raises(ValueError):
+        snaptable.expire_snapshots(root, keep_last=0)
+
+
+def test_orphan_files_finds_crashed_commit_residue(spark, root):
+    """remove_orphan_files: a parquet file written by a commit that died
+    before its manifest is reported (and deletable); referenced files are
+    never listed — even ones only an OLD retained snapshot references."""
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-01"], ["py"]), ["part_date"]
+    )
+    assert snaptable.orphan_files(root) == []
+
+    stray_dir = os.path.join(root, "data", "snap-99", "_p_part_date=2026-09-09")
+    os.makedirs(stray_dir)
+    stray = os.path.join(stray_dir, "part-00000-dead.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"not really parquet")
+    rel = os.path.relpath(stray, root)
+    assert snaptable.orphan_files(root) == [rel]
+
+    # delete=True removes the stray and nothing else
+    snaptable.orphan_files(root, delete=True)
+    assert not os.path.exists(stray)
+    assert snaptable.read_snapshot(spark, root).count() == 1
