@@ -379,6 +379,32 @@ def cmd_pack(spark, args) -> int:
     return 0
 
 
+def cmd_snapmaint(spark, args) -> int:
+    """Snapshot-table maintenance (the Iceberg lifecycle ops): expire old
+    snapshots, report/remove orphan files, or compact a partition's small
+    files. Prints a one-line JSON result for scripting."""
+    import json as _json
+
+    from driftval import snaptable
+
+    if args.action == "expire":
+        res = snaptable.expire_snapshots(args.root, keep_last=args.keep_last)
+        print(_json.dumps(res))
+    elif args.action == "orphans":
+        orphans = snaptable.orphan_files(args.root, delete=args.delete)
+        print(_json.dumps({"orphans": orphans, "deleted": bool(args.delete)}))
+    else:  # compact
+        if not args.where:
+            print("compact requires --where col=value", flush=True)
+            return 2
+        where = dict(kv.split("=", 1) for kv in args.where)
+        sid = snaptable.compact_partition(
+            spark, args.root, where, target_files=args.target_files
+        )
+        print(_json.dumps({"snapshot_id": sid, "compacted": where}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="driftval")
     ap.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -562,6 +588,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-b", required=True, help="later run_id")
     p.add_argument("--all", action="store_true", help="include stable rows")
     p.set_defaults(fn=cmd_diff)
+
+    p = sub.add_parser(
+        "snapmaint", help="snapshot-table maintenance: expire / orphans / compact"
+    )
+    p.add_argument("action", choices=["expire", "orphans", "compact"])
+    p.add_argument("--root", required=True, help="snapshot table root")
+    p.add_argument("--keep-last", type=int, default=2, help="expire: snapshots to retain")
+    p.add_argument("--delete", action="store_true", help="orphans: also remove them")
+    p.add_argument(
+        "--where", nargs="*", default=[], help="compact: partition selection col=value"
+    )
+    p.add_argument("--target-files", type=int, default=1)
+    p.set_defaults(fn=cmd_snapmaint)
 
     p = sub.add_parser("pack", help="write a sequence-packing layout plan")
     p.add_argument("--path")

@@ -492,3 +492,40 @@ def orphan_files(root: str, delete: bool = False) -> list[str]:
         for rel in orphans:
             os.remove(os.path.join(root, rel))
     return orphans
+
+
+def compact_partition(
+    spark: SparkSession,
+    root: str,
+    where: dict[str, object],
+    target_files: int = 1,
+) -> int:
+    """Iceberg's ``rewrite_data_files`` (small-file compaction) for one
+    partition selection: read the CURRENT snapshot's rows matching
+    ``where``, rewrite them as ``target_files`` files, and overwrite-commit
+    just that selection — bytes identical, file count collapsed. The many
+    small files an incremental ingest accumulates stay readable in older
+    snapshots until :func:`expire_snapshots` retires them; readers of the
+    new snapshot scan ``target_files`` files instead. Raises if the
+    selection matches nothing (a no-op commit would still bump the
+    snapshot id)."""
+    if not where:
+        raise ValueError("compact_partition requires a partition selection")
+    manifest = read_manifest(root)
+    spec = manifest["partition_spec"]
+    missing = [c for c in where if c not in spec]
+    if missing:
+        raise ValueError(
+            f"compaction selection columns {missing} not in the current "
+            f"partition spec {spec}"
+        )
+    rows = read_snapshot(spark, root, where=where)
+    if not rows.take(1):
+        raise ValueError(f"no rows match {where}; refusing an empty compaction")
+    return commit_overwrite(
+        spark,
+        root,
+        rows.coalesce(max(1, int(target_files))),
+        spec,
+        replace_where=where,
+    )

@@ -416,3 +416,74 @@ def test_orphan_files_finds_crashed_commit_residue(spark, root):
     snaptable.orphan_files(root, delete=True)
     assert not os.path.exists(stray)
     assert snaptable.read_snapshot(spark, root).count() == 1
+
+
+def test_compact_partition_collapses_files_bytes_identical(spark, root):
+    """rewrite_data_files: an ingest-fragmented partition collapses to
+    target_files files in the new snapshot with identical rows; other
+    partitions' files are untouched (same manifest entries)."""
+    for start in (0, 100, 200):  # 3 small appends -> 3 files in 01-01
+        snaptable.commit_append(
+            spark, root, _files(spark, ["2026-01-01"], ["py"], start=start),
+            ["part_date"],
+        )
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-02"], ["go"], start=300), ["part_date"]
+    )
+    before = snaptable.read_manifest(root)
+    frag = [f for f in before["files"] if f["partition"] == {"part_date": "2026-01-01"}]
+    other = [f for f in before["files"] if f["partition"] != {"part_date": "2026-01-01"}]
+    assert len(frag) == 3
+    rows_before = sorted(
+        map(tuple, snaptable.read_snapshot(spark, root).collect())
+    )
+
+    sid = snaptable.compact_partition(
+        spark, root, {"part_date": "2026-01-01"}, target_files=1
+    )
+    after = snaptable.read_manifest(root, sid)
+    frag_after = [
+        f for f in after["files"] if f["partition"] == {"part_date": "2026-01-01"}
+    ]
+    assert len(frag_after) == 1
+    assert [f["path"] for f in other] == [
+        f["path"] for f in after["files"] if f["partition"] != {"part_date": "2026-01-01"}
+    ]
+    rows_after = sorted(map(tuple, snaptable.read_snapshot(spark, root).collect()))
+    assert rows_after == rows_before
+
+    with pytest.raises(ValueError, match="no rows"):
+        snaptable.compact_partition(spark, root, {"part_date": "2099-01-01"})
+    with pytest.raises(ValueError):
+        snaptable.compact_partition(spark, root, {})
+
+
+def test_snapmaint_cli_expire_and_orphans(spark, root):
+    """The snapmaint subcommand end-to-end: seed a table, expire via the
+    CLI (JSON result line), then the orphans report."""
+    import json
+    import subprocess
+    import sys
+
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-01"], ["py"]), ["part_date"]
+    )
+    snaptable.commit_overwrite(
+        spark, root, _files(spark, ["2026-01-01"], ["go"], start=50), ["part_date"],
+        replace_where={"part_date": "2026-01-01"},
+    )
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "driftval", "snapmaint", *args],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    res = run("expire", "--root", root, "--keep-last", "1")
+    assert res["expired_snapshots"] == [1] and res["deleted_files"]
+    res2 = run("orphans", "--root", root)
+    assert res2 == {"orphans": [], "deleted": False}
+    assert snaptable.read_snapshot(spark, root).count() == 1
