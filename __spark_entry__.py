@@ -1644,6 +1644,43 @@ def q_bpe_segment_counts(spark, sf_dir):
     return bpe.bpe_segment_counts(d, "doc_id", "text", merges)
 
 
+QC_DIM = 64
+QC_STANDIN_MULT = 2_654_435_761  # classifier.STANDIN_MULT
+
+
+def q_quality_classifier_scores(spark, sf_dir):
+    """Model-based quality gate (driftval/classifier.py — the
+    GPT-3/CCNet/DCLM corpus-filter staple): per-doc linear margin over
+    hashed token tf features, one explode + one per-doc aggregate, no
+    shuffle wider than (id, margin). Deterministic stand-in weights keep
+    the DuckDB twin exact; train_quality_classifier supplies real weights
+    through the same plumbing (golden-pinned vs an independent NumPy GD
+    in tests/test_classifier.py)."""
+    from driftval import classifier
+
+    d = _t(spark, sf_dir, "documents")
+    return classifier.classifier_margins(d, "doc_id", "text", dim=QC_DIM)
+
+
+def q_quality_classifier_trained(spark, sf_dir):
+    """classifier_margins under TRAINED weights — rows-only in the
+    catalog (iterative GD is not ANSI-SQL-expressible; the math is
+    golden-pinned instead). Labels: short docs (bottom length quartile
+    stand-in: < 200 chars) = 0, others = 1 — a deterministic seed set."""
+    from driftval import classifier
+
+    d = _t(spark, sf_dir, "documents")
+    lab = d.select(
+        "doc_id", (F.length("text") >= 200).cast("double").alias("label")
+    ).limit(200)
+    weights, bias = classifier.train_quality_classifier(
+        d, "doc_id", "text", lab, dim=QC_DIM, n_iters=3
+    )
+    return classifier.classifier_margins(
+        d, "doc_id", "text", dim=QC_DIM, weights=weights, bias=bias
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Catalog rotation (round 4): the driver's correctness gate covers a
     # prefix of this dict.  Rounds 1-3 recorded green rows for the 50
@@ -1712,7 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pq_codes / knn_pq / knn_pq_rerank have DuckDB twins;
         # knn_pq_trained is pytest-pinned like knn_ivf_trained).
         # ROUND-5 ROTATION NOTE: front these post-window entries (pq_codes
-        # .. bpe_segment_counts) next round so they earn driver rows too.
+        # .. quality_classifier_trained) next round so they earn driver
+        # rows too.
         "pq_codes": q_pq_codes,
         "knn_pq": q_knn_pq,
         "knn_pq_trained": q_knn_pq_trained,
@@ -1722,6 +1760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # against a pure-Python Sennrich reference in tests/test_bpe.py.
         "bpe_merges": q_bpe_merges,
         "bpe_segment_counts": q_bpe_segment_counts,
+        # model-based quality gate (scores = DuckDB twin; trained form
+        # rows-only, GD golden-pinned vs NumPy)
+        "quality_classifier_scores": q_quality_classifier_scores,
+        "quality_classifier_trained": q_quality_classifier_trained,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -3278,6 +3320,20 @@ sub AS (
   FROM ex
 )
 SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM rr WHERE rank <= 5
+""",
+        "quality_classifier_scores": f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK} AS toks FROM documents
+), m AS (
+  -- stand-in weight per hashed bucket: ((f * 2654435761) % 1000)/1000 - 0.5,
+  -- each term divided by the doc's token count (same op order as Spark)
+  SELECT doc_id,
+         round(coalesce(list_sum(list_transform(toks, t ->
+           (((({_H64} % {QC_DIM}) * {QC_STANDIN_MULT}) % 1000)::DOUBLE / 1000 - 0.5)
+           / len(toks))), 0.0), 6) AS margin
+  FROM tok
+)
+SELECT doc_id, margin, margin >= 0.0 AS keep FROM m
 """,
         "knn_ivf_pq": f"""
 WITH v AS (

@@ -1,0 +1,216 @@
+"""Model-based quality filtering: a logistic classifier over hashed token
+features, trained and scored with pure Spark aggregates.
+
+The GPT-3 / CCNet / DCLM pipelines gate web-scale corpora with a LINEAR
+classifier over cheap text features (fastText or logistic regression):
+label a small seed set (curated reference docs = positive, random crawl =
+negative), train, score every document, keep above a threshold. This
+module is that staple, Spark-first:
+
+- **Features**: the hashing trick — token t maps to bucket
+  ``md5_64(t) % dim`` (the engine-wide portable 60-bit md5 prefix,
+  :func:`driftval.textops.token_hash64`), value = term frequency
+  ``count(t in doc) / n_tokens(doc)``. No vocabulary is ever built or
+  shipped; ``dim`` bounds every per-doc and per-iteration structure.
+- **Scoring** (:func:`classifier_margins`): ONE explode + ONE per-doc
+  aggregate — ``margin = bias + Σ_tokens w[h(t)] / n_tokens`` (summing
+  per token instance equals the tf·w dot product). Weights ride a
+  broadcast ``dim``-row frame; the corpus crosses no shuffle wider than
+  (id, margin). With the deterministic stand-in weights the whole thing
+  is ANSI-SQL-expressible — the DuckDB catalog twin value-checks it.
+- **Training** (:func:`train_quality_classifier`): full-batch gradient
+  descent; each iteration is one broadcast join + two hash aggregates,
+  and exactly ``dim + 1`` doubles reach the driver (the gradient). The
+  labeled seed set is small by construction (human-curated), but nothing
+  here depends on that — the gradient pass is corpus-shaped.
+
+Scale shape at 100 TB: scoring is embarrassingly parallel (narrow maps +
+one partial aggregate keyed by doc id); training cost is
+O(iters × labeled-set); driver state is O(dim) — all three independent of
+corpus size. Iterative training is not ANSI-SQL-expressible, so the
+trained path is golden-pinned against an independent NumPy
+reimplementation instead (tests/test_classifier.py), mirroring the
+IVF/PQ/BPE training contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from driftval.textops import token_hash64, tokens
+
+STANDIN_MULT = 2_654_435_761  # Knuth's 2^32/phi, also the PQ probe constant
+
+
+def standin_weight(feat: Column) -> Column:
+    """Deterministic stand-in weight for feature bucket f:
+    ``((f * 2654435761) % 1000) / 1000 - 0.5`` — a fixed pseudo-random
+    value in [-0.5, 0.5), bit-identical in ANSI SQL (same double ops in
+    the same order), playing the role the first-n-vectors codebook plays
+    for PQ: it keeps the scoring operator's DuckDB twin exact while
+    :func:`train_quality_classifier` supplies real weights through the
+    SAME plumbing."""
+    return ((feat * F.lit(STANDIN_MULT)) % 1000).cast("double") / 1000.0 - 0.5
+
+
+def classifier_margins(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 1024,
+    weights: list[tuple[int, float]] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Per-document linear quality score: ``(id, margin, keep)`` where
+    ``margin = bias + Σ_t w[h(t) % dim] / n_tokens`` over the doc's token
+    instances (≡ the tf-weighted dot product) and ``keep = margin >=
+    threshold``. ``weights`` is the trained ``[(feat, w)]`` list (missing
+    buckets = 0); None uses the deterministic stand-in.
+
+    Plan: one token explode, the weight lookup (column expression for the
+    stand-in, broadcast ``dim``-row join for trained weights), one
+    (id)-keyed partial aggregate. Docs with no tokens score ``bias``
+    exactly (empty sum)."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_n"),
+        F.explode_outer(toks).alias("_tok"),
+    )
+    feat = (token_hash64(F.col("_tok")) % dim).alias("feat")
+    if weights is None:
+        term = F.when(
+            F.col("_tok").isNull(), F.lit(0.0)
+        ).otherwise(standin_weight(token_hash64(F.col("_tok")) % dim) / F.col("_n"))
+        scored = base.select("_id", term.alias("_term"))
+    else:
+        wdf = df.sparkSession.createDataFrame(
+            [(int(f), float(w)) for f, w in weights], "feat long, w double"
+        )
+        scored = (
+            base.select("_id", "_n", feat)
+            .join(broadcast(wdf), "feat", "left")
+            .select(
+                "_id",
+                (F.coalesce(F.col("w"), F.lit(0.0)) / F.col("_n")).alias("_term"),
+            )
+        )
+    out = (
+        scored.groupBy("_id")
+        .agg(
+            F.round(
+                # empty docs: the NULL explode_outer row's term is NULL in
+                # the trained branch (no join hit, 0/0 division) — an
+                # all-NULL sum is NULL, and the right answer is bias alone
+                F.coalesce(F.sum("_term"), F.lit(0.0)) + F.lit(float(bias)),
+                6,
+            ).alias("margin")
+        )
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "margin",
+        (F.col("margin") >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def hashed_features(
+    df: DataFrame, id_col: str, text_col: str, dim: int
+) -> DataFrame:
+    """``(_id, feat, tf)`` — each document's hashed-bucket term
+    frequencies (the sparse feature rows gradient descent iterates
+    over). One explode + one (id, feat) aggregate; empty docs contribute
+    no rows (their margin is the bias alone, matching
+    :func:`classifier_margins`)."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.size(toks).alias("_n"),
+            F.explode(toks).alias("_tok"),
+        )
+        .select("_id", "_n", (token_hash64(F.col("_tok")) % dim).alias("feat"))
+        .groupBy("_id", "feat")
+        .agg((F.count(F.lit(1)) / F.first("_n")).alias("tf"))
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    labels: DataFrame,
+    dim: int = 256,
+    n_iters: int = 25,
+    lr: float = 2.0,
+    l2: float = 0.0,
+) -> tuple[list[tuple[int, float]], float]:
+    """Full-batch logistic regression on the labeled seed set: ``labels``
+    is ``(id, label)`` with label ∈ {0, 1} (1 = high quality). Returns
+    ``([(feat, w)], bias)`` for :func:`classifier_margins`.
+
+    Each iteration: broadcast the ``dim``-row weight frame, one join +
+    per-doc aggregate for the margins, sigmoid + residual as column
+    expressions, one per-feature aggregate for the gradient — exactly
+    ``dim + 1`` doubles reach the driver, where the O(dim) update runs.
+    Gradients divide by the labeled count (mean loss), so ``lr`` is
+    dataset-size invariant."""
+    spark = df.sparkSession
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("_id"),
+        F.col(labels.columns[1]).cast("double").alias("_y"),
+    )
+    feats = (
+        hashed_features(df, id_col, text_col, dim)
+        .join(broadcast(lab.select("_id")), "_id")
+        .persist()
+    )
+    n_lab = lab.count()
+    if n_lab == 0:
+        raise ValueError("empty labeled set")
+
+    w = {f: 0.0 for f in range(dim)}
+    bias = 0.0
+    for _ in range(max(0, int(n_iters))):
+        wdf = spark.createDataFrame(
+            [(f, wt) for f, wt in w.items()], "feat long, w double"
+        )
+        margins = (
+            feats.join(broadcast(wdf), "feat")
+            .groupBy("_id")
+            .agg(F.sum(F.col("tf") * F.col("w")).alias("_m"))
+        )
+        resid = (
+            lab.join(margins, "_id", "left")
+            .select(
+                "_id",
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("_m"), F.lit(0.0)) + bias)))
+                    - F.col("_y")
+                ).alias("_r"),
+            )
+        )
+        grad_rows = (
+            feats.join(resid, "_id")
+            .groupBy("feat")
+            .agg(F.sum(F.col("tf") * F.col("_r")).alias("g"))
+            .collect()
+        )
+        gbias = resid.agg(F.sum("_r")).collect()[0][0] or 0.0
+        grad = {int(r["feat"]): float(r["g"]) for r in grad_rows}
+        for f in w:
+            w[f] -= lr * (grad.get(f, 0.0) / n_lab + l2 * w[f])
+        bias -= lr * (gbias / n_lab)
+    feats.unpersist()
+    return [(f, wt) for f, wt in sorted(w.items()) if wt != 0.0], bias
+
+
+def sigmoid(x: float) -> float:
+    """Driver-side helper for turning a margin into P(high quality)."""
+    return 1.0 / (1.0 + math.exp(-x))

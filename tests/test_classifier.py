@@ -1,0 +1,171 @@
+"""Model-based quality filtering (driftval/classifier.py): stand-in
+scoring vs a pure-Python reference, gradient-descent training vs an
+independent NumPy reimplementation (the same golden contract as
+IVF/PQ/BPE training), and end-to-end separation of a planted
+quality split."""
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+
+from driftval import classifier
+
+DIM = 32
+
+
+def _py_tokens(text):
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+def _py_feat(tok, dim):
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+
+
+def _py_standin_w(feat):
+    return ((feat * classifier.STANDIN_MULT) % 1000) / 1000.0 - 0.5
+
+
+def _py_margin_standin(text, dim, bias=0.0):
+    toks = _py_tokens(text)
+    if not toks:
+        return round(bias, 6)
+    return round(sum(_py_standin_w(_py_feat(t, dim)) / len(toks) for t in toks) + bias, 6)
+
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "spark catalyst optimizer prunes columns and pushes filters"),
+    (2, ""),
+    (3, "aaa aaa aaa bbb"),
+    (4, "Mixed CASE Tokens mixed case tokens"),
+]
+
+
+def test_standin_margins_match_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["margin"], r["keep"])
+        for r in classifier.classifier_margins(
+            df, "doc_id", "text", dim=DIM, bias=0.25, threshold=0.1
+        ).collect()
+    }
+    assert set(got) == {d[0] for d in DOCS}
+    for did, text in DOCS:
+        want = _py_margin_standin(text, DIM, bias=0.25)
+        assert got[did][0] == pytest.approx(want, abs=1e-6), (did, text)
+        assert got[did][1] == (got[did][0] >= 0.1)
+    # the empty doc scores exactly the bias
+    assert got[2][0] == 0.25
+
+
+def _py_train(docs, labels, dim, n_iters, lr):
+    """Independent NumPy full-batch logistic regression over the same
+    hashed tf features."""
+    feats = {}
+    for did, text in docs:
+        toks = _py_tokens(text)
+        row = {}
+        for t in toks:
+            f = _py_feat(t, dim)
+            row[f] = row.get(f, 0.0) + 1.0 / len(toks)
+        feats[did] = row
+    ids = sorted(labels)
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(n_iters):
+        grad = np.zeros(dim)
+        gb = 0.0
+        for did in ids:
+            m = sum(tf * w[f] for f, tf in feats[did].items()) + b
+            r = 1.0 / (1.0 + math.exp(-m)) - labels[did]
+            for f, tf in feats[did].items():
+                grad[f] += tf * r
+            gb += r
+        w -= lr * grad / len(ids)
+        b -= lr * gb / len(ids)
+    return w, b
+
+
+def test_training_matches_numpy_reference(spark):
+    docs = [
+        (0, "good prose with varied vocabulary and structure"),
+        (1, "another well formed document about systems"),
+        (2, "spam spam spam buy buy buy"),
+        (3, "buy spam now buy spam now"),
+        (4, "clean document discussing distributed query engines"),
+        (5, "spam buy spam buy spam buy spam"),
+    ]
+    labels = {0: 1.0, 1: 1.0, 2: 0.0, 3: 0.0, 4: 1.0, 5: 0.0}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lab = spark.createDataFrame(list(labels.items()), "doc_id long, label double")
+
+    weights, bias = classifier.train_quality_classifier(
+        df, "doc_id", "text", lab, dim=DIM, n_iters=6, lr=2.0
+    )
+    w_ref, b_ref = _py_train(docs, labels, DIM, 6, 2.0)
+
+    got = np.zeros(DIM)
+    for f, wt in weights:
+        got[f] = wt
+    assert np.allclose(got, w_ref, atol=1e-8)
+    assert bias == pytest.approx(b_ref, abs=1e-8)
+
+    # scoring with the trained weights reproduces the reference margins
+    margins = {
+        r["doc_id"]: r["margin"]
+        for r in classifier.classifier_margins(
+            df, "doc_id", "text", dim=DIM, weights=weights, bias=bias
+        ).collect()
+    }
+    for did, text in docs:
+        toks = _py_tokens(text)
+        m_ref = (
+            sum(w_ref[_py_feat(t, DIM)] / len(toks) for t in toks) + b_ref
+            if toks
+            else b_ref
+        )
+        assert margins[did] == pytest.approx(round(m_ref, 6), abs=1e-6)
+
+
+def test_classifier_separates_planted_quality(spark):
+    """Train on a labeled seed, score a HELD-OUT set: vocab-A docs keep,
+    vocab-B docs drop — the DCLM-style corpus gate working end to end."""
+    good_vocab = ["theorem", "analysis", "method", "result", "careful", "study"]
+    bad_vocab = ["clickxx", "winxx", "freexx", "nowxx", "buyxx", "prizexx"]
+
+    def doc(vocab, i):
+        return " ".join(vocab[(i + j) % len(vocab)] for j in range(8))
+
+    train = [(i, doc(good_vocab, i)) for i in range(10)] + [
+        (100 + i, doc(bad_vocab, i)) for i in range(10)
+    ]
+    labels = [(i, 1.0) for i in range(10)] + [(100 + i, 0.0) for i in range(10)]
+    held = [(200 + i, doc(good_vocab, i + 3)) for i in range(5)] + [
+        (300 + i, doc(bad_vocab, i + 3)) for i in range(5)
+    ]
+
+    df = spark.createDataFrame(train, "doc_id long, text string")
+    lab = spark.createDataFrame(labels, "doc_id long, label double")
+    weights, bias = classifier.train_quality_classifier(
+        df, "doc_id", "text", lab, dim=64, n_iters=25, lr=2.0
+    )
+
+    hdf = spark.createDataFrame(held, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in classifier.classifier_margins(
+            hdf, "doc_id", "text", dim=64, weights=weights, bias=bias
+        ).collect()
+    }
+    assert all(got[200 + i] for i in range(5)), got
+    assert not any(got[300 + i] for i in range(5)), got
+
+
+def test_empty_labeled_set_raises(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    lab = spark.createDataFrame([], "doc_id long, label double")
+    with pytest.raises(ValueError, match="empty"):
+        classifier.train_quality_classifier(df, "doc_id", "text", lab, dim=8, n_iters=1)
