@@ -165,11 +165,12 @@ def train_quality_classifier(
         F.col(labels.columns[0]).alias("_id"),
         F.col(labels.columns[1]).cast("double").alias("_y"),
     )
-    feats = (
-        hashed_features(df, id_col, text_col, dim)
-        .join(broadcast(lab.select("_id")), "_id")
-        .persist()
+    # restrict to the labeled seed BEFORE featurizing — the token explode
+    # must cost O(labeled set), never O(corpus)
+    seed = df.join(
+        broadcast(lab.select(F.col("_id").alias(id_col))), id_col, "left_semi"
     )
+    feats = hashed_features(seed, id_col, text_col, dim).persist()
     n_lab = lab.count()
     if n_lab == 0:
         raise ValueError("empty labeled set")
