@@ -379,6 +379,51 @@ def cmd_pack(spark, args) -> int:
     return 0
 
 
+def cmd_quality(spark, args) -> int:
+    """Model-based quality gate: train the hashed-feature logistic
+    classifier on a labeled seed parquet (id, label in {0,1}), score the
+    whole corpus, write (id, margin, keep) parquet, print a JSON summary."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from driftval import classifier
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    labels = spark.read.parquet(args.labels)
+    weights, bias = classifier.train_quality_classifier(
+        files, args.id_col, args.text_col, labels,
+        dim=args.dim, n_iters=args.iters, lr=args.lr, l2=args.l2,
+    )
+    scored = classifier.classifier_margins(
+        files, args.id_col, args.text_col,
+        dim=args.dim, weights=weights, bias=bias, threshold=args.threshold,
+    )
+    scored.write.mode("overwrite").parquet(args.out)
+    agg = (
+        spark.read.parquet(args.out)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("k"),
+        )
+        .first()
+    )
+    print(
+        _json.dumps(
+            {
+                "n_docs": agg["n"],
+                "n_keep": int(agg["k"] or 0),
+                "keep_rate": round((agg["k"] or 0) / max(1, agg["n"]), 6),
+                "bias": round(bias, 6),
+                "dim": args.dim,
+                "nonzero_weights": len(weights),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_snapmaint(spark, args) -> int:
     """Snapshot-table maintenance (the Iceberg lifecycle ops): expire old
     snapshots, report/remove orphan files, or compact a partition's small
@@ -588,6 +633,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-b", required=True, help="later run_id")
     p.add_argument("--all", action="store_true", help="include stable rows")
     p.set_defaults(fn=cmd_diff)
+
+    p = sub.add_parser(
+        "quality", help="train + apply the model-based quality gate"
+    )
+    p.add_argument("--path")
+    p.add_argument("--table")
+    p.add_argument("--labels", required=True, help="labeled seed parquet (id, label)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--iters", type=int, default=25)
+    p.add_argument("--lr", type=float, default=2.0)
+    p.add_argument("--l2", type=float, default=0.0)
+    p.add_argument("--threshold", type=float, default=0.0)
+    p.set_defaults(fn=cmd_quality)
 
     p = sub.add_parser(
         "snapmaint", help="snapshot-table maintenance: expire / orphans / compact"

@@ -169,3 +169,45 @@ def test_empty_labeled_set_raises(spark):
     lab = spark.createDataFrame([], "doc_id long, label double")
     with pytest.raises(ValueError, match="empty"):
         classifier.train_quality_classifier(df, "doc_id", "text", lab, dim=8, n_iters=1)
+
+
+def test_quality_cli_end_to_end(spark, tmp_path):
+    """driftval quality: train on a labeled seed parquet, score the
+    corpus, write the keep list — the planted vocab split separates."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    good_vocab = ["theorem", "analysis", "method", "result", "careful", "study"]
+    bad_vocab = ["clickxx", "winxx", "freexx", "nowxx", "buyxx", "prizexx"]
+
+    def doc(vocab, i):
+        return " ".join(vocab[(i + j) % len(vocab)] for j in range(8))
+
+    corpus = [(i, doc(good_vocab, i)) for i in range(12)] + [
+        (100 + i, doc(bad_vocab, i)) for i in range(12)
+    ]
+    labels = [(i, 1.0) for i in range(8)] + [(100 + i, 0.0) for i in range(8)]
+
+    cdir, ldir, out = (str(tmp_path / d) for d in ("corpus", "labels", "scores"))
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(cdir)
+    spark.createDataFrame(labels, "doc_id long, label double").write.parquet(ldir)
+
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "driftval", "quality",
+            "--path", cdir, "--labels", ldir, "--out", out,
+            "--dim", "64", "--iters", "20",
+        ],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] == 24 and summary["n_keep"] == 12
+
+    got = {r["doc_id"]: r["keep"] for r in spark.read.parquet(out).collect()}
+    assert all(got[i] for i in range(12))
+    assert not any(got[100 + i] for i in range(12))
