@@ -3328,9 +3328,10 @@ WITH tok AS (
   -- stand-in weight per hashed bucket: ((f * 2654435761) % 1000)/1000 - 0.5,
   -- each term divided by the doc's token count (same op order as Spark)
   SELECT doc_id,
-         round(coalesce(list_sum(list_transform(toks, t ->
-           (((({_H64} % {QC_DIM}) * {QC_STANDIN_MULT}) % 1000)::DOUBLE / 1000 - 0.5)
-           / len(toks))), 0.0), 6) AS margin
+         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           list_sum(list_transform(toks, t ->
+             (((({_H64} % {QC_DIM}) * {QC_STANDIN_MULT}) % 1000)::DOUBLE / 1000 - 0.5)))
+           / len(toks) END, 6) AS margin
   FROM tok
 )
 SELECT doc_id, margin, margin >= 0.0 AS keep FROM m

@@ -12,11 +12,10 @@ module is that staple, Spark-first:
   :func:`driftval.textops.token_hash64`), value = term frequency
   ``count(t in doc) / n_tokens(doc)``. No vocabulary is ever built or
   shipped; ``dim`` bounds every per-doc and per-iteration structure.
-- **Scoring** (:func:`classifier_margins`): ONE explode + ONE per-doc
-  aggregate — ``margin = bias + Σ_tokens w[h(t)] / n_tokens`` (summing
-  per token instance equals the tf·w dot product). Weights ride a
-  broadcast ``dim``-row frame; the corpus crosses no shuffle wider than
-  (id, margin). With the deterministic stand-in weights the whole thing
+- **Scoring** (:func:`classifier_margins`): ZERO exchanges — ``margin =
+  bias + (Σ_tokens w[h(t)]) / n_tokens`` (≡ the tf·w dot product) as ONE
+  array fold inside the scan's projection; trained weights ride a
+  literal map, so the corpus never shuffles at all for scoring. With the deterministic stand-in weights the whole thing
   is ANSI-SQL-expressible — the DuckDB catalog twin value-checks it.
 - **Training** (:func:`train_quality_classifier`): full-batch gradient
   descent; each iteration is one broadcast join + two hash aggregates,
@@ -67,55 +66,49 @@ def classifier_margins(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Per-document linear quality score: ``(id, margin, keep)`` where
-    ``margin = bias + Σ_t w[h(t) % dim] / n_tokens`` over the doc's token
-    instances (≡ the tf-weighted dot product) and ``keep = margin >=
-    threshold``. ``weights`` is the trained ``[(feat, w)]`` list (missing
+    ``margin = bias + (Σ_t w[h(t) % dim]) / n_tokens`` over the doc's
+    token instances (≡ the tf-weighted dot product) and ``keep = margin
+    >= threshold``. ``weights`` is the trained ``[(feat, w)]`` list (missing
     buckets = 0); None uses the deterministic stand-in.
 
-    Plan: one token explode, the weight lookup (column expression for the
-    stand-in, broadcast ``dim``-row join for trained weights), one
-    (id)-keyed partial aggregate. Docs with no tokens score ``bias``
-    exactly (empty sum)."""
-    toks = tokens(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(toks).alias("_n"),
-        F.explode_outer(toks).alias("_tok"),
-    )
-    feat = (token_hash64(F.col("_tok")) % dim).alias("feat")
+    Plan: ZERO exchanges — the whole margin is one array fold inside the
+    scan's projection (``aggregate`` over the token array; per-token
+    weight = a column expression for the stand-in, an ``element_at`` on a
+    literal map of the nonzero trained weights otherwise), summed in
+    array order (= the DuckDB twin's ``list_sum`` order) then divided by
+    the token count. Docs with no tokens score ``bias`` exactly."""
     if weights is None:
-        term = F.when(
-            F.col("_tok").isNull(), F.lit(0.0)
-        ).otherwise(standin_weight(token_hash64(F.col("_tok")) % dim) / F.col("_n"))
-        scored = base.select("_id", term.alias("_term"))
+
+        def w_of(t: Column) -> Column:
+            return standin_weight(token_hash64(t) % dim)
+
     else:
-        wdf = df.sparkSession.createDataFrame(
-            [(int(f), float(w)) for f, w in weights], "feat long, w double"
-        )
-        scored = (
-            base.select("_id", "_n", feat)
-            .join(broadcast(wdf), "feat", "left")
-            .select(
-                "_id",
-                (F.coalesce(F.col("w"), F.lit(0.0)) / F.col("_n")).alias("_term"),
+        wmap = F.create_map(
+            *[
+                lit
+                for f, w in weights
+                for lit in (F.lit(int(f)), F.lit(float(w)))
+            ]
+        ) if weights else None
+
+        def w_of(t: Column) -> Column:
+            if wmap is None:  # all-zero model
+                return F.lit(0.0)
+            return F.coalesce(
+                F.try_element_at(wmap, token_hash64(t) % dim), F.lit(0.0)
             )
-        )
-    out = (
-        scored.groupBy("_id")
-        .agg(
-            F.round(
-                # empty docs: the NULL explode_outer row's term is NULL in
-                # the trained branch (no join hit, 0/0 division) — an
-                # all-NULL sum is NULL, and the right answer is bias alone
-                F.coalesce(F.sum("_term"), F.lit(0.0)) + F.lit(float(bias)),
-                6,
-            ).alias("margin")
-        )
+
+    toks = tokens(F.col(text_col))
+    wsum = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w_of(t))
+    margin = F.round(
+        F.when(F.size(toks) > 0, wsum / F.size(toks)).otherwise(F.lit(0.0))
+        + F.lit(float(bias)),
+        6,
     )
-    return out.select(
-        F.col("_id").alias(id_col),
-        "margin",
-        (F.col("margin") >= F.lit(float(threshold))).alias("keep"),
+    return df.select(
+        F.col(id_col),
+        margin.alias("margin"),
+        (margin >= F.lit(float(threshold))).alias("keep"),
     )
 
 

@@ -32,7 +32,7 @@ def _py_margin_standin(text, dim, bias=0.0):
     toks = _py_tokens(text)
     if not toks:
         return round(bias, 6)
-    return round(sum(_py_standin_w(_py_feat(t, dim)) / len(toks) for t in toks) + bias, 6)
+    return round(sum(_py_standin_w(_py_feat(t, dim)) for t in toks) / len(toks) + bias, 6)
 
 
 DOCS = [
@@ -123,7 +123,7 @@ def test_training_matches_numpy_reference(spark):
     for did, text in docs:
         toks = _py_tokens(text)
         m_ref = (
-            sum(w_ref[_py_feat(t, DIM)] / len(toks) for t in toks) + b_ref
+            sum(w_ref[_py_feat(t, DIM)] for t in toks) / len(toks) + b_ref
             if toks
             else b_ref
         )

@@ -403,23 +403,19 @@ def test_rerank_fetches_vectors_via_broadcast_no_window(spark):
     assert all("embedding" not in l for l in exchanges), exchanges
 
 
-def test_classifier_scoring_is_one_aggregate_no_window(spark, docs):
-    """Quality-gate scoring: stand-in form is a pure projection + ONE
-    per-doc aggregate (no joins at all); trained form adds exactly one
-    broadcast join for the dim-row weight table. Neither has a window or
-    a sort-merge join, and no exchange carries the text column."""
+def test_classifier_scoring_is_zero_shuffle(spark, docs):
+    """Quality-gate scoring is ONE projection over the scan — the margin
+    is an array fold; stand-in weights are a column expression and
+    trained weights a literal map, so there is no join, no aggregate
+    exchange, no window in EITHER form."""
     from driftval import classifier
 
-    plan = plan_of(classifier.classifier_margins(docs, "doc_id", "text", dim=64))
-    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
-    assert "Join" not in plan, plan  # stand-in weights are a column expr
-
-    trained = classifier.classifier_margins(
-        docs, "doc_id", "text", dim=64, weights=[(0, 0.5), (1, -0.5)], bias=0.1
-    )
-    tplan = plan_of(trained)
-    assert "BroadcastHashJoin" in tplan, tplan
-    assert "Window" not in tplan and "SortMergeJoin" not in tplan, tplan
-    for p in (plan, tplan):
-        exchanges = [l for l in p.splitlines() if "Arguments: hashpartitioning" in l]
-        assert all("text" not in l for l in exchanges), exchanges
+    for weights in (None, [(0, 0.5), (1, -0.5)]):
+        plan = plan_of(
+            classifier.classifier_margins(
+                docs, "doc_id", "text", dim=64, weights=weights, bias=0.1
+            )
+        )
+        assert "Window" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan, plan
