@@ -1644,6 +1644,35 @@ def q_bpe_segment_counts(spark, sf_dir):
     return bpe.bpe_segment_counts(d, "doc_id", "text", merges)
 
 
+def q_sequential_drift_events(spark, sf_dir):
+    """Page-Hinkley + two-sided CUSUM over the SAME per-block DILCA
+    summary series CDCStream scores (driftval/checks/drift_sequential.py
+    — the textbook sequential companions to the reference's mean±k·std
+    band; recursions pinned vs independent prefix-form references in
+    tests/test_drift_sequential.py). Executors produce the O(blocks)
+    summary frame; both detectors replay driver-side like the reference
+    loop. Rows-only (sequential state is not ANSI-SQL-expressible)."""
+    from driftval.checks import drift_sequential
+
+    feats = _event_features(spark, sf_dir)
+    summaries = drift_cdcstream.block_summaries(
+        feats, ["a0", "a1", "a2"], EVENT_BLOCK
+    ).toPandas()
+    ph = drift_sequential.page_hinkley(summaries, delta=0.001, lam=0.05)
+    cu = drift_sequential.cusum(summaries, k=0.001, h=0.05)
+    out = ph.stats.merge(
+        cu.stats[["block_id", "cusum_stat", "is_drift"]].rename(
+            columns={"is_drift": "cusum_drift"}
+        ),
+        on="block_id",
+    ).rename(columns={"is_drift": "ph_drift"})
+    return spark.createDataFrame(
+        out,
+        "block_id long, n_rows long, summary double, ph_stat double, "
+        "ph_drift boolean, cusum_stat double, cusum_drift boolean",
+    )
+
+
 QC_DIM = 64
 QC_STANDIN_MULT = 2_654_435_761  # classifier.STANDIN_MULT
 
@@ -1749,7 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pq_codes / knn_pq / knn_pq_rerank have DuckDB twins;
         # knn_pq_trained is pytest-pinned like knn_ivf_trained).
         # ROUND-5 ROTATION NOTE: front these post-window entries (pq_codes
-        # .. quality_classifier_trained) next round so they earn driver
+        # .. sequential_drift_events) next round so they earn driver
         # rows too.
         "pq_codes": q_pq_codes,
         "knn_pq": q_knn_pq,
@@ -1764,6 +1793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only, GD golden-pinned vs NumPy)
         "quality_classifier_scores": q_quality_classifier_scores,
         "quality_classifier_trained": q_quality_classifier_trained,
+        # sequential drift companions (rows-only: driver-side recursions,
+        # pinned vs independent references in tests)
+        "sequential_drift_events": q_sequential_drift_events,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,

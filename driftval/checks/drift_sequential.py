@@ -1,0 +1,170 @@
+"""Classic sequential change detectors over the per-block summary series:
+Page-Hinkley and two-sided CUSUM.
+
+The reference ships exactly two drift tests — CDCStream's
+mean±k·std band over the DILCA summary history and CDDA's rough-set
+change degree (SURVEY §2.3/§2.4). These two companions are the other
+textbook sequential tests the streaming-drift literature runs on the SAME
+scalar-per-block series (Page 1954; Hinkley 1971; Gama et al., "A survey
+on concept drift adaptation", 2014 §3.1): they react to small persistent
+shifts that the reference's band test needs a large excursion to catch.
+
+Both consume the tiny ``(block_id, n_rows, summary)`` frame the
+distributed DILCA kernel already produces
+(:func:`driftval.checks.drift_cdcstream.block_summaries` — executors do
+all O(rows) work), so detection cost is O(#blocks) on the driver exactly
+like the reference loop, and both emit the reference's segment contract:
+``(last_count, current_count)`` record-index ranges with
+``currentCount`` = records consumed BEFORE the drifting block was read,
+state cleared on drift (CDCStream/DriftDetector.java:67,102-108 parity),
+EOF flush iff ``total >= last_count``.
+
+Recursions (documented exactly; the tests pin them against an
+independent implementation):
+
+- **Page-Hinkley** (two-sided): with running mean ``x̄_t`` over the
+  observations since the last reset,
+  ``m_t = m_{t-1} + (x_t − x̄_t − delta)``; ``M_t = min(M_{t-1}, m_t)``;
+  rising drift when ``m_t − M_t > lam``. The falling side mirrors it:
+  ``u_t = u_{t-1} + (x_t − x̄_t + delta)``; ``U_t = max(U_{t-1}, u_t)``;
+  drift when ``U_t − u_t > lam``.
+- **CUSUM** (two-sided, running-mean target): ``g⁺_t = max(0, g⁺_{t-1} +
+  (x_t − x̄_{t-1}) − k)`` and ``g⁻_t = max(0, g⁻_{t-1} − (x_t − x̄_{t-1})
+  − k)``, alarm when either exceeds ``h``; ``x̄_{t-1}`` is the running
+  mean BEFORE x_t is folded in (the first post-reset observation sets
+  the target and cannot alarm).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass
+class SequentialDriftResult:
+    segments: list[tuple[int, int]]
+    drift_block_ids: list[int]
+    stats: pd.DataFrame = field(repr=False)
+
+
+def _run(
+    summaries: pd.DataFrame,
+    make_state,
+    stat_name: str,
+) -> SequentialDriftResult:
+    s = summaries.sort_values("block_id").reset_index(drop=True)
+    vals = s["summary"].to_numpy(dtype=np.float64)
+    sizes = s["n_rows"].to_numpy(dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(sizes)])
+    n = len(vals)
+
+    segments: list[tuple[int, int]] = []
+    drift_blocks: list[int] = []
+    stats = np.zeros(n)
+    flags = np.zeros(n, dtype=bool)
+    last_count = 0
+
+    st = make_state()
+    for b in range(n):
+        current_count = int(cum[b])
+        stat, is_drift = st.step(float(vals[b]))
+        stats[b] = stat
+        flags[b] = is_drift
+        if is_drift:
+            segments.append((last_count, current_count))
+            drift_blocks.append(int(s["block_id"].iloc[b]))
+            last_count = current_count + 1
+            st = make_state()
+            # reference parity (L7): the drifting block's summary seeds
+            # the fresh state rather than being dropped
+            st.step(float(vals[b]))
+
+    total = int(cum[n]) if n else 0
+    if total >= last_count:
+        segments.append((last_count, total))
+    out = s.copy()
+    out[stat_name] = stats
+    out["is_drift"] = flags
+    return SequentialDriftResult(segments, drift_blocks, out)
+
+
+class _PHState:
+    def __init__(self, delta: float, lam: float, two_sided: bool):
+        self.delta = delta
+        self.lam = lam
+        self.two_sided = two_sided
+        self.n = 0
+        self.mean = 0.0
+        self.m = 0.0
+        self.m_min = 0.0
+        self.u = 0.0
+        self.u_max = 0.0
+
+    def step(self, x: float) -> tuple[float, bool]:
+        self.n += 1
+        self.mean += (x - self.mean) / self.n
+        self.m += x - self.mean - self.delta
+        self.m_min = min(self.m_min, self.m)
+        rising = self.m - self.m_min
+        falling = 0.0
+        if self.two_sided:
+            self.u += x - self.mean + self.delta
+            self.u_max = max(self.u_max, self.u)
+            falling = self.u_max - self.u
+        stat = max(rising, falling)
+        return stat, stat > self.lam
+
+
+class _CUSUMState:
+    def __init__(self, k: float, h: float):
+        self.k = k
+        self.h = h
+        self.n = 0
+        self.mean = 0.0
+        self.gp = 0.0
+        self.gn = 0.0
+
+    def step(self, x: float) -> tuple[float, bool]:
+        if self.n == 0:
+            # first post-reset observation sets the target; cannot alarm
+            self.n = 1
+            self.mean = x
+            return 0.0, False
+        dev = x - self.mean
+        self.gp = max(0.0, self.gp + dev - self.k)
+        self.gn = max(0.0, self.gn - dev - self.k)
+        self.n += 1
+        self.mean += (x - self.mean) / self.n
+        stat = max(self.gp, self.gn)
+        return stat, stat > self.h
+
+
+def page_hinkley(
+    summaries: pd.DataFrame,
+    delta: float = 0.005,
+    lam: float = 0.1,
+    two_sided: bool = True,
+) -> SequentialDriftResult:
+    """Page-Hinkley over the per-block summary frame (columns
+    ``block_id``, ``n_rows``, ``summary``). ``delta`` is the magnitude
+    tolerance, ``lam`` the alarm threshold; state resets on drift and the
+    drifting block seeds the fresh state (reference L7 parity)."""
+    return _run(
+        summaries,
+        lambda: _PHState(float(delta), float(lam), bool(two_sided)),
+        "ph_stat",
+    )
+
+
+def cusum(
+    summaries: pd.DataFrame,
+    k: float = 0.005,
+    h: float = 0.1,
+) -> SequentialDriftResult:
+    """Two-sided CUSUM with a running-mean target over the per-block
+    summary frame; ``k`` is the slack per step, ``h`` the alarm
+    threshold."""
+    return _run(summaries, lambda: _CUSUMState(float(k), float(h)), "cusum_stat")

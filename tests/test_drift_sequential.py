@@ -1,0 +1,129 @@
+"""Page-Hinkley + CUSUM sequential detectors (driftval/checks/
+drift_sequential.py): recursions pinned against independent prefix-form
+implementations, reset/segment contract (reference L7 parity), planted
+mean-shift detection, and the wiring from the distributed block-summary
+kernel."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from driftval.checks import drift_sequential as ds
+
+
+def _frame(vals, n_rows=100):
+    return pd.DataFrame(
+        {
+            "block_id": range(len(vals)),
+            "n_rows": [n_rows] * len(vals),
+            "summary": vals,
+        }
+    )
+
+
+def _ph_reference(x, delta):
+    """Independent prefix-form Page-Hinkley statistics (no resets):
+    m_t = Σ_{i<=t} (x_i − mean_i − delta) with mean_i the running mean of
+    x[0..i]; stat_t = max(m_t − min_{j<=t} m_j, max_{j<=t} u_j − u_t)."""
+    x = np.asarray(x, dtype=float)
+    means = np.cumsum(x) / np.arange(1, len(x) + 1)
+    m = np.cumsum(x - means - delta)
+    u = np.cumsum(x - means + delta)
+    m_min = np.minimum.accumulate(np.minimum(m, 0.0))
+    u_max = np.maximum.accumulate(np.maximum(u, 0.0))
+    return np.maximum(m - m_min, u_max - u)
+
+
+def test_ph_stats_match_prefix_reference():
+    rng = np.random.RandomState(3)
+    x = np.concatenate([rng.normal(0.3, 0.01, 30), rng.normal(0.5, 0.01, 30)])
+    got = ds.page_hinkley(_frame(x), delta=0.002, lam=float("inf"))
+    want = _ph_reference(x, 0.002)
+    assert np.allclose(got.stats["ph_stat"].to_numpy(), want, atol=1e-12)
+    assert not got.stats["is_drift"].any()
+    # lam=inf -> single EOF segment covering everything
+    assert got.segments == [(0, 60 * 100)]
+
+
+def _cusum_reference(x, k):
+    """Independent loop-free-ish CUSUM: target = running mean BEFORE the
+    observation; first observation sets the target."""
+    gp = gn = 0.0
+    mean = x[0]
+    n = 1
+    out = [0.0]
+    for v in x[1:]:
+        dev = v - mean
+        gp = max(0.0, gp + dev - k)
+        gn = max(0.0, gn - dev - k)
+        n += 1
+        mean += (v - mean) / n
+        out.append(max(gp, gn))
+    return np.array(out)
+
+
+def test_cusum_stats_match_reference():
+    rng = np.random.RandomState(5)
+    x = np.concatenate([rng.normal(0.0, 0.01, 25), rng.normal(-0.2, 0.01, 25)])
+    got = ds.cusum(_frame(x), k=0.002, h=float("inf"))
+    want = _cusum_reference(list(x), 0.002)
+    assert np.allclose(got.stats["cusum_stat"].to_numpy(), want, atol=1e-12)
+
+
+@pytest.mark.parametrize("detector", [ds.page_hinkley, ds.cusum])
+def test_constant_series_never_drifts(detector):
+    res = detector(_frame([0.42] * 40))
+    assert res.drift_block_ids == []
+    assert res.segments == [(0, 40 * 100)]
+
+
+@pytest.mark.parametrize(
+    "detector,kw",
+    [
+        (ds.page_hinkley, dict(delta=0.01, lam=0.05)),
+        (ds.cusum, dict(k=0.01, h=0.05)),
+    ],
+)
+def test_planted_shift_detected_with_reference_segment_counts(detector, kw):
+    """A 0.0 -> 1.0 mean shift at block 20 alarms within two blocks, and
+    the emitted segment end is the record count BEFORE the drifting block
+    (reference CDCStream/DriftDetector.java:67 convention)."""
+    vals = [0.0] * 20 + [1.0] * 20
+    res = detector(_frame(vals), **kw)
+    assert res.drift_block_ids, "shift not detected"
+    first = res.drift_block_ids[0]
+    assert first in (20, 21)
+    assert res.segments[0] == (0, first * 100)
+    # post-reset: the constant 1.0 tail raises no further alarms
+    assert all(b in (20, 21) for b in res.drift_block_ids)
+    # EOF flush closes the last segment at the total record count
+    assert res.segments[-1][1] == 40 * 100
+
+
+def test_falling_shift_needs_two_sided():
+    vals = [1.0] * 20 + [0.0] * 20
+    two = ds.page_hinkley(_frame(vals), delta=0.01, lam=0.05, two_sided=True)
+    one = ds.page_hinkley(_frame(vals), delta=0.01, lam=0.05, two_sided=False)
+    assert two.drift_block_ids and two.drift_block_ids[0] in (20, 21)
+    assert not one.drift_block_ids  # rising-only PH is blind to the drop
+
+
+def test_wires_from_distributed_block_summaries(spark):
+    """End to end: the grouped-map DILCA kernel produces the summary
+    frame on executors; PH consumes the collected O(blocks) frame and
+    flags the planted concept change."""
+    from driftval.checks import drift_cdcstream
+
+    rows = []
+    for i in range(600):
+        if i < 300:  # concept A: a0 tracks a1
+            rows.append((i, f"v{i % 3}", f"v{i % 3}", "c"))
+        else:  # concept B: a0 independent of a1
+            rows.append((i, f"v{i % 3}", f"w{(i * 7) % 5}", "c"))
+    df = spark.createDataFrame(rows, "seq long, a0 string, a1 string, a2 string")
+    summaries = drift_cdcstream.block_summaries(
+        df, ["a0", "a1", "a2"], block_size=100, order_col="seq"
+    ).toPandas()
+    assert len(summaries) == 6
+    res = ds.page_hinkley(summaries, delta=0.001, lam=0.02)
+    assert res.drift_block_ids and min(res.drift_block_ids) >= 3
