@@ -50,45 +50,74 @@ class SequentialDriftResult:
     stats: pd.DataFrame = field(repr=False)
 
 
+class IncrementalSequentialDecider:
+    """Streaming form: one summary at a time (the CDCStreamRunner
+    ``decider`` contract — push/finish). The batch :func:`_run` delegates
+    here, so stream == batch holds by construction AND is pinned in
+    tests/test_streaming.py."""
+
+    def __init__(self, make_state, stat_name: str):
+        self._make_state = make_state
+        self._stat_name = stat_name
+        self._st = make_state()
+        self.segments: list[tuple[int, int]] = []
+        self.drift_block_ids: list[int] = []
+        self._consumed = 0
+        self._last_count = 0
+        self._rows: list[tuple[int, int, float, float, bool]] = []
+
+    def push(self, block_id: int, n_rows: int, summary: float) -> None:
+        current_count = self._consumed
+        stat, is_drift = self._st.step(float(summary))
+        if is_drift:
+            self.segments.append((self._last_count, current_count))
+            self.drift_block_ids.append(int(block_id))
+            self._last_count = current_count + 1
+            self._st = self._make_state()
+            # reference parity (L7): the drifting block's summary seeds
+            # the fresh state rather than being dropped
+            self._st.step(float(summary))
+        self._rows.append(
+            (int(block_id), int(n_rows), float(summary), stat, is_drift)
+        )
+        self._consumed += int(n_rows)
+
+    def finish(self) -> SequentialDriftResult:
+        stats = pd.DataFrame(
+            self._rows,
+            columns=["block_id", "n_rows", "summary", self._stat_name, "is_drift"],
+        )
+        if self._consumed >= self._last_count:
+            self.segments.append((self._last_count, self._consumed))
+        return SequentialDriftResult(self.segments, self.drift_block_ids, stats)
+
+
+def ph_decider(
+    delta: float = 0.005, lam: float = 0.1, two_sided: bool = True
+) -> IncrementalSequentialDecider:
+    """A Page-Hinkley decider for ``CDCStreamRunner(decider=...)``."""
+    return IncrementalSequentialDecider(
+        lambda: _PHState(float(delta), float(lam), bool(two_sided)), "ph_stat"
+    )
+
+
+def cusum_decider(k: float = 0.005, h: float = 0.1) -> IncrementalSequentialDecider:
+    """A CUSUM decider for ``CDCStreamRunner(decider=...)``."""
+    return IncrementalSequentialDecider(
+        lambda: _CUSUMState(float(k), float(h)), "cusum_stat"
+    )
+
+
 def _run(
     summaries: pd.DataFrame,
     make_state,
     stat_name: str,
 ) -> SequentialDriftResult:
     s = summaries.sort_values("block_id").reset_index(drop=True)
-    vals = s["summary"].to_numpy(dtype=np.float64)
-    sizes = s["n_rows"].to_numpy(dtype=np.int64)
-    cum = np.concatenate([[0], np.cumsum(sizes)])
-    n = len(vals)
-
-    segments: list[tuple[int, int]] = []
-    drift_blocks: list[int] = []
-    stats = np.zeros(n)
-    flags = np.zeros(n, dtype=bool)
-    last_count = 0
-
-    st = make_state()
-    for b in range(n):
-        current_count = int(cum[b])
-        stat, is_drift = st.step(float(vals[b]))
-        stats[b] = stat
-        flags[b] = is_drift
-        if is_drift:
-            segments.append((last_count, current_count))
-            drift_blocks.append(int(s["block_id"].iloc[b]))
-            last_count = current_count + 1
-            st = make_state()
-            # reference parity (L7): the drifting block's summary seeds
-            # the fresh state rather than being dropped
-            st.step(float(vals[b]))
-
-    total = int(cum[n]) if n else 0
-    if total >= last_count:
-        segments.append((last_count, total))
-    out = s.copy()
-    out[stat_name] = stats
-    out["is_drift"] = flags
-    return SequentialDriftResult(segments, drift_blocks, out)
+    dec = IncrementalSequentialDecider(make_state, stat_name)
+    for r in s.itertuples(index=False):
+        dec.push(int(r.block_id), int(r.n_rows), float(r.summary))
+    return dec.finish()
 
 
 class _PHState:

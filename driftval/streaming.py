@@ -154,11 +154,18 @@ class CDCStreamRunner:
         drift_coefficient: float = 3.0,
         seq_col: str = "seq",
         tail_dir: str | None = None,
+        decider=None,
     ):
         self.attrs = list(attrs)
         self.block_size = int(block_size)
         self.seq_col = seq_col
-        self.decider = IncrementalCDCDecider(drift_coefficient)
+        # any push/finish decider plugs in over the SAME distributed
+        # summary kernel — e.g. drift_sequential.ph_decider / cusum_decider
+        # (Page-Hinkley / CUSUM over the DILCA series); default = the
+        # reference's L1-L8 loop
+        self.decider = (
+            decider if decider is not None else IncrementalCDCDecider(drift_coefficient)
+        )
         self._tail_dir = tail_dir
         self._own_tail_dir = tail_dir is None
         self._tail_path: str | None = None  # current spilled tail (parquet)
@@ -245,10 +252,16 @@ def run_cdcstream_stream(
     checkpoint_dir: str,
     drift_coefficient: float = 3.0,
     seq_col: str = "seq",
+    decider=None,
 ) -> CDCStreamResult:
     """Drain an available-now stream through :class:`CDCStreamRunner` and
-    return the reference-parity drift result (segments + drift block ids)."""
-    runner = CDCStreamRunner(attrs, block_size, drift_coefficient, seq_col)
+    return the reference-parity drift result (segments + drift block ids).
+    ``decider`` swaps the sequential test (default reference L1-L8; pass
+    ``drift_sequential.ph_decider(...)`` / ``cusum_decider(...)`` for the
+    textbook companions over the same distributed summary kernel)."""
+    runner = CDCStreamRunner(
+        attrs, block_size, drift_coefficient, seq_col, decider=decider
+    )
     query = (
         stream_df.writeStream.foreachBatch(runner.on_batch)
         .option("checkpointLocation", checkpoint_dir)

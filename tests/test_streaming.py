@@ -706,3 +706,43 @@ def test_incremental_ann_stream_matches_sequential_replay(spark, tmp_path):
     }
     replay = {(r["_id"], r["m"], r["code"]) for r in idx.collect()}
     assert final == replay
+
+
+def test_cdcstream_runner_with_ph_decider_matches_batch(spark, tmp_path):
+    """The decider plug point: a Page-Hinkley (and CUSUM) decider behind
+    the SAME distributed summary kernel gives the batch detector's answer
+    on misaligned chunks — stream == batch for the sequential
+    companions too."""
+    from driftval.checks import drift_cdcstream, drift_sequential
+
+    rows = _planted_rows(n_rows=230, drift_at=120)
+    chunk_dirs = _write_chunks(
+        spark, rows, [70, 30, 55, 45, 30], str(tmp_path / "in-ph")
+    )
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["seq", "a", "b"]), schema=CHUNK_SCHEMA
+    )
+    summaries = drift_cdcstream.block_summaries(
+        batch_df, ["a", "b"], block_size=50
+    ).toPandas()
+
+    for make, batch_fn in [
+        (
+            lambda: drift_sequential.ph_decider(delta=0.001, lam=0.02),
+            lambda s: drift_sequential.page_hinkley(s, delta=0.001, lam=0.02),
+        ),
+        (
+            lambda: drift_sequential.cusum_decider(k=0.001, h=0.02),
+            lambda s: drift_sequential.cusum(s, k=0.001, h=0.02),
+        ),
+    ]:
+        batch = batch_fn(summaries)
+        runner = streaming.CDCStreamRunner(
+            ["a", "b"], block_size=50, decider=make()
+        )
+        for d in chunk_dirs:
+            runner.on_batch(spark.read.schema(CHUNK_SCHEMA).parquet(d), 0)
+        got = runner.finalize()
+        assert got.segments == batch.segments
+        assert got.drift_block_ids == batch.drift_block_ids
+        assert batch.drift_block_ids, "fixture must actually plant a drift"
