@@ -1645,12 +1645,13 @@ def q_bpe_segment_counts(spark, sf_dir):
 
 
 def q_sequential_drift_events(spark, sf_dir):
-    """Page-Hinkley + two-sided CUSUM over the SAME per-block DILCA
-    summary series CDCStream scores (driftval/checks/drift_sequential.py
-    — the textbook sequential companions to the reference's mean±k·std
-    band; recursions pinned vs independent prefix-form references in
-    tests/test_drift_sequential.py). Executors produce the O(blocks)
-    summary frame; both detectors replay driver-side like the reference
+    """Page-Hinkley + two-sided CUSUM + ADWIN over the SAME per-block
+    DILCA summary series CDCStream scores
+    (driftval/checks/drift_sequential.py — the textbook sequential
+    companions to the reference's mean±k·std band; recursions pinned vs
+    independent references in tests/test_drift_sequential.py, ADWIN =
+    Bifet/Gavaldà 2007 variance bound). Executors produce the O(blocks)
+    summary frame; all detectors replay driver-side like the reference
     loop. Rows-only (sequential state is not ANSI-SQL-expressible)."""
     from driftval.checks import drift_sequential
 
@@ -1660,16 +1661,27 @@ def q_sequential_drift_events(spark, sf_dir):
     ).toPandas()
     ph = drift_sequential.page_hinkley(summaries, delta=0.001, lam=0.05)
     cu = drift_sequential.cusum(summaries, k=0.001, h=0.05)
-    out = ph.stats.merge(
-        cu.stats[["block_id", "cusum_stat", "is_drift"]].rename(
-            columns={"is_drift": "cusum_drift"}
-        ),
-        on="block_id",
-    ).rename(columns={"is_drift": "ph_drift"})
+    aw = drift_sequential.adwin(summaries, delta=0.05)
+    out = (
+        ph.stats.merge(
+            cu.stats[["block_id", "cusum_stat", "is_drift"]].rename(
+                columns={"is_drift": "cusum_drift"}
+            ),
+            on="block_id",
+        )
+        .merge(
+            aw.stats[["block_id", "adwin_stat", "is_drift"]].rename(
+                columns={"is_drift": "adwin_drift"}
+            ),
+            on="block_id",
+        )
+        .rename(columns={"is_drift": "ph_drift"})
+    )
     return spark.createDataFrame(
         out,
         "block_id long, n_rows long, summary double, ph_stat double, "
-        "ph_drift boolean, cusum_stat double, cusum_drift boolean",
+        "ph_drift boolean, cusum_stat double, cusum_drift boolean, "
+        "adwin_stat double, adwin_drift boolean",
     )
 
 
@@ -1731,10 +1743,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_multiprobe": q_knn_ivf_multiprobe,
-        "knn_ivf_trained": q_knn_ivf_trained,
+        # (rows-only knn_ivf_trained / cdcstream_block_summaries moved past
+        # the window: a rows-only driver row is the weaker check they get
+        # anywhere, and the swap buys two FULL hash rows for the classifier
+        # scorer and the composed IVF+PQ search instead.)
+        "quality_classifier_scores": q_quality_classifier_scores,
         "cdda_change_degrees": q_cdda_change_degrees,
         "cdda_equivalence_counts": q_cdda_equivalence_counts,
-        "cdcstream_block_summaries": q_cdcstream_block_summaries,
+        "knn_ivf_pq": q_knn_ivf_pq,
         "window_constraints_events": q_window_constraints_events,
         "window_drift_events": q_window_drift_events,
         "sample_documents": q_sample_documents,
@@ -1784,14 +1800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": q_knn_pq,
         "knn_pq_trained": q_knn_pq_trained,
         "knn_pq_rerank": q_knn_pq_rerank,
-        "knn_ivf_pq": q_knn_ivf_pq,
+        "knn_ivf_trained": q_knn_ivf_trained,
+        "cdcstream_block_summaries": q_cdcstream_block_summaries,
         # BPE tokenizer induction: rows-only (iterative), golden-pinned
         # against a pure-Python Sennrich reference in tests/test_bpe.py.
         "bpe_merges": q_bpe_merges,
         "bpe_segment_counts": q_bpe_segment_counts,
-        # model-based quality gate (scores = DuckDB twin; trained form
-        # rows-only, GD golden-pinned vs NumPy)
-        "quality_classifier_scores": q_quality_classifier_scores,
+        # model-based quality gate: trained form rows-only, GD golden-pinned
+        # vs NumPy (the scorer's DuckDB-twin entry rides the driver window)
         "quality_classifier_trained": q_quality_classifier_trained,
         # sequential drift companions (rows-only: driver-side recursions,
         # pinned vs independent references in tests)

@@ -130,6 +130,17 @@ def _parse_satisfies(specs: list[str]):
     return out
 
 
+def _load_clf_model(path: str | None):
+    """Parse a `quality --model-out` JSON into a ClassifierModel (None ->
+    None: the suite falls back to the deterministic stand-in weights)."""
+    if not path:
+        return None
+    from driftval.classifier import ClassifierModel
+
+    with open(path) as fh:
+        return ClassifierModel.from_json(fh.read())
+
+
 def cmd_suite(spark, args) -> int:
     from driftval.suite import SuiteConfig, run_suite
 
@@ -153,6 +164,8 @@ def cmd_suite(spark, args) -> int:
         quality_report=args.report_quality,
         pack_ctx_len=args.pack_ctx_len,
         max_norm_dup_rate=args.max_norm_dup_rate,
+        min_keep_rate=args.min_keep_rate,
+        classifier_model=_load_clf_model(args.clf_model),
     )
     dim_repos = spark.read.parquet(args.dim_repos) if args.dim_repos else None
     dim_commits = spark.read.parquet(args.dim_commits) if args.dim_commits else None
@@ -400,6 +413,12 @@ def cmd_quality(spark, args) -> int:
         dim=args.dim, weights=weights, bias=bias, threshold=args.threshold,
     )
     scored.write.mode("overwrite").parquet(args.out)
+    if args.model_out:
+        model = classifier.ClassifierModel(
+            dim=args.dim, weights=weights, bias=bias, threshold=args.threshold
+        )
+        with open(args.model_out, "w") as fh:
+            fh.write(model.to_json())
     agg = (
         spark.read.parquet(args.out)
         .agg(
@@ -517,6 +536,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable comment-insensitive duplicate-rate verdicts: "
                         "fail a partition whose (rows - distinct normalized "
                         "digests)/rows exceeds this")
+    p.add_argument("--min-keep-rate", type=float, default=None,
+                   help="enable model-based quality verdicts: fail a "
+                        "partition whose classifier keep-rate falls below "
+                        "this (stand-in weights unless --clf-model)")
+    p.add_argument("--clf-model", default=None,
+                   help="trained classifier model JSON from `quality "
+                        "--model-out` (dim/weights/bias/threshold)")
     p.add_argument("--report-quality", action="store_true",
                    help="write the per-partition quality dashboard into the "
                         "checkpoint's companion reports dataset")
@@ -648,6 +674,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lr", type=float, default=2.0)
     p.add_argument("--l2", type=float, default=0.0)
     p.add_argument("--threshold", type=float, default=0.0)
+    p.add_argument("--model-out", default=None,
+                   help="also write the trained model JSON here (feed it to "
+                        "`suite --clf-model` for the partition-level gate)")
     p.set_defaults(fn=cmd_quality)
 
     p = sub.add_parser(

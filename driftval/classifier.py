@@ -34,7 +34,9 @@ IVF/PQ/BPE training contract.
 
 from __future__ import annotations
 
+import json
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -56,27 +58,25 @@ def standin_weight(feat: Column) -> Column:
     return ((feat * F.lit(STANDIN_MULT)) % 1000).cast("double") / 1000.0 - 0.5
 
 
-def classifier_margins(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def margin_expr(
+    text: Column,
     dim: int = 1024,
     weights: list[tuple[int, float]] | None = None,
     bias: float = 0.0,
-    threshold: float = 0.0,
-) -> DataFrame:
-    """Per-document linear quality score: ``(id, margin, keep)`` where
-    ``margin = bias + (Σ_t w[h(t) % dim]) / n_tokens`` over the doc's
-    token instances (≡ the tf-weighted dot product) and ``keep = margin
-    >= threshold``. ``weights`` is the trained ``[(feat, w)]`` list (missing
-    buckets = 0); None uses the deterministic stand-in.
+) -> Column:
+    """The linear quality margin as ONE column expression: ``bias +
+    (Σ_t w[h(t) % dim]) / n_tokens`` over the doc's token instances (≡ the
+    tf-weighted dot product). ``weights`` is the trained ``[(feat, w)]``
+    list (missing buckets = 0); None uses the deterministic stand-in.
 
-    Plan: ZERO exchanges — the whole margin is one array fold inside the
-    scan's projection (``aggregate`` over the token array; per-token
-    weight = a column expression for the stand-in, an ``element_at`` on a
-    literal map of the nonzero trained weights otherwise), summed in
-    array order (= the DuckDB twin's ``list_sum`` order) then divided by
-    the token count. Docs with no tokens score ``bias`` exactly."""
+    ZERO exchanges — the whole margin is one array fold inside the scan's
+    projection (``aggregate`` over the token array; per-token weight = a
+    column expression for the stand-in, an ``element_at`` on a literal map
+    of the nonzero trained weights otherwise), summed in array order (= the
+    DuckDB twin's ``list_sum`` order) then divided by the token count. Docs
+    with no tokens score ``bias`` exactly. Shared verbatim by the catalog's
+    scoring query AND the suite's ``classifier_keep_rate`` verdict
+    (lock-step by construction)."""
     if weights is None:
 
         def w_of(t: Column) -> Column:
@@ -98,18 +98,74 @@ def classifier_margins(
                 F.try_element_at(wmap, token_hash64(t) % dim), F.lit(0.0)
             )
 
-    toks = tokens(F.col(text_col))
+    toks = tokens(text)
     wsum = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w_of(t))
-    margin = F.round(
+    return F.round(
         F.when(F.size(toks) > 0, wsum / F.size(toks)).otherwise(F.lit(0.0))
         + F.lit(float(bias)),
         6,
     )
+
+
+def classifier_margins(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 1024,
+    weights: list[tuple[int, float]] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Per-document linear quality score: ``(id, margin, keep)`` where
+    ``margin`` is :func:`margin_expr` and ``keep = margin >= threshold``."""
+    margin = margin_expr(F.col(text_col), dim=dim, weights=weights, bias=bias)
     return df.select(
         F.col(id_col),
         margin.alias("margin"),
         (margin >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+@dataclass(frozen=True)
+class ClassifierModel:
+    """A trained (or stand-in) linear quality model, JSON-round-trippable so
+    the ``quality`` CLI's training run can hand its weights to a later
+    ``suite`` run (``--clf-model model.json``). ``weights is None`` means
+    the deterministic stand-in — the suite gate works out of the box and
+    upgrades in place when a trained model is supplied."""
+
+    dim: int = 1024
+    weights: list[tuple[int, float]] | None = None
+    bias: float = 0.0
+    threshold: float = 0.0
+
+    def margin(self, text: Column) -> Column:
+        return margin_expr(
+            text, dim=self.dim, weights=self.weights, bias=self.bias
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "dim": self.dim,
+                "weights": None
+                if self.weights is None
+                else [[int(f), float(w)] for f, w in self.weights],
+                "bias": self.bias,
+                "threshold": self.threshold,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "ClassifierModel":
+        d = json.loads(s)
+        w = d.get("weights")
+        return ClassifierModel(
+            dim=int(d.get("dim", 1024)),
+            weights=None if w is None else [(int(f), float(v)) for f, v in w],
+            bias=float(d.get("bias", 0.0)),
+            threshold=float(d.get("threshold", 0.0)),
+        )
 
 
 def hashed_features(

@@ -126,6 +126,17 @@ class SuiteConfig:
     # rewrites and reformatting that byte-exact uniqueness (V5, key-based)
     # and sha fidelity cannot see.
     max_norm_dup_rate: float | None = None
+    # Model-based quality gate (driftval.classifier). None = off (default).
+    # A rate in [0, 1] turns it on: the linear classifier margin rides the
+    # single derived content pass as ONE array-fold column (zero extra
+    # scans, zero exchanges), and each partition gets a
+    # ``classifier_keep_rate`` verdict that FAILS when the kept fraction
+    # (margin >= model threshold) falls below the rate. ``classifier_model``
+    # is a driftval.classifier.ClassifierModel — None uses the deterministic
+    # stand-in weights, so the gate works out of the box and upgrades in
+    # place when the quality CLI's trained model is supplied.
+    min_keep_rate: float | None = None
+    classifier_model: object | None = None
     # Optional drift/outlier companions (None = off, the default — verdicts
     # and thresholds appear only when configured, so the headline suite cost
     # is unchanged): PSI + Jensen-Shannon on the same smoothed histograms as
@@ -167,6 +178,14 @@ Q_SCORE = "_q_score"
 Q_DIGEST = "_q_digest"
 LIC_FAMILY = "_lic_family"
 NORM_MD5 = "_norm_md5"
+Q_MARGIN = "_q_margin"
+
+
+def _clf_model(cfg: "SuiteConfig"):
+    """The configured classifier model, defaulting to the stand-in."""
+    from driftval.classifier import ClassifierModel
+
+    return cfg.classifier_model or ClassifierModel()
 
 
 def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
@@ -202,6 +221,13 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
                 normalized_code(F.col(cfg.content_col)).cast("binary")
             ).alias(NORM_MD5)
         ]
+    clf_cols = []
+    if cfg.min_keep_rate is not None:
+        # the SAME margin expression the catalog's classifier_margins query
+        # uses (driftval.classifier.margin_expr) — lock-step by construction
+        clf_cols = [
+            _clf_model(cfg).margin(F.col(cfg.content_col)).alias(Q_MARGIN)
+        ]
     report_cols = []
     if cfg.quality_report or cfg.pack_ctx_len:
         # the SAME fused expressions the catalog's doc_quality /
@@ -224,6 +250,7 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
         *secret_cols,
         *lic_cols,
         *norm_cols,
+        *clf_cols,
         *report_cols,
     )
 
@@ -314,6 +341,32 @@ def norm_dup_suite_verdicts(
         rate.cast("double").alias("metric"),
         F.lit(thr).alias("threshold"),
         surplus.alias("violation_count"),
+    )
+
+
+def classifier_suite_verdicts(
+    derived_pending: DataFrame, cfg: SuiteConfig
+) -> DataFrame:
+    """Per-partition model-based quality verdicts from the ``_q_margin``
+    column the derived pass already computed: metric = kept fraction
+    (margin >= model threshold), threshold = ``cfg.min_keep_rate``,
+    violation_count = the dropped rows. One map-side-partial hash aggregate
+    keyed by partition — the shuffle carries O(partitions) doubles."""
+    model = _clf_model(cfg)
+    pv = F.col(cfg.partition_col).cast("string").alias("partition_value")
+    keep = (F.col(Q_MARGIN) >= F.lit(float(model.threshold))).cast("long")
+    agg = derived_pending.groupBy(pv).agg(
+        F.count(F.lit(1)).alias("_rows"), F.sum(keep).alias("_keep")
+    )
+    rate = F.col("_keep") / F.col("_rows")
+    thr = float(cfg.min_keep_rate or 0.0)
+    return agg.select(
+        "partition_value",
+        F.lit("classifier_keep_rate").alias("check_name"),
+        (rate >= thr).alias("passed"),
+        rate.cast("double").alias("metric"),
+        F.lit(thr).alias("threshold"),
+        (F.col("_rows") - F.col("_keep")).cast("long").alias("violation_count"),
     )
 
 
@@ -663,6 +716,21 @@ def _write_violation_rows(
             )
         )
 
+    if cfg.min_keep_rate is not None:
+        # the dropped files behind each classifier_keep_rate verdict, from
+        # the margin column the derived pass already carries — pushed-down
+        # filter, output ∝ true drops; detail = the margin itself so a
+        # reviewer can re-threshold offline without rescoring
+        frames.append(
+            shape(
+                derived_pending.where(
+                    F.col(Q_MARGIN) < F.lit(float(_clf_model(cfg).threshold))
+                ),
+                "classifier_keep_rate",
+                F.col(Q_MARGIN),
+            )
+        )
+
     if cfg.outlier_rate_threshold is not None:
         # the length-outlier check is row-localizable (unlike the
         # distribution-level drift checks): emit each offending row with its
@@ -871,6 +939,8 @@ def run_suite(
 
     if cfg.max_norm_dup_rate is not None:
         frames.append(norm_dup_suite_verdicts(derived_pending, cfg))
+    if cfg.min_keep_rate is not None:
+        frames.append(classifier_suite_verdicts(derived_pending, cfg))
 
     # V5 — duplicates are judged table-wide but attributed per partition;
     # key columns only (column pruning keeps content out of this shuffle).

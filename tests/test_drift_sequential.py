@@ -127,3 +127,82 @@ def test_wires_from_distributed_block_summaries(spark):
     assert len(summaries) == 6
     res = ds.page_hinkley(summaries, delta=0.001, lam=0.02)
     assert res.drift_block_ids and min(res.drift_block_ids) >= 3
+
+
+def _adwin_reference(x, delta, min_size=2):
+    """Independent ADWIN statistics (no resets): for each prefix, the max
+    over admissible splits of |mu0 - mu1| / eps_cut with the paper's
+    variance bound — plain double loops, no shared code with the vectorized
+    implementation."""
+    out = []
+    for t in range(len(x)):
+        w = list(x[: t + 1])
+        n = len(w)
+        if n < 2 * min_size:
+            out.append(0.0)
+            continue
+        mean = sum(w) / n
+        var = sum((v - mean) ** 2 for v in w) / n
+        ln_term = np.log(2.0 / (delta / n))
+        best = 0.0
+        for n0 in range(min_size, n - min_size + 1):
+            w0, w1 = w[:n0], w[n0:]
+            mu0 = sum(w0) / len(w0)
+            mu1 = sum(w1) / len(w1)
+            m = 1.0 / (1.0 / len(w0) + 1.0 / len(w1))
+            eps = np.sqrt((2.0 / m) * var * ln_term) + (
+                2.0 / (3.0 * m)
+            ) * ln_term
+            best = max(best, abs(mu0 - mu1) / eps)
+        out.append(best)
+    return np.array(out)
+
+
+def test_adwin_stats_match_reference():
+    rng = np.random.RandomState(7)
+    x = np.concatenate([rng.normal(0.3, 0.02, 25), rng.normal(0.6, 0.02, 25)])
+    # delta tiny -> eps_cut huge -> no alarms, so the no-reset prefix
+    # reference applies to the whole series
+    got = ds.adwin(_frame(x), delta=1e-300)
+    want = _adwin_reference(list(x), 1e-300)
+    assert not got.stats["is_drift"].any()
+    assert np.allclose(got.stats["adwin_stat"].to_numpy(), want, rtol=1e-10)
+
+
+def test_adwin_constant_series_never_drifts():
+    res = ds.adwin(_frame([0.42] * 40))
+    assert res.drift_block_ids == []
+    assert res.segments == [(0, 40 * 100)]
+
+
+def test_adwin_planted_shift_reference_segment_contract():
+    """ADWIN's variance bound is a rigorous false-positive guarantee, so
+    (unlike the tuned PH/CUSUM thresholds) a unit shift needs ~15 post-
+    shift blocks before |mu0 - mu1| clears eps_cut — the alarm lands
+    mid-40s for a shift at block 40."""
+    vals = [0.0] * 40 + [1.0] * 40
+    res = ds.adwin(_frame(vals), delta=0.05)
+    assert res.drift_block_ids, "shift not detected"
+    first = res.drift_block_ids[0]
+    assert 40 < first < 60
+    assert res.segments[0] == (0, first * 100)
+    # post-reset: the constant 1.0 tail raises no further alarms
+    assert res.drift_block_ids == [first]
+    assert res.segments[-1][1] == 80 * 100
+
+
+def test_adwin_two_sided_by_construction():
+    vals = [1.0] * 40 + [0.0] * 40
+    res = ds.adwin(_frame(vals), delta=0.05)
+    assert res.drift_block_ids and 40 < res.drift_block_ids[0] < 60
+
+
+def test_adwin_max_window_bounds_memory():
+    rng = np.random.RandomState(11)
+    vals = rng.normal(0.5, 0.01, 80)
+    res = ds.adwin(_frame(vals), delta=1e-300, max_window=16)
+    assert not res.stats["is_drift"].any()
+    # statistic from the bounded window equals the reference computed on
+    # the trailing 16 observations
+    want = _adwin_reference(list(vals[-16:]), 1e-300)[-1]
+    assert abs(res.stats["adwin_stat"].iloc[-1] - want) < 1e-10

@@ -646,3 +646,121 @@ def test_norm_dup_violation_rows(spark, tmp_path_factory):
     # keeper = min (repo, path, commit) tuple -> src/extra.py stays, the
     # lexicographically larger duplicate is the surplus row; solo excluded
     assert list(nd["path"]) == ["src/keep.py"]
+
+
+def test_classifier_gate_in_suite(spark, tmp_path_factory):
+    """min_keep_rate: the suite's per-partition keep rate is BIT-IDENTICAL
+    to the catalog's classifier_margins over the same model (lock-step by
+    construction — both evaluate driftval.classifier.margin_expr), the
+    verdict fails exactly the partitions below the rate, and the violations
+    dataset carries each dropped file with its margin as the detail."""
+    from driftval.classifier import ClassifierModel, classifier_margins
+
+    base = tmp_path_factory.mktemp("clfgate")
+    rows = []
+    for p, date in enumerate(["2026-01-01", "2026-01-02"]):
+        for i in range(12):
+            body = f"def fn_{p}_{i}(a, b):\n    return a * {i} + b # p{p}\n"
+            rows.append(
+                (date, "org/a", f"src/m{p}_{i}.py", f"{p * 16 + i:040x}",
+                 "python", body)
+            )
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["part_date", "repo", "path", "commit", "lang", "content"]
+        )
+    )
+    # threshold = the median stand-in margin -> a real keep/drop split
+    # without hand-picking hash buckets
+    margins = (
+        classifier_margins(files, "commit", "content", dim=64)
+        .toPandas()
+        .sort_values("margin")
+    )
+    thr = float(margins["margin"].iloc[len(margins) // 2])
+    model = ClassifierModel(dim=64, threshold=thr)
+    # JSON round trip is exact (the CLI hand-off path)
+    assert ClassifierModel.from_json(model.to_json()) == model
+
+    direct = classifier_margins(
+        files, "commit", "content", dim=64, threshold=thr
+    ).toPandas().set_index("commit")
+    part_of = {r[3]: r[0] for r in rows}
+    expected = {}
+    for date in ["2026-01-01", "2026-01-02"]:
+        keeps = [
+            bool(direct.loc[c, "keep"])
+            for c in direct.index
+            if part_of[c] == date
+        ]
+        expected[date] = sum(keeps) / len(keeps)
+
+    min_rate = (expected["2026-01-01"] + expected["2026-01-02"]) / 2
+    assert expected["2026-01-01"] != expected["2026-01-02"], "degenerate split"
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01"], block_size=50,
+        min_keep_rate=min_rate, classifier_model=model,
+    )
+    v = run_suite(
+        spark, files, cfg, str(base / "ckpt"), run_id="clf",
+        violations_path=str(base / "violations"),
+    ).toPandas()
+    ck = v[v["check_name"] == "classifier_keep_rate"].set_index("partition_value")
+    assert set(ck.index) == {"2026-01-01", "2026-01-02"}
+    for date in ck.index:
+        assert abs(ck.loc[date, "metric"] - expected[date]) < 1e-12
+        assert bool(ck.loc[date, "passed"]) == (expected[date] >= min_rate)
+        assert ck.loc[date, "violation_count"] == round(
+            (1 - expected[date]) * 12
+        )
+
+    viol = spark.read.parquet(str(base / "violations")).toPandas()
+    drops = viol[viol["check_name"] == "classifier_keep_rate"]
+    want = {c for c in direct.index if not direct.loc[c, "keep"]}
+    assert set(drops["commit"]) == want
+    for _, r in drops.iterrows():
+        assert abs(float(r["detail"]) - float(direct.loc[r["commit"], "margin"])) < 1e-12
+
+
+def test_classifier_gate_with_trained_model(spark, tmp_path_factory):
+    """A TRAINED model flows through the same gate: weights from
+    train_quality_classifier separate planted low-quality partitions, and
+    the suite verdict reflects it (the quality-CLI -> suite hand-off)."""
+    from driftval import classifier
+
+    base = tmp_path_factory.mktemp("clftrained")
+    good = "def add(a, b):\n    return a + b\n"
+    bad = "xx " * 40
+    rows, labels = [], []
+    for i in range(10):
+        rows.append(
+            ("2026-01-01", "org/a", f"g{i}.py", f"{i:040x}", "python",
+             good.replace("add", f"add{i}"))
+        )
+        labels.append((f"{i:040x}", 1))
+    for i in range(10):
+        rows.append(
+            ("2026-01-02", "org/a", f"b{i}.txt", f"{i + 32:040x}", "text",
+             bad + f"tail{i}")
+        )
+        labels.append((f"{i + 32:040x}", 0))
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["part_date", "repo", "path", "commit", "lang", "content"]
+        )
+    )
+    lab = spark.createDataFrame(pd.DataFrame(labels, columns=["commit", "label"]))
+    weights, bias = classifier.train_quality_classifier(
+        files, "commit", "content", lab, dim=64, n_iters=15, lr=2.0
+    )
+    model = classifier.ClassifierModel(dim=64, weights=weights, bias=bias)
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01"], block_size=50,
+        min_keep_rate=0.8, classifier_model=model,
+    )
+    v = run_suite(spark, files, cfg, str(base / "ckpt"), run_id="clft").toPandas()
+    ck = v[v["check_name"] == "classifier_keep_rate"].set_index("partition_value")
+    assert bool(ck.loc["2026-01-01", "passed"])
+    assert ck.loc["2026-01-01", "metric"] == 1.0
+    assert not bool(ck.loc["2026-01-02", "passed"])
+    assert ck.loc["2026-01-02", "metric"] == 0.0
