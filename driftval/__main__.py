@@ -166,6 +166,14 @@ def cmd_suite(spark, args) -> int:
         max_norm_dup_rate=args.max_norm_dup_rate,
         min_keep_rate=args.min_keep_rate,
         classifier_model=_load_clf_model(args.clf_model),
+        sequential_detectors=(
+            {
+                {"ph": "page_hinkley"}.get(n.strip(), n.strip()): {}
+                for n in args.sequential.split(",")
+            }
+            if args.sequential
+            else None
+        ),
     )
     dim_repos = spark.read.parquet(args.dim_repos) if args.dim_repos else None
     dim_commits = spark.read.parquet(args.dim_commits) if args.dim_commits else None
@@ -536,6 +544,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable comment-insensitive duplicate-rate verdicts: "
                         "fail a partition whose (rows - distinct normalized "
                         "digests)/rows exceeds this")
+    p.add_argument("--sequential", default=None,
+                   help="comma list of extra sequential drift detectors "
+                        "over the block-summary stream (module-default "
+                        "parameters): page_hinkley|ph,cusum,adwin")
     p.add_argument("--min-keep-rate", type=float, default=None,
                    help="enable model-based quality verdicts: fail a "
                         "partition whose classifier keep-rate falls below "

@@ -59,6 +59,7 @@ from driftval.checks.histogram import (
     length_bin,
     psi_js_verdicts,
 )
+from driftval.checks import drift_sequential
 from driftval.checks.krimp import krimp_verdicts_from_combos
 from driftval.checks.referential import orphan_rows, referential_verdicts
 from driftval.checks.stats import (
@@ -137,6 +138,15 @@ class SuiteConfig:
     # place when the quality CLI's trained model is supplied.
     min_keep_rate: float | None = None
     classifier_model: object | None = None
+    # Sequential drift companions in the BATCH suite (None = off). A dict
+    # of detector name -> kwargs, e.g. {"page_hinkley": {"delta": 0.001,
+    # "lam": 0.05}, "cusum": {}, "adwin": {"delta": 0.05}} ({} = module
+    # defaults). Each detector replays the SAME per-block summary stream
+    # the CDCStream verdict consumes (baseline blocks ++ partition blocks
+    # — zero extra distributed work, the O(blocks) frame is already on the
+    # driver) and emits its own per-partition verdict + segment rows
+    # (``drift:ph`` / ``drift:cusum`` / ``drift:adwin``).
+    sequential_detectors: dict[str, dict] | None = None
     # Optional drift/outlier companions (None = off, the default — verdicts
     # and thresholds appear only when configured, so the headline suite cost
     # is unchanged): PSI + Jensen-Shannon on the same smoothed histograms as
@@ -179,6 +189,18 @@ Q_DIGEST = "_q_digest"
 LIC_FAMILY = "_lic_family"
 NORM_MD5 = "_norm_md5"
 Q_MARGIN = "_q_margin"
+
+# name -> (check-name suffix, batch runner, alarm threshold for the verdict
+# row's `threshold` column given the configured kwargs)
+_SEQUENTIAL_DETECTORS = {
+    "page_hinkley": (
+        "ph",
+        drift_sequential.page_hinkley,
+        lambda kw: float(kw.get("lam", 0.1)),
+    ),
+    "cusum": ("cusum", drift_sequential.cusum, lambda kw: float(kw.get("h", 0.1))),
+    "adwin": ("adwin", drift_sequential.adwin, lambda kw: 1.0),
+}
 
 
 def _clf_model(cfg: "SuiteConfig"):
@@ -617,6 +639,41 @@ def _blockwise_decisions(
                 "segment_end": cdda_seg[1],
             }
         )
+
+        # Sequential companions (PH/CUSUM/ADWIN) over the SAME stream the
+        # CDCStream verdict just consumed — no extra distributed work
+        for det_name, det_kwargs in (cfg.sequential_detectors or {}).items():
+            short, runner, thr = _SEQUENTIAL_DETECTORS[det_name]
+            res = runner(
+                stream.assign(block_id=range(len(stream))), **det_kwargs
+            )
+            own = [
+                (i, b)
+                for i, b in enumerate(res.drift_block_ids)
+                if b >= n_base_blocks
+            ]
+            seg = res.segments[own[0][0]] if own else (None, None)
+            seg_rows.extend(
+                {
+                    "partition_value": part,
+                    "check_name": f"drift:{short}:segment",
+                    "segment_start": res.segments[i][0],
+                    "segment_end": res.segments[i][1],
+                }
+                for i, _ in own
+            )
+            rows.append(
+                {
+                    "partition_value": part,
+                    "check_name": f"drift:{short}",
+                    "passed": not own,
+                    "metric": float(len(own)),
+                    "threshold": thr(det_kwargs),
+                    "violation_count": len(own),
+                    "segment_start": seg[0],
+                    "segment_end": seg[1],
+                }
+            )
     return pd.DataFrame(rows), pd.DataFrame(seg_rows)
 
 
@@ -886,6 +943,12 @@ def run_suite(
     schema), additions and nullability flips are reported but pass.
     Metadata-only: no data files are read for it.
     """
+    for det_name in cfg.sequential_detectors or {}:
+        if det_name not in _SEQUENTIAL_DETECTORS:
+            raise ValueError(
+                f"unknown sequential detector {det_name!r}; "
+                f"choose from {sorted(_SEQUENTIAL_DETECTORS)}"
+            )
     store = CheckpointStore(spark, checkpoint_path)
     pcol = cfg.partition_col
     completed_at = completed_at or dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)

@@ -764,3 +764,109 @@ def test_classifier_gate_with_trained_model(spark, tmp_path_factory):
     assert ck.loc["2026-01-01", "metric"] == 1.0
     assert not bool(ck.loc["2026-01-02", "passed"])
     assert ck.loc["2026-01-02", "metric"] == 0.0
+
+
+def test_sequential_detectors_in_suite(spark, files_sdf, dims, tmp_path_factory):
+    """cfg.sequential_detectors: PH/CUSUM/ADWIN verdict rows ride the SAME
+    driver-side block-summary stream the CDCStream verdict consumes — one
+    row per (pending partition, detector), violation_count == alarm count,
+    threshold column = the detector's alarm bar, and the COMPLETE segment
+    list for every alarming detector lands in the violations dataset with
+    the first segment matching the verdict row."""
+    base = tmp_path_factory.mktemp("seqsuite")
+    cfg = SuiteConfig(
+        baseline_partitions=BASELINE,
+        block_size=300,
+        sequential_detectors={
+            "page_hinkley": {},
+            "cusum": {},
+            "adwin": {"delta": 0.05},
+        },
+    )
+    v = run_suite(
+        spark, files_sdf, cfg, str(base / "ckpt"), run_id="seq",
+        dim_repos=dims[0], dim_commits=dims[1],
+        violations_path=str(base / "violations"),
+    ).toPandas()
+    pending = sorted(set(v["partition_value"]) - set(BASELINE))
+    assert pending, "fixture must have non-baseline partitions"
+    for short, thr in [("ph", 0.1), ("cusum", 0.1), ("adwin", 1.0)]:
+        rows = v[v["check_name"] == f"drift:{short}"].set_index("partition_value")
+        assert sorted(rows.index) == pending
+        for p in pending:
+            r = rows.loc[p]
+            assert r["threshold"] == thr
+            assert r["metric"] == r["violation_count"]
+            assert bool(r["passed"]) == (r["violation_count"] == 0)
+            if r["violation_count"] > 0:
+                assert pd.notna(r["segment_start"])
+
+    viol = spark.read.parquet(str(base / "violations")).toPandas()
+    for short in ("ph", "cusum", "adwin"):
+        rows = v[v["check_name"] == f"drift:{short}"]
+        for _, r in rows.iterrows():
+            segs = viol[
+                (viol["check_name"] == f"drift:{short}:segment")
+                & (viol["partition_value"] == r["partition_value"])
+            ]
+            assert len(segs) == r["violation_count"]
+            if r["violation_count"] > 0:
+                bounds = sorted(
+                    tuple(int(x) for x in d.split("-")) for d in segs["detail"]
+                )
+                assert bounds[0] == (r["segment_start"], r["segment_end"])
+
+
+def test_sequential_detectors_quiet_on_constant_stream(spark, tmp_path_factory):
+    """The semantic split the companions exist for: on a CONSTANT summary
+    stream the reference's band test drifts on every post-warm-up block
+    (std=0 + the >= quirk), while PH/CUSUM/ADWIN stay quiet — deviation
+    detectors need an actual deviation."""
+    base = tmp_path_factory.mktemp("seqconst")
+    rows = []
+    n = 0
+    for part, cnt in [("2026-01-01", 100), ("2026-01-02", 150)]:
+        for _ in range(cnt):
+            rows.append(
+                (part, f"org/repo{n % 7}", "src/main.py", f"{n:040x}",
+                 "python", "x" * 100)
+            )
+            n += 1
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["part_date", "repo", "path", "commit", "lang", "content"]
+        )
+    )
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01"], block_size=50,
+        sequential_detectors={"page_hinkley": {}, "cusum": {}, "adwin": {}},
+    )
+    v = run_suite(
+        spark, files, cfg, str(base / "ckpt"), run_id="sc"
+    ).toPandas()
+    m = {
+        (r.partition_value, r.check_name): bool(r.passed)
+        for r in v.itertuples()
+    }
+    assert m[("2026-01-02", "drift:cdcstream")] is False  # reference quirk
+    assert m[("2026-01-02", "drift:ph")] is True
+    assert m[("2026-01-02", "drift:cusum")] is True
+    assert m[("2026-01-02", "drift:adwin")] is True
+
+
+def test_sequential_detector_unknown_name_raises(spark, tmp_path_factory):
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01"],
+        sequential_detectors={"ewma": {}},
+    )
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            [("2026-01-01", "r", "p", "0" * 40, "python", "x")],
+            columns=["part_date", "repo", "path", "commit", "lang", "content"],
+        )
+    )
+    with pytest.raises(ValueError, match="unknown sequential detector"):
+        run_suite(
+            spark, files, cfg,
+            str(tmp_path_factory.mktemp("seqbad") / "ckpt"), run_id="sb",
+        )
