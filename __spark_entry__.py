@@ -195,6 +195,23 @@ def q_drift_len_emd(spark, sf_dir):
     )
 
 
+def q_drift_len_quantiles(spark, sf_dir):
+    """Exact empirical decile profile of each source's content-length
+    distribution vs src0 — Q(q) = min{v : CDF(v) >= q} (type-1 quantile,
+    no interpolation, hence hash-exact vs DuckDB) and the per-decile
+    |shift| in characters; the production "did p50/p90 move?" companion
+    that localizes WHERE the distribution moved while KS/EMD aggregate it
+    away. Same O(partitions x distinct lengths) cumulative frame."""
+    from driftval.checks.histogram import quantile_shift_stats
+
+    d = _t(spark, sf_dir, "documents")
+    s = quantile_shift_stats(d, "source", "n_chars", ["src0"])
+    return s.select(
+        F.col("partition_value").alias("source"),
+        "q", "q_base", "q_cur", "abs_shift", "n_base", "n_cur",
+    )
+
+
 def q_dup_ngram_fraction(spark, sf_dir):
     """Per-doc duplicated-3-gram fraction (share of a doc's shingles that
     appear in >2 docs) — the doc-level memorization-risk proxy of
@@ -1812,6 +1829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequential drift companions (rows-only: driver-side recursions,
         # pinned vs independent references in tests)
         "sequential_drift_events": q_sequential_drift_events,
+        # exact decile-profile drift (full DuckDB twin; added after the r4
+        # window froze — ROUND-5 ROTATION: front this too)
+        "drift_len_quantiles": q_drift_len_quantiles,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -2701,6 +2721,42 @@ WITH hist AS (
 SELECT pv AS source, round(sum(c), 8) AS emd,
        first(nb)::BIGINT AS n_base, first(nc)::BIGINT AS n_cur
 FROM stepped GROUP BY pv
+""",
+        "drift_len_quantiles": """
+WITH hist AS (
+  SELECT source AS pv, n_chars::DOUBLE AS v, count(*)::DOUBLE AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), base AS (
+  SELECT v, sum(cnt) AS ob FROM hist WHERE pv = 'src0' GROUP BY 1
+), cur AS (
+  SELECT pv, v, cnt AS oc FROM hist WHERE pv <> 'src0'
+), domain AS (
+  SELECT p.pv, d.v FROM (SELECT DISTINCT pv FROM cur) p
+  CROSS JOIN (SELECT v FROM base UNION SELECT DISTINCT v FROM cur) d
+), joined AS (
+  SELECT dm.pv, dm.v, COALESCE(b.ob, 0)::DOUBLE AS ob, COALESCE(c.oc, 0)::DOUBLE AS oc
+  FROM domain dm
+  LEFT JOIN base b ON dm.v = b.v
+  LEFT JOIN cur c ON dm.pv = c.pv AND dm.v = c.v
+), cum AS (
+  SELECT pv, v,
+         sum(ob) OVER (PARTITION BY pv ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(ob) OVER (PARTITION BY pv) AS cb,
+         sum(oc) OVER (PARTITION BY pv ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(oc) OVER (PARTITION BY pv) AS cc,
+         sum(ob) OVER (PARTITION BY pv) AS nb,
+         sum(oc) OVER (PARTITION BY pv) AS nc
+  FROM joined
+)
+SELECT pv AS source, q,
+       min(v) FILTER (WHERE cb >= q) AS q_base,
+       min(v) FILTER (WHERE cc >= q) AS q_cur,
+       round(abs(min(v) FILTER (WHERE cc >= q)
+                 - min(v) FILTER (WHERE cb >= q)), 8) AS abs_shift,
+       first(nb)::BIGINT AS n_base, first(nc)::BIGINT AS n_cur
+FROM cum
+CROSS JOIN (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q) deciles
+GROUP BY pv, q
 """,
         "drift_len_ks": """
 WITH hist AS (

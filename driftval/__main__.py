@@ -159,6 +159,7 @@ def cmd_suite(spark, args) -> int:
         js_threshold=args.js_threshold,
         ks_threshold=args.ks_threshold,
         emd_threshold=args.emd_threshold,
+        quantile_shift_threshold=args.quantile_shift_threshold,
         outlier_rate_threshold=args.outlier_rate_threshold,
         extra_constraints=extra,
         quality_report=args.report_quality,
@@ -536,6 +537,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--emd-threshold", type=float, default=None,
                    help="enable exact Wasserstein-1 verdicts on content length "
                         "(threshold in characters)")
+    p.add_argument("--quantile-shift-threshold", type=float, default=None,
+                   help="enable exact decile-profile shift verdicts on "
+                        "content length (max |Q_cur(q)-Q_base(q)|, threshold "
+                        "in characters)")
     p.add_argument("--outlier-rate-threshold", type=float, default=None,
                    help="enable median/MAD modified-z outlier-rate verdicts")
     p.add_argument("--satisfies", action="append", default=[],

@@ -451,6 +451,97 @@ def ks_verdicts(
     return _threshold_verdict(stats, "ks_stat", f"ks:{feature_name}", ks_threshold)
 
 
+DECILES = tuple(round(q / 10, 1) for q in range(1, 10))
+
+
+def quantile_shift_stats(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    baseline_partitions: list[str],
+    quantiles: tuple[float, ...] = DECILES,
+) -> DataFrame:
+    """EXACT empirical quantile shift of every current partition vs the
+    pooled baseline: one row per (partition, q) with ``q_base``, ``q_cur``
+    (the type-1 / inverse-CDF quantile ``Q(q) = min{v : CDF(v) >= q}``)
+    and ``abs_shift = |q_cur − q_base|`` in the column's own units — the
+    production "did p50/p90/p99 move?" check. KS reports the worst CDF gap
+    and W1 the integrated gap; the quantile profile localizes WHERE the
+    distribution moved (a tail-only regression leaves low deciles still).
+
+    Same O(partitions × distinct values) cumulative frame as
+    :func:`ks_stats`/:func:`emd_stats`; each quantile is one conditional
+    ``min`` in a single per-partition aggregate — no sort beyond the CDF
+    window, no binning, no interpolation (exact for the empirical
+    distributions, so the DuckDB twin matches hash-exactly)."""
+    cum = _cdf_frame(df, partition_col, value_col, baseline_partitions)
+    aggs = []
+    for i, q in enumerate(quantiles):
+        aggs.append(
+            F.min(F.when(F.col("cdf_base") >= q, F.col("v"))).alias(f"_qb_{i}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cdf_cur") >= q, F.col("v"))).alias(f"_qc_{i}")
+        )
+    wide = cum.groupBy("partition_value").agg(
+        *aggs,
+        F.first("n_base").cast("long").alias("n_base"),
+        F.first("n_cur").cast("long").alias("n_cur"),
+    )
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.col(f"_qb_{i}").alias("q_base"),
+                F.col(f"_qc_{i}").alias("q_cur"),
+            )
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    return (
+        wide.select(
+            "partition_value",
+            "n_base",
+            "n_cur",
+            F.explode(per_q).alias("_e"),
+        )
+        .select(
+            "partition_value",
+            F.col("_e.q").alias("q"),
+            F.col("_e.q_base").alias("q_base"),
+            F.col("_e.q_cur").alias("q_cur"),
+            F.round(F.abs(F.col("_e.q_cur") - F.col("_e.q_base")), 8).alias(
+                "abs_shift"
+            ),
+            "n_base",
+            "n_cur",
+        )
+    )
+
+
+def quantile_shift_verdicts(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str,
+    feature_name: str,
+    baseline_partitions: list[str],
+    shift_threshold: float,
+    quantiles: tuple[float, ...] = DECILES,
+) -> DataFrame:
+    """Verdict rows ``quantile_shift:<feature>`` per current partition:
+    metric = the WORST per-quantile shift (max over the profile), in the
+    column's own units — thresholded like EMD."""
+    per_q = quantile_shift_stats(
+        df, partition_col, value_col, baseline_partitions, quantiles
+    )
+    stats = per_q.groupBy("partition_value").agg(
+        F.max("abs_shift").alias("max_shift")
+    )
+    return _threshold_verdict(
+        stats, "max_shift", f"quantile_shift:{feature_name}", shift_threshold
+    )
+
+
 def emd_verdicts(
     df: DataFrame,
     partition_col: str,

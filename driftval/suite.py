@@ -54,6 +54,7 @@ from driftval.checks.fidelity import (
 )
 from driftval.checks.histogram import (
     emd_verdicts,
+    quantile_shift_verdicts,
     histogram_drift_verdicts,
     ks_verdicts,
     length_bin,
@@ -156,6 +157,10 @@ class SuiteConfig:
     js_threshold: float | None = None
     ks_threshold: float | None = None
     emd_threshold: float | None = None
+    # Exact empirical decile-profile shift vs the pooled baseline (max over
+    # q of |Q_cur(q) − Q_base(q)|, column units) — localizes WHERE the
+    # distribution moved where KS/EMD aggregate it away.
+    quantile_shift_threshold: float | None = None
     outlier_rate_threshold: float | None = None
     # Suite/catalog lock-step reports (VERDICT r3 #10; off by default so the
     # headline suite cost is unchanged). When on, the catalog's dashboard
@@ -1076,6 +1081,13 @@ def run_suite(
                 emd_verdicts(
                     derived, pcol, LEN_COL, "content_len",
                     cfg.baseline_partitions, cfg.emd_threshold,
+                ).where(F.col("partition_value").isin(pending_current))
+            )
+        if cfg.quantile_shift_threshold is not None:
+            frames.append(
+                quantile_shift_verdicts(
+                    derived, pcol, LEN_COL, "content_len",
+                    cfg.baseline_partitions, cfg.quantile_shift_threshold,
                 ).where(F.col("partition_value").isin(pending_current))
             )
     if cfg.outlier_rate_threshold is not None and pending:

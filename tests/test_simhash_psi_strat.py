@@ -199,3 +199,45 @@ def test_psi_verdicts_gate_independently(spark):
     assert {r.check_name for r in only_js.collect()} == {"js:v"}
     with pytest.raises(ValueError):
         psi_js_verdicts(df, "src", F.col("v"), "v", ["b"], None, None)
+
+
+def test_quantile_shift_stats_hand_computed(spark):
+    from driftval.checks.histogram import quantile_shift_stats
+
+    # base uniform on {1,2,3,4}: Q(0.1..0.2)=1, Q(0.3..0.5)=2, Q(0.6..0.7)=3,
+    # Q(0.8..0.9)=4 (type-1: min v with CDF >= q). cur identical -> all
+    # shifts 0; cur2 all 4s -> Q_cur(q)=4, shifts (3,3,2,2,2,1,1,0,0)
+    rows = (
+        [("b", v) for v in (1, 2, 3, 4)] * 5
+        + [("c1", v) for v in (1, 2, 3, 4)] * 3
+        + [("c2", 4)] * 8
+    )
+    df = spark.createDataFrame(rows, "source string, v int")
+    got = quantile_shift_stats(df, "source", "v", ["b"]).toPandas()
+    c1 = got[got["partition_value"] == "c1"].sort_values("q")
+    assert list(c1["abs_shift"]) == [0.0] * 9
+    c2 = got[got["partition_value"] == "c2"].sort_values("q")
+    assert list(c2["q_base"]) == [1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert list(c2["q_cur"]) == [4.0] * 9
+    assert list(c2["abs_shift"]) == [3, 3, 2, 2, 2, 1, 1, 0, 0]
+    assert set(c2["n_base"]) == {20} and set(c2["n_cur"]) == {8}
+
+
+def test_quantile_shift_verdicts_threshold(spark):
+    from driftval.checks.histogram import quantile_shift_verdicts
+
+    rows = (
+        [("b", v) for v in (1, 2, 3, 4)] * 5
+        + [("c1", v) for v in (1, 2, 3, 4)] * 3
+        + [("c2", 4)] * 8
+    )
+    df = spark.createDataFrame(rows, "source string, v int")
+    got = {
+        r.partition_value: r.asDict()
+        for r in quantile_shift_verdicts(
+            df, "source", "v", "len", ["b"], shift_threshold=2.5
+        ).collect()
+    }
+    assert got["c1"]["passed"] and got["c1"]["metric"] == 0.0
+    assert not got["c2"]["passed"] and got["c2"]["metric"] == 3.0
+    assert got["c2"]["check_name"] == "quantile_shift:len"

@@ -403,6 +403,7 @@ def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
         js_threshold=0.1,
         ks_threshold=0.2,
         emd_threshold=500.0,
+        quantile_shift_threshold=500.0,
         outlier_rate_threshold=0.12,
     )
     base = tmp_path_factory.mktemp("companions")
@@ -417,6 +418,7 @@ def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
     for name, expected in [
         ("psi:lang", n_current), ("js:lang", n_current),
         ("ks:content_len", n_current), ("emd:content_len", n_current),
+        ("quantile_shift:content_len", n_current),
         ("outliers:content_len", n_parts),
     ]:
         sub = v[v["check_name"] == name]
@@ -427,6 +429,17 @@ def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
     out = v[v["check_name"] == "outliers:content_len"].set_index("partition_value")
     assert not out.loc["2026-01-07"].passed
     assert out.drop(index="2026-01-07")["passed"].all()
+    # ~20% of partition 7's files gained 20k chars, so its 0.9-decile moved
+    # by ~20k while every other partition's profile is unshifted
+    qs = v[v["check_name"] == "quantile_shift:content_len"].set_index(
+        "partition_value"
+    )
+    assert not qs.loc["2026-01-07"].passed
+    assert qs.loc["2026-01-07"].metric > 10_000
+    # partition 6 is the fixture's PLANTED content-length-drift partition —
+    # the profile check agrees with chi2/kl/ks on it
+    assert not qs.loc["2026-01-06"].passed
+    assert qs.drop(index=["2026-01-06", "2026-01-07"])["passed"].all()
     # the fixture plants lang-histogram drift in partition 5: PSI/JS flag
     # exactly it (agreeing with the chi2/KL verdicts on the same histogram)
     for name in ("psi:lang", "js:lang"):
@@ -454,7 +467,9 @@ def test_drift_companions_in_suite(spark, files_sdf, dims, tmp_path_factory):
         spark, files_sdf, cfg_off, str(base / "ckpt-off"), run_id="ro",
         dim_repos=dims[0], dim_commits=dims[1],
     ).toPandas()
-    assert not v_off["check_name"].str.startswith(("psi:", "js:", "ks:", "outliers:")).any()
+    assert not v_off["check_name"].str.startswith(
+        ("psi:", "js:", "ks:", "outliers:", "quantile_shift:")
+    ).any()
 
 
 def test_extra_satisfies_constraints(spark, files_sdf, dims, tmp_path_factory):
