@@ -38,7 +38,9 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def run_suite_bench(spark, rows_per_partition: int, block_size: int) -> dict:
+def run_suite_bench(
+    spark, rows_per_partition: int, block_size: int, cfg_overrides: dict | None = None
+) -> dict:
     """Timed full-suite pass over a freshly generated files table."""
     from driftval.genfiles import dim_tables_spark, files_table_spark
     from driftval.suite import SuiteConfig, run_suite
@@ -68,6 +70,7 @@ def run_suite_bench(spark, rows_per_partition: int, block_size: int) -> dict:
         cfg = SuiteConfig(
             baseline_partitions=[f"2026-01-{d:02d}" for d in range(1, 5)],
             block_size=block_size,
+            **(cfg_overrides or {}),
         )
         t0 = time.monotonic()
         verdicts = run_suite(
@@ -142,6 +145,43 @@ def main() -> None:
         key=lambda r: r["suite_sec"],
     )
     qtimes["suite_e2e"] = suite["suite_sec"]
+
+    # The SAME workload with EVERY optional gate on (secrets, license,
+    # norm-dup, classifier, psi/js/ks/emd/quantile, outliers, volume,
+    # PH/CUSUM/ADWIN, in-suite dashboards): measures the marginal cost of
+    # the full battery over the headline config — the docstrings claim the
+    # gated checks ride the single derived content pass; this is the number
+    # that proves it. Thresholds are lenient so the matrix completes
+    # without extra violation extraction noise.
+    from driftval.classifier import ClassifierModel
+
+    all_on = dict(
+        secret_patterns={"aws_key": r"AKIA[0-9A-Z]{16}"},
+        license_forbidden=("copyleft",),
+        max_norm_dup_rate=0.99,
+        min_keep_rate=0.0,
+        # production fast path: xxhash features (the md5 family exists for
+        # DuckDB-twin portability; a suite gate needs no SQL twin)
+        classifier_model=ClassifierModel(hash_fn="xxhash"),
+        psi_threshold=25.0,
+        js_threshold=1.0,
+        ks_threshold=1.0,
+        emd_threshold=1e9,
+        quantile_shift_threshold=1e9,
+        outlier_rate_threshold=0.99,
+        volume_ratio_bounds=(0.001, 1000.0),
+        sequential_detectors={"page_hinkley": {}, "cusum": {}, "adwin": {}},
+        quality_report=True,
+        pack_ctx_len=2048,
+    )
+    full = min(
+        (
+            run_suite_bench(spark, rows_pp, block_size, cfg_overrides=all_on)
+            for _ in range(timed_reps)
+        ),
+        key=lambda r: r["suite_sec"],
+    )
+    qtimes["suite_all_checks"] = full["suite_sec"]
 
     for name, fn in entrymod.queries().items():
         t0 = time.monotonic()

@@ -167,6 +167,11 @@ def cmd_suite(spark, args) -> int:
         max_norm_dup_rate=args.max_norm_dup_rate,
         min_keep_rate=args.min_keep_rate,
         classifier_model=_load_clf_model(args.clf_model),
+        volume_ratio_bounds=(
+            tuple(float(b) for b in args.volume_ratio_bounds.split(","))
+            if args.volume_ratio_bounds
+            else None
+        ),
         sequential_detectors=(
             {
                 {"ph": "page_hinkley"}.get(n.strip(), n.strip()): {}
@@ -416,15 +421,18 @@ def cmd_quality(spark, args) -> int:
     weights, bias = classifier.train_quality_classifier(
         files, args.id_col, args.text_col, labels,
         dim=args.dim, n_iters=args.iters, lr=args.lr, l2=args.l2,
+        hash_fn=args.feature_hash,
     )
     scored = classifier.classifier_margins(
         files, args.id_col, args.text_col,
         dim=args.dim, weights=weights, bias=bias, threshold=args.threshold,
+        hash_fn=args.feature_hash,
     )
     scored.write.mode("overwrite").parquet(args.out)
     if args.model_out:
         model = classifier.ClassifierModel(
-            dim=args.dim, weights=weights, bias=bias, threshold=args.threshold
+            dim=args.dim, weights=weights, bias=bias, threshold=args.threshold,
+            hash_fn=args.feature_hash,
         )
         with open(args.model_out, "w") as fh:
             fh.write(model.to_json())
@@ -549,6 +557,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable comment-insensitive duplicate-rate verdicts: "
                         "fail a partition whose (rows - distinct normalized "
                         "digests)/rows exceeds this")
+    p.add_argument("--volume-ratio-bounds", default=None,
+                   help="enable row-count anomaly verdicts: LO,HI ratio vs "
+                        "the baseline partitions' mean rows, e.g. 0.5,2.0")
     p.add_argument("--sequential", default=None,
                    help="comma list of extra sequential drift detectors "
                         "over the block-summary stream (module-default "
@@ -694,6 +705,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--model-out", default=None,
                    help="also write the trained model JSON here (feed it to "
                         "`suite --clf-model` for the partition-level gate)")
+    p.add_argument("--feature-hash", default="md5", choices=["md5", "xxhash"],
+                   help="feature-hash family: md5 = portable (DuckDB-twin "
+                        "exact), xxhash = JVM-native ~2x-faster scoring; "
+                        "recorded in the model JSON")
     p.set_defaults(fn=cmd_quality)
 
     p = sub.add_parser(

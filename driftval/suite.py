@@ -139,6 +139,14 @@ class SuiteConfig:
     # place when the quality CLI's trained model is supplied.
     min_keep_rate: float | None = None
     classifier_model: object | None = None
+    # Row-count (volume) anomaly vs the pooled baseline (None = off). A
+    # (lo, hi) ratio pair — e.g. (0.5, 2.0) — turns it on: each partition
+    # gets a ``volume:rows`` verdict that FAILS when rows/baseline_mean_rows
+    # falls outside [lo, hi] (the "today's load is half of normal" check
+    # that catches upstream ingestion breakage before any content check
+    # can). Costs one single-column aggregate — the scan prunes to the
+    # partition column, so at parquet/Iceberg scale this is metadata-cheap.
+    volume_ratio_bounds: tuple[float, float] | None = None
     # Sequential drift companions in the BATCH suite (None = off). A dict
     # of detector name -> kwargs, e.g. {"page_hinkley": {"delta": 0.001,
     # "lam": 0.05}, "cusum": {}, "adwin": {"delta": 0.05}} ({} = module
@@ -394,6 +402,31 @@ def classifier_suite_verdicts(
         rate.cast("double").alias("metric"),
         F.lit(thr).alias("threshold"),
         (F.col("_rows") - F.col("_keep")).cast("long").alias("violation_count"),
+    )
+
+
+def volume_suite_verdicts(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """Per-partition row-count anomaly vs the pooled baseline: metric =
+    partition rows / mean(baseline partition rows), passed iff the ratio
+    lies within ``cfg.volume_ratio_bounds`` (the verdict row's ``threshold``
+    column carries the high bound; the low bound lives in config). A
+    missing/empty baseline yields an explicit FAIL (ratio null — volume
+    cannot be assessed), never a silent pass. One narrow aggregate over the
+    partition column only; the shuffle carries O(partitions) longs."""
+    lo, hi = (float(b) for b in cfg.volume_ratio_bounds)
+    pv = F.col(cfg.partition_col).cast("string").alias("partition_value")
+    counts = files.groupBy(pv).agg(F.count(F.lit(1)).alias("_rows"))
+    base = counts.where(
+        F.col("partition_value").isin([str(p) for p in cfg.baseline_partitions])
+    ).agg(F.avg("_rows").alias("_base_mean"))
+    ratio = F.round(F.col("_rows") / F.col("_base_mean"), 8)
+    return counts.crossJoin(F.broadcast(base)).select(
+        "partition_value",
+        F.lit("volume:rows").alias("check_name"),
+        F.coalesce((ratio >= lo) & (ratio <= hi), F.lit(False)).alias("passed"),
+        ratio.cast("double").alias("metric"),
+        F.lit(hi).alias("threshold"),
+        F.lit(-1).cast("long").alias("violation_count"),
     )
 
 
@@ -1009,6 +1042,12 @@ def run_suite(
         frames.append(norm_dup_suite_verdicts(derived_pending, cfg))
     if cfg.min_keep_rate is not None:
         frames.append(classifier_suite_verdicts(derived_pending, cfg))
+    if cfg.volume_ratio_bounds is not None:
+        frames.append(
+            volume_suite_verdicts(files, cfg).where(
+                F.col("partition_value").isin(pending_current)
+            )
+        )
 
     # V5 — duplicates are judged table-wide but attributed per partition;
     # key columns only (column pruning keeps content out of this shuffle).

@@ -211,3 +211,124 @@ def test_quality_cli_end_to_end(spark, tmp_path):
     got = {r["doc_id"]: r["keep"] for r in spark.read.parquet(out).collect()}
     assert all(got[i] for i in range(12))
     assert not any(got[100 + i] for i in range(12))
+
+
+def test_quality_model_out_to_suite_clf_model(spark, tmp_path):
+    """The train->gate hand-off: `quality --model-out` writes the trained
+    model JSON, `suite --clf-model --min-keep-rate` consumes it, and the
+    partition holding the planted low-quality vocabulary fails the
+    classifier_keep_rate verdict while the curated partition passes."""
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    good_vocab = ["theorem", "analysis", "method", "result", "careful", "study"]
+    bad_vocab = ["clickxx", "winxx", "freexx", "nowxx", "buyxx", "prizexx"]
+
+    def doc(vocab, i):
+        return " ".join(vocab[(i + j) % len(vocab)] for j in range(8))
+
+    # training corpus (id, text) + labels
+    corpus = [(i, doc(good_vocab, i)) for i in range(12)] + [
+        (100 + i, doc(bad_vocab, i)) for i in range(12)
+    ]
+    labels = [(i, 1.0) for i in range(8)] + [(100 + i, 0.0) for i in range(8)]
+    cdir, ldir, out = (str(tmp_path / d) for d in ("corpus", "labels", "scores"))
+    model_path = str(tmp_path / "model.json")
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(cdir)
+    spark.createDataFrame(labels, "doc_id long, label double").write.parquet(ldir)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "driftval", "quality",
+            "--path", cdir, "--labels", ldir, "--out", out,
+            "--dim", "64", "--iters", "20", "--model-out", model_path,
+        ],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    from driftval.classifier import ClassifierModel
+
+    with open(model_path) as fh:
+        model = ClassifierModel.from_json(fh.read())
+    assert model.dim == 64 and model.weights
+
+    # validation table: one curated partition, one low-quality partition
+    rows = []
+    n = 0
+    for part, vocab in [("2026-01-01", good_vocab), ("2026-01-02", bad_vocab)]:
+        for i in range(10):
+            rows.append(
+                (part, "org/a", f"d{n}.txt", f"{n:040x}", "text", doc(vocab, i))
+            )
+            n += 1
+    fdir = str(tmp_path / "files")
+    spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["part_date", "repo", "path", "commit", "lang", "content"]
+        )
+    ).write.parquet(fdir)
+
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "driftval", "suite",
+            "--path", fdir, "--checkpoint", str(tmp_path / "ckpt"),
+            "--baseline", "2026-01-01", "--run-id", "m1",
+            "--min-keep-rate", "0.8", "--clf-model", model_path,
+        ],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+    )
+    lines = [
+        line for line in res.stdout.splitlines() if "classifier_keep_rate" in line
+    ]
+    assert len(lines) == 2, res.stdout[-2000:] + res.stderr[-2000:]
+    by_part = {line.split()[0]: line.split() for line in lines}
+    assert by_part["2026-01-01"][2] == "True"   # curated: keep rate 1.0
+    assert by_part["2026-01-02"][2] == "False"  # planted junk: below 0.8
+
+
+def test_xxhash_feature_family(spark):
+    """The fast-path feature hash: training + scoring under hash_fn=
+    'xxhash' separates the planted vocab split exactly like md5, the
+    model JSON carries the family, and unknown families fail fast."""
+    from driftval import classifier
+
+    good_vocab = ["theorem", "analysis", "method", "result", "careful", "study"]
+    bad_vocab = ["clickxx", "winxx", "freexx", "nowxx", "buyxx", "prizexx"]
+
+    def doc(vocab, i):
+        return " ".join(vocab[(i + j) % len(vocab)] for j in range(8))
+
+    corpus = [(i, doc(good_vocab, i)) for i in range(12)] + [
+        (100 + i, doc(bad_vocab, i)) for i in range(12)
+    ]
+    labels = [(i, 1.0) for i in range(8)] + [(100 + i, 0.0) for i in range(8)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    lab = spark.createDataFrame(labels, "doc_id long, label double")
+    weights, bias = classifier.train_quality_classifier(
+        df, "doc_id", "text", lab, dim=64, n_iters=20, hash_fn="xxhash"
+    )
+    scored = {
+        r["doc_id"]: r["keep"]
+        for r in classifier.classifier_margins(
+            df, "doc_id", "text", dim=64, weights=weights, bias=bias,
+            hash_fn="xxhash",
+        ).collect()
+    }
+    assert all(scored[i] for i in range(12))
+    assert not any(scored[100 + i] for i in range(12))
+
+    model = classifier.ClassifierModel(
+        dim=64, weights=weights, bias=bias, hash_fn="xxhash"
+    )
+    rt = classifier.ClassifierModel.from_json(model.to_json())
+    assert rt == model and rt.hash_fn == "xxhash"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown feature hash"):
+        classifier.feature_of(None, 64, "fnv")

@@ -885,3 +885,62 @@ def test_sequential_detector_unknown_name_raises(spark, tmp_path_factory):
             spark, files, cfg,
             str(tmp_path_factory.mktemp("seqbad") / "ckpt"), run_id="sb",
         )
+
+
+def test_volume_anomaly_verdicts(spark, tmp_path_factory):
+    """cfg.volume_ratio_bounds: each pending partition's row count is
+    ratioed against the baseline partitions' MEAN rows — a collapsed
+    partition fails low, a doubled one fails high, and normal load passes.
+    An empty baseline fails explicitly (never a silent pass)."""
+    base = tmp_path_factory.mktemp("volume")
+    sizes = {
+        "2026-01-01": 100, "2026-01-02": 120,   # baseline, mean 110
+        "2026-01-03": 30,                        # collapsed: ratio 0.27
+        "2026-01-04": 110,                       # normal: ratio 1.0
+        "2026-01-05": 400,                       # blowup: ratio 3.64
+    }
+    rows = []
+    n = 0
+    for part, cnt in sizes.items():
+        for i in range(cnt):
+            rows.append(
+                (part, "org/a", f"f{i}.py", f"{n:040x}", "python", f"x{i}")
+            )
+            n += 1
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["part_date", "repo", "path", "commit", "lang", "content"]
+        )
+    )
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01", "2026-01-02"], block_size=50,
+        volume_ratio_bounds=(0.5, 2.0),
+    )
+    v = run_suite(spark, files, cfg, str(base / "ckpt"), run_id="vol").toPandas()
+    vol = v[v["check_name"] == "volume:rows"].set_index("partition_value")
+    assert sorted(vol.index) == ["2026-01-03", "2026-01-04", "2026-01-05"]
+    assert not bool(vol.loc["2026-01-03", "passed"])
+    assert abs(vol.loc["2026-01-03", "metric"] - 30 / 110) < 1e-8
+    assert bool(vol.loc["2026-01-04", "passed"])
+    assert not bool(vol.loc["2026-01-05", "passed"])
+    assert (vol["threshold"] == 2.0).all()
+
+    # off by default
+    cfg_off = SuiteConfig(
+        baseline_partitions=["2026-01-01", "2026-01-02"], block_size=50
+    )
+    v_off = run_suite(
+        spark, files, cfg_off, str(base / "ckpt-off"), run_id="voff"
+    ).toPandas()
+    assert not (v_off["check_name"] == "volume:rows").any()
+
+    # baseline absent from the table -> explicit FAIL, not a silent pass
+    cfg_nb = SuiteConfig(
+        baseline_partitions=["1999-01-01"], block_size=50,
+        volume_ratio_bounds=(0.5, 2.0),
+    )
+    v_nb = run_suite(
+        spark, files, cfg_nb, str(base / "ckpt-nb"), run_id="vnb"
+    ).toPandas()
+    vol_nb = v_nb[v_nb["check_name"] == "volume:rows"]
+    assert len(vol_nb) == 5 and not vol_nb["passed"].any()
