@@ -115,6 +115,43 @@ def cmd_stream(spark, args) -> int:
     return 0
 
 
+def cmd_suitestream(spark, args) -> int:
+    """The FULL validation suite as a daily-ingest stream: an unbounded
+    directory of parquet chunk files (rows in partition order) drains
+    through SuiteStreamRunner — each micro-batch lands in the growing
+    table dataset, the resumable batch suite re-runs under one run_id, and
+    V13 resume makes replay a no-op. Prints the final verdict table, same
+    contract as the batch ``suite`` subcommand."""
+    import tempfile
+
+    from driftval import streaming
+    from driftval.suite import SuiteConfig
+
+    batch = spark.read.parquet(args.input)
+    stream_df = streaming.read_chunk_stream(
+        spark, args.input, batch.schema, max_files_per_trigger=args.files_per_trigger
+    )
+    cfg = SuiteConfig(
+        baseline_partitions=args.baseline.split(","),
+        partition_col=args.partition_col,
+        block_size=args.block_size,
+    )
+    dim_repos = spark.read.parquet(args.dim_repos) if args.dim_repos else None
+    dim_commits = spark.read.parquet(args.dim_commits) if args.dim_commits else None
+    _, verdicts = streaming.run_suite_stream(
+        stream_df, cfg, args.table, args.checkpoint,
+        args.stream_checkpoint or tempfile.mkdtemp(prefix="driftval-sstream-ckpt-"),
+        run_id=args.run_id, dim_repos=dim_repos, dim_commits=dim_commits,
+        violations_path=args.violations_out,
+    )
+    v = verdicts.toPandas().sort_values(["partition_value", "check_name"])
+    cols = ["partition_value", "check_name", "passed", "metric", "violation_count"]
+    print(v[cols].to_string(index=False))
+    n_fail = int((~v["passed"]).sum())
+    print(f"\n{len(v)} verdicts, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
 def _parse_satisfies(specs: list[str]):
     """``label=max_rate:SQL predicate`` → PredicateRate list (the generic
     cross-column rule, e.g. ``--satisfies "len_pos=0.0:length(content) > 0"``)."""
@@ -512,6 +549,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--files-per-trigger", type=int, default=1)
     p.add_argument("--stream-checkpoint", help="streaming checkpoint dir (default: temp)")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser(
+        "suitestream",
+        help="the full validation suite as a daily-ingest stream (foreachBatch)",
+    )
+    p.add_argument("--input", required=True, help="directory/glob of parquet chunks")
+    p.add_argument("--table", required=True,
+                   help="growing table dataset the chunks land in")
+    p.add_argument("--checkpoint", required=True, help="suite checkpoint store")
+    p.add_argument("--baseline", required=True, help="comma list of baseline partitions")
+    p.add_argument("--partition-col", default="part_date")
+    p.add_argument("--block-size", type=int, default=10_000)
+    p.add_argument("--run-id", default="stream")
+    p.add_argument("--dim-repos")
+    p.add_argument("--dim-commits")
+    p.add_argument("--violations-out")
+    p.add_argument("--files-per-trigger", type=int, default=1)
+    p.add_argument("--stream-checkpoint", help="streaming checkpoint dir (default: temp)")
+    p.set_defaults(fn=cmd_suitestream)
 
     p = sub.add_parser("suite", help="full validation suite over a partitioned table")
     src = p.add_mutually_exclusive_group(required=True)

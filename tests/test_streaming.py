@@ -757,3 +757,69 @@ def test_cdcstream_runner_with_ph_decider_matches_batch(spark, tmp_path):
         assert got.drift_block_ids == batch.drift_block_ids
         if must_alarm:
             assert batch.drift_block_ids, "fixture must actually plant a drift"
+
+
+def test_suite_stream_matches_batch(spark, tmp_path):
+    """SuiteStreamRunner: the F1 fixture delivered as partition-ordered
+    micro-batches that STRADDLE partition boundaries produces the exact
+    batch verdict matrix — replay safety and incremental skipping are the
+    batch engine's own V13 resume, not parallel streaming state."""
+    from driftval import fixtures
+    from driftval.suite import SuiteConfig, run_suite
+
+    pdf = fixtures.files_table(rows_per_partition=200, seed=7)
+    pdf = pdf.sort_values("part_date").reset_index(drop=True)
+    dr, dc = fixtures.dim_tables(pdf)
+    dims = (spark.createDataFrame(dr), spark.createDataFrame(dc))
+    cfg = SuiteConfig(
+        baseline_partitions=[f"2026-01-{d:02d}" for d in range(1, 5)],
+        block_size=100,
+    )
+
+    # 5 chunks, none aligned to a partition boundary
+    n = len(pdf)
+    cuts = [0, int(n * 0.17), int(n * 0.44), int(n * 0.58), int(n * 0.81), n]
+    runner = streaming.SuiteStreamRunner(
+        cfg, str(tmp_path / "table"), str(tmp_path / "suite-ckpt"),
+        run_id="s1", dim_repos=dims[0], dim_commits=dims[1],
+    )
+    for bi in range(len(cuts) - 1):
+        chunk = spark.createDataFrame(pdf.iloc[cuts[bi] : cuts[bi + 1]])
+        runner.on_batch(chunk, bi)
+    got = runner.finalize(spark).toPandas()
+
+    batch = run_suite(
+        spark, spark.createDataFrame(pdf), cfg,
+        str(tmp_path / "batch-ckpt"), run_id="b1",
+        dim_repos=dims[0], dim_commits=dims[1],
+    ).toPandas()
+
+    cols = ["partition_value", "check_name", "passed", "violation_count"]
+    a = got[cols].sort_values(cols[:2]).reset_index(drop=True)
+    b = batch[cols].sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert got["partition_value"].nunique() == 8
+    # the planted anomalies surface through the stream path too
+    m = {(r.partition_value, r.check_name): bool(r.passed) for r in got.itertuples()}
+    assert m[("2026-01-07", "unique:(repo,path,commit)")] is False
+    assert m[("2026-01-08", "type_conformance:commit")] is False
+
+
+def test_suite_stream_rejects_late_rows_for_validated_partition(spark, tmp_path):
+    from driftval import fixtures
+    from driftval.suite import SuiteConfig
+
+    pdf = fixtures.files_table(rows_per_partition=60, seed=11)
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01"], block_size=50,
+    )
+    runner = streaming.SuiteStreamRunner(
+        cfg, str(tmp_path / "t"), str(tmp_path / "ck"), run_id="late"
+    )
+    p12 = pdf[pdf["part_date"].isin(["2026-01-01", "2026-01-02"])]
+    runner.on_batch(spark.createDataFrame(p12), 0)  # validates 01-01
+    assert "2026-01-01" in runner._validated
+    with pytest.raises(ValueError, match="already-validated"):
+        runner.on_batch(
+            spark.createDataFrame(pdf[pdf["part_date"] == "2026-01-01"]), 1
+        )
