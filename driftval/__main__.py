@@ -204,6 +204,7 @@ def cmd_suite(spark, args) -> int:
         max_norm_dup_rate=args.max_norm_dup_rate,
         min_keep_rate=args.min_keep_rate,
         classifier_model=_load_clf_model(args.clf_model),
+        max_snapshot_lag=args.max_snapshot_lag,
         volume_ratio_bounds=(
             tuple(float(b) for b in args.volume_ratio_bounds.split(","))
             if args.volume_ratio_bounds
@@ -613,6 +614,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable comment-insensitive duplicate-rate verdicts: "
                         "fail a partition whose (rows - distinct normalized "
                         "digests)/rows exceeds this")
+    p.add_argument("--max-snapshot-lag", type=int, default=None,
+                   help="with --snapshot-root: fail the table-level "
+                        "snapshot_lag verdict when the pinned snapshot "
+                        "trails the current head by more than this many "
+                        "commits")
     p.add_argument("--volume-ratio-bounds", default=None,
                    help="enable row-count anomaly verdicts: LO,HI ratio vs "
                         "the baseline partitions' mean rows, e.g. 0.5,2.0")

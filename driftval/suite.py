@@ -147,6 +147,12 @@ class SuiteConfig:
     # can). Costs one single-column aggregate — the scan prunes to the
     # partition column, so at parquet/Iceberg scale this is metadata-cheap.
     volume_ratio_bounds: tuple[float, float] | None = None
+    # Snapshot staleness for snapshot-pinned runs (None = off; only
+    # meaningful with run_suite(snapshot_root=...)): fail the table-level
+    # ``snapshot_lag`` verdict when the validated snapshot trails the
+    # table's current head by more than this many commits — a pipeline
+    # stuck on an old pin certifies stale data. Metadata-only.
+    max_snapshot_lag: int | None = None
     # Sequential drift companions in the BATCH suite (None = off). A dict
     # of detector name -> kwargs, e.g. {"page_hinkley": {"delta": 0.001,
     # "lam": 0.05}, "cusum": {}, "adwin": {"delta": 0.05}} ({} = module
@@ -952,6 +958,46 @@ def _schema_drift_frames(
     return verdict, report
 
 
+def _snapshot_lag_frame(
+    spark: SparkSession,
+    snapshot_root: str,
+    snapshot_id: int | None,
+    max_lag: int,
+    run_id: str,
+    completed_at: dt.datetime,
+) -> DataFrame:
+    """Table-level snapshot-staleness verdict for a pinned run: metric =
+    how many commits the validated snapshot trails the table's CURRENT head
+    (Iceberg's currentSnapshotId vs the pinned one). A validation pipeline
+    that keeps re-running against an old pin silently certifies stale data;
+    this fails the run when the lag exceeds ``max_lag`` commits.
+    Metadata-only — two manifest-pointer reads, no data files touched."""
+    from driftval import snaptable
+
+    head = snaptable.current_snapshot_id(snapshot_root) or 0
+    sid = snapshot_id if snapshot_id is not None else head
+    lag = max(0, int(head) - int(sid))
+    return spark.createDataFrame(
+        [
+            (
+                "_table",
+                "snapshot_lag",
+                lag <= max_lag,
+                float(lag),
+                float(max_lag),
+                lag,
+                None,
+                None,
+                None,
+                None,
+                run_id,
+                completed_at.replace(tzinfo=None),
+            )
+        ],
+        CHECKPOINT_SCHEMA,
+    )
+
+
 def run_suite(
     spark: SparkSession,
     files: DataFrame,
@@ -1317,6 +1363,13 @@ def run_suite(
         result = result.unionByName(sv)
         if srep is not None:
             report_frames.append(srep)
+        if cfg.max_snapshot_lag is not None:
+            result = result.unionByName(
+                _snapshot_lag_frame(
+                    spark, snapshot_root, snapshot_id,
+                    cfg.max_snapshot_lag, run_id, completed_at,
+                )
+            )
     with _timed("checkpoint-write"):
         store.write(result)
 

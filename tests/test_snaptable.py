@@ -487,3 +487,53 @@ def test_snapmaint_cli_expire_and_orphans(spark, root):
     res2 = run("orphans", "--root", root)
     assert res2 == {"orphans": [], "deleted": False}
     assert snaptable.read_snapshot(spark, root).count() == 1
+
+
+def test_suite_snapshot_lag_verdict(spark, root, tmp_path):
+    """cfg.max_snapshot_lag: a run pinned N commits behind the head emits
+    a table-level snapshot_lag verdict with metric = the lag — passing
+    within the budget, failing beyond it; a head-pinned run has lag 0."""
+    from driftval.suite import SuiteConfig, run_suite
+
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-01"], ["py", "go"]), ["part_date"]
+    )
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-02"], ["py"], start=50), ["part_date"]
+    )
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-03"], ["py"], start=80), ["part_date"]
+    )
+
+    def lag_row(run_id, snapshot_id, max_lag, ckpt):
+        v = run_suite(
+            spark,
+            read_files_table(spark, snapshot_root=root, snapshot_id=snapshot_id),
+            SuiteConfig(
+                baseline_partitions=["2026-01-01"], block_size=2,
+                max_snapshot_lag=max_lag,
+            ),
+            str(tmp_path / ckpt), run_id=run_id,
+            snapshot_root=root, snapshot_id=snapshot_id,
+        ).toPandas()
+        return v[v["check_name"] == "snapshot_lag"].iloc[0]
+
+    # pinned at snapshot 1 with head at 3 -> lag 2
+    r = lag_row("lag1", 1, 1, "ck1")
+    assert r["metric"] == 2.0 and not bool(r["passed"])
+    assert r["partition_value"] == "_table" and r["threshold"] == 1.0
+    r2 = lag_row("lag2", 1, 2, "ck2")
+    assert r2["metric"] == 2.0 and bool(r2["passed"])
+    # head-pinned -> lag 0
+    r3 = lag_row("lag3", 3, 0, "ck3")
+    assert r3["metric"] == 0.0 and bool(r3["passed"])
+
+    # without the config the verdict is absent (off by default)
+    v_off = run_suite(
+        spark,
+        read_files_table(spark, snapshot_root=root, snapshot_id=3),
+        SuiteConfig(baseline_partitions=["2026-01-01"], block_size=2),
+        str(tmp_path / "ck-off"), run_id="lagoff",
+        snapshot_root=root, snapshot_id=3,
+    ).toPandas()
+    assert not (v_off["check_name"] == "snapshot_lag").any()
