@@ -419,3 +419,71 @@ def test_classifier_scoring_is_zero_shuffle(spark, docs):
         assert "Window" not in plan, plan
         assert "Join" not in plan, plan
         assert "Exchange" not in plan, plan
+
+
+def test_quantile_shift_no_global_sort_single_derivation(spark, docs):
+    """The decile-profile drift stats run over the shared cumulative-CDF
+    frame: windows are partitioned per partition_value (no global Sort/
+    Window over the whole table), the text column never reaches the scan,
+    and the whole thing derives the histogram once."""
+    from driftval.checks.histogram import quantile_shift_stats
+
+    plan = plan_of(quantile_shift_stats(docs, "source", "n_chars", ["src0"]))
+    # a GLOBAL sort would need a rangepartitioning (or single-partition)
+    # exchange; every exchange here must be hash-keyed or broadcast
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and "text" not in scan_lines[0], scan_lines
+    assert "CartesianProduct" not in plan  # tiny partition list is broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_volume_verdicts_scan_partition_column_only(spark, tmp_path_factory):
+    """volume:rows must cost a metadata-shaped scan: ReadSchema carries
+    ONLY the partition column — neither content nor the key columns are
+    read — and the only exchanges are the O(partitions) count aggregate."""
+    import pandas as pd
+
+    from driftval.suite import SuiteConfig, volume_suite_verdicts
+
+    path = str(tmp_path_factory.mktemp("volplan") / "files.parquet")
+    pd.DataFrame(
+        {
+            "part_date": ["2026-01-01", "2026-01-02"] * 5,
+            "repo": ["org/a"] * 10,
+            "path": [f"f{i}.py" for i in range(10)],
+            "commit": [f"{i:040x}" for i in range(10)],
+            "lang": ["python"] * 10,
+            "content": ["x" * 100] * 10,
+        }
+    ).to_parquet(path)
+    files = spark.read.parquet(path)
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-01-01"], volume_ratio_bounds=(0.5, 2.0)
+    )
+    plan = plan_of(volume_suite_verdicts(files, cfg))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    for line in scan_lines:
+        assert "content" not in line and "commit" not in line, line
+        assert "part_date" in line, line
+
+
+def test_suite_classifier_margin_stays_in_derived_projection(spark, docs):
+    """The suite's Q_MARGIN column composes into the single derived
+    projection: deriving columns WITH the classifier gate on still scans
+    the table once and adds no exchange/join over the gate-off plan."""
+    from driftval.suite import SuiteConfig, derive_columns
+
+    files = docs.selectExpr(
+        "source AS part_date", "'org/a' AS repo", "cast(doc_id AS string) AS path",
+        "repeat('0', 40) AS commit", "lang", "text AS content",
+    )
+    base_cfg = SuiteConfig(baseline_partitions=["src0"])
+    gate_cfg = SuiteConfig(baseline_partitions=["src0"], min_keep_rate=0.5)
+    plan_off = plan_of(derive_columns(files, base_cfg))
+    plan_on = plan_of(derive_columns(files, gate_cfg))
+    assert n_scans(plan_on) == n_scans(plan_off) == 1
+    for bad in ("Exchange", "Join", "Window"):
+        assert bad not in plan_on, bad
