@@ -823,3 +823,48 @@ def test_suite_stream_rejects_late_rows_for_validated_partition(spark, tmp_path)
         runner.on_batch(
             spark.createDataFrame(pdf[pdf["part_date"] == "2026-01-01"]), 1
         )
+
+
+def test_suite_stream_crash_resume_replay_idempotent(spark, tmp_path):
+    """Crash between micro-batches, restart with a FRESH runner (all
+    in-memory state lost), re-deliver the last batch (foreachBatch
+    at-least-once): the batch_id-leaf overwrite plus V13 resume converge
+    to the exact single-runner matrix — no duplicated rows, no
+    re-validated partitions, no missed ones."""
+    from driftval import fixtures
+    from driftval.suite import SuiteConfig, run_suite
+
+    pdf = fixtures.files_table(rows_per_partition=120, seed=13)
+    pdf = pdf.sort_values("part_date").reset_index(drop=True)
+    cfg = SuiteConfig(
+        baseline_partitions=[f"2026-01-{d:02d}" for d in range(1, 5)],
+        block_size=60,
+    )
+    n = len(pdf)
+    cuts = [0, int(n * 0.3), int(n * 0.62), n]
+    table, ckpt = str(tmp_path / "t"), str(tmp_path / "ck")
+
+    r1 = streaming.SuiteStreamRunner(cfg, table, ckpt, run_id="cr")
+    r1.on_batch(spark.createDataFrame(pdf.iloc[cuts[0] : cuts[1]]), 0)
+    r1.on_batch(spark.createDataFrame(pdf.iloc[cuts[1] : cuts[2]]), 1)
+    # crash: r1 is gone; restart re-delivers batch 1, then continues
+    r2 = streaming.SuiteStreamRunner(cfg, table, ckpt, run_id="cr")
+    r2.on_batch(spark.createDataFrame(pdf.iloc[cuts[1] : cuts[2]]), 1)
+    r2.on_batch(spark.createDataFrame(pdf.iloc[cuts[2] : cuts[3]]), 2)
+    got = r2.finalize(spark).toPandas()
+
+    batch = run_suite(
+        spark, spark.createDataFrame(pdf), cfg,
+        str(tmp_path / "bck"), run_id="b",
+    ).toPandas()
+    cols = ["partition_value", "check_name", "passed", "violation_count"]
+    a = got[cols].sort_values(cols[:2]).reset_index(drop=True)
+    b = batch[cols].sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # row counts in lineage prove the replayed batch did not duplicate rows
+    rows_scanned = got.drop_duplicates("partition_value").set_index(
+        "partition_value"
+    )["rows_scanned"]
+    per_part = pdf.groupby("part_date").size()
+    for p, cnt in per_part.items():
+        assert rows_scanned[p] == cnt, (p, rows_scanned[p], cnt)
