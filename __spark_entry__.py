@@ -220,6 +220,42 @@ def q_dup_ngram_fraction(spark, sf_dir):
     return textops.dup_ngram_fraction(d, "doc_id", "text", n=3, hot_df=2)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact substring-span dedup (Lee et al. 2022 ExactSubstr as positional
+    gram fingerprints): maximal duplicated token spans >= 5 tokens."""
+    from driftval import spandedup
+
+    d = _t(spark, sf_dir, "documents")
+    return spandedup.dup_spans(d, "doc_id", "text", k=5)
+
+
+def q_strip_dup_spans(spark, sf_dir):
+    """Byte-deterministic removal of every duplicated >= 5-token span
+    (canonical single-space reconstruction, shared with the twin)."""
+    from driftval import spandedup
+
+    d = _t(spark, sf_dir, "documents")
+    return spandedup.strip_dup_spans(d, "doc_id", "text", k=5)
+
+
+def q_strip_dup_spans_keep_first(spark, sf_dir):
+    """Keep-first span strip: each gram's globally first occurrence is
+    exempt, so exactly one copy of every duplicated passage survives."""
+    from driftval import spandedup
+
+    d = _t(spark, sf_dir, "documents")
+    return spandedup.strip_dup_spans(d, "doc_id", "text", k=5, keep_first=True)
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Per-source duplicated-span token volume — the payoff report that
+    decides whether the strip pass is worth a corpus scan."""
+    from driftval import spandedup
+
+    d = _t(spark, sf_dir, "documents")
+    return spandedup.dup_span_stats(d, "doc_id", "text", "source", k=5)
+
+
 def q_lang_entropy(spark, sf_dir):
     """Per-source Shannon entropy of the lang distribution — the
     class-balance/diversity report (NULL is its own category)."""
@@ -1832,6 +1868,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact decile-profile drift (full DuckDB twin; added after the r4
         # window froze — ROUND-5 ROTATION: front this too)
         "drift_len_quantiles": q_drift_len_quantiles,
+        # exact substring-span dedup (Lee et al. 2022 ExactSubstr; full
+        # DuckDB twins; post-window — ROUND-5 ROTATION: front these)
+        "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
+        "strip_dup_spans_keep_first": q_strip_dup_spans_keep_first,
+        "dup_span_stats": q_dup_span_stats,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -2042,6 +2084,78 @@ _SHINGLES_REPS = _SHINGLES_TMPL.format(
     "JOIN (SELECT min(doc_id) AS _rid FROM documents GROUP BY md5(text)) r "
     "ON d.doc_id = r._rid)",
 )
+
+
+# Shared CTE chain for the exact substring-span dedup twins (k=5 grams,
+# min_count=2): case-SENSITIVE whitespace tokens, full-md5 gram keys, and
+# the same equal-width island merge (starts chain iff gap <= k) as
+# driftval/spandedup.py.  tk[i : i+4] is DuckDB's 1-based inclusive slice
+# of 5 elements; range(1, n) is empty when n <= 1, so short docs emit no
+# grams — matching the Spark side's `when(i + k <= size)` guard.  The
+# `marked` clause is templated: remove-all keeps every occurrence of a
+# >=2x gram; keep-first exempts each gram's global min (doc_id, pos)
+# occurrence (row_number — fine at oracle scale; the Spark side uses a
+# map-side-partial min(struct) aggregate instead, see spandedup.py).
+_SPAN_MARKED_ALL = """
+  SELECT doc_id, pos FROM grams
+  WHERE gh IN (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2)
+"""
+_SPAN_MARKED_KEEP_FIRST = """
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS _n,
+           row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS _rn
+    FROM grams)
+  WHERE _n >= 2 AND _rn > 1
+"""
+_SPAN_CTES_TMPL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(tk[i : i + 4], ' ')) AS gh
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM toks)
+), marked AS (
+  {marked}
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS b
+  FROM marked
+), isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 4)::BIGINT AS span_end,
+         count(*)::BIGINT AS n_grams
+  FROM isl GROUP BY doc_id, island
+)"""
+
+_SPAN_CTES = _SPAN_CTES_TMPL.format(marked=_SPAN_MARKED_ALL)
+_SPAN_CTES_KEEP_FIRST = _SPAN_CTES_TMPL.format(marked=_SPAN_MARKED_KEEP_FIRST)
+
+# strip-twin tail shared by the remove-all and keep-first entries
+_SPAN_STRIP_SQL = """
+, tokpos AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS t
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks)
+), kept AS (
+  SELECT tp.doc_id, tp.pos, tp.t FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.span_start AND sp.span_end)
+), agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS kept_tokens
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       len(tk)::BIGINT AS n_tokens,
+       coalesce(agg.kept_tokens, 0)::BIGINT AS kept_tokens,
+       (len(tk) - coalesce(agg.kept_tokens, 0))::BIGINT AS removed_tokens
+FROM toks LEFT JOIN agg USING (doc_id)
+"""
 
 
 def _band_overflow_sql() -> str:
@@ -2757,6 +2871,41 @@ SELECT pv AS source, q,
 FROM cum
 CROSS JOIN (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q) deciles
 GROUP BY pv, q
+""",
+        # Exact substring-span dedup twins: identical md5 gram keys
+        # (case-sensitive tokens), identical gaps-and-islands merge, and
+        # the same single-space reconstruction as driftval/spandedup.py.
+        "dup_spans": _SPAN_CTES + """
+SELECT doc_id, span_start, span_end,
+       (span_end - span_start + 1)::BIGINT AS span_tokens, n_grams
+FROM spans
+""",
+        "strip_dup_spans": _SPAN_CTES + _SPAN_STRIP_SQL,
+        "strip_dup_spans_keep_first": _SPAN_CTES_KEEP_FIRST + _SPAN_STRIP_SQL,
+        "dup_span_stats": _SPAN_CTES + """
+, tokpos AS (
+  SELECT doc_id, i - 1 AS pos
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks)
+), kept AS (
+  SELECT tp.doc_id, count(*)::BIGINT AS kept_tokens FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.span_start AND sp.span_end)
+  GROUP BY tp.doc_id
+), per_doc AS (
+  SELECT toks.doc_id, len(tk)::BIGINT AS n_tokens,
+         coalesce(kept.kept_tokens, 0)::BIGINT AS kept_tokens
+  FROM toks LEFT JOIN kept USING (doc_id)
+)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN p.n_tokens > p.kept_tokens THEN 1 ELSE 0 END)::BIGINT
+         AS docs_with_spans,
+       sum(p.n_tokens)::BIGINT AS total_tokens,
+       sum(p.n_tokens - p.kept_tokens)::BIGINT AS dup_tokens,
+       round(sum(p.n_tokens - p.kept_tokens) / greatest(sum(p.n_tokens), 1), 8)
+         AS dup_token_frac
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
 """,
         "drift_len_ks": """
 WITH hist AS (

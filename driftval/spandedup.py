@@ -1,0 +1,296 @@
+"""Exact substring-span deduplication (Lee et al. 2022, "Deduplicating
+Training Data Makes Language Models Better", arXiv:2107.06499, the
+ExactSubstr operator).
+
+Whole-document and near-dup dedup (``driftval.textops``) miss the common
+web/code failure mode where *parts* of documents repeat verbatim across the
+corpus — quoted passages, templated footers, copied functions — while the
+documents as a whole are distinct.  ExactSubstr finds every token span of at
+least ``k`` tokens that occurs more than once in the corpus and removes ALL
+its occurrences (the paper's policy: with suffix-array dedup there is no
+cheap "keep one copy" — we document and keep the same semantics, and the
+span report lets a caller implement keep-first downstream if wanted).
+
+The reference paper builds a corpus-wide suffix array — a single-machine,
+memory-bound structure that cannot shard.  The Spark-first equivalent uses
+positional k-gram fingerprints: a span of ``>= k`` duplicated tokens is
+exactly a maximal run of duplicated k-grams, so
+
+1. explode each document into its positional k-grams, keyed by the FULL
+   md5 of the space-joined gram (128 bits: a false positive here would
+   delete real text, so the 60-bit convention of the near-dup family is
+   deliberately not reused; the shuffle still carries digests, never text);
+2. count global gram occurrences (map-side-partial hash aggregate) and keep
+   grams occurring ``>= min_count`` times (default 2 — same-document
+   repeats count, exactly as a suffix array would see them);
+3. mark the surviving (doc, position) pairs via a semi join back;
+4. merge marked positions into maximal spans with a gaps-and-islands
+   window PARTITIONED BY DOCUMENT (grams all have width ``k``, so two
+   marked grams chain iff their starts differ by at most ``k``; per-doc
+   ordering only — no global sort);
+5. strip: subtract span token-ranges from the token array with JVM-side
+   higher-order functions (``filter`` + ``exists``) — zero Python, zero
+   extra shuffle beyond the one span join.
+
+Tokenization is case-SENSITIVE whitespace splitting (exact substring means
+exact), and the stripped text is reconstructed by single-space-joining the
+kept tokens — the same canonical whitespace normalization as the rest of
+the token family, shared with the DuckDB twins (which replay the identical
+md5 gram keys, window merge, and range-subtract in ANSI SQL).
+
+Scale shape at 10^12 files: every corpus-wide exchange carries
+``(md5:16B, doc_id, pos:long)`` — never document bodies; the occurrence
+count is a map-side-partial aggregate on the digest; the island window is
+per-document (bounded by the longest document, the same bound every per-doc
+operator in the engine already accepts); the strip join moves only
+``O(docs-with-spans)`` span structs.  A 100 TB corpus with 1% duplicated
+grams shuffles ~1% of its gram digests twice and nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from driftval.textops import _spread
+
+
+def _cs_tokens(text: Column) -> Column:
+    """Case-sensitive whitespace tokens, empties dropped (portable:
+    DuckDB ``list_filter(regexp_split_to_array(text,'\\s+'), t -> t<>'')``)."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def positional_grams(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """``(_id, pos, gh)`` — every k-token gram of every document with its
+    0-based start token index and full-md5 gram key.  Documents shorter
+    than ``k`` tokens emit no rows.
+
+    The token array is lambda-bound before the per-index transform (the
+    clonedetect/shingle lesson, pinned in ``tests/test_plans.py``: a plain
+    column reference would inline the split subtree into every element)."""
+
+    def _per(toks: Column) -> Column:
+        g = F.transform(
+            toks,
+            lambda x, i: F.when(
+                i + k <= F.size(toks),
+                F.struct(
+                    i.alias("pos"),
+                    F.md5(F.array_join(F.slice(toks, i + 1, k), " ").cast("binary")).alias(
+                        "gh"
+                    ),
+                ),
+            ),
+        )
+        return F.filter(g, lambda s: s.isNotNull())
+
+    return _spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.flatten(F.transform(F.array(_cs_tokens(F.col(text_col))), _per))
+        ).alias("g"),
+    ).select("_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+    keep_first: bool = False,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Maximal duplicated token spans: ``(id, span_start, span_end,
+    span_tokens, n_grams)`` with token indices 0-based inclusive.
+
+    A gram is duplicated when its md5 occurs ``>= min_count`` times in the
+    whole corpus (same-document repeats included, as a suffix array counts).
+    Overlapping and abutting duplicated grams merge: gram starts ``p`` and
+    ``q`` (``p < q``) chain iff ``q - p <= k`` (their token ranges
+    ``[p, p+k-1]`` / ``[q, q+k-1]`` overlap or touch), so each island is one
+    maximal duplicated region of ``>= k`` tokens.
+
+    ``keep_first=True`` switches to the practitioner's policy: each gram's
+    globally FIRST occurrence (min ``(id, pos)`` — ids compare by their
+    natural type order) is exempted before the island merge, so the first
+    document carrying a passage keeps it and later copies become spans.
+    Gram-level semantics are deliberate: "the same span" has no stable
+    cross-document identity once islands merge differently per document
+    (the reason Lee et al. remove every copy), but per-gram first-occurrence
+    is total-ordered and deterministic.  Corner case documented: where two
+    independently-duplicated passages overlap-chain, a keeper document can
+    still lose tokens covered by the OTHER passage's non-keeper grams.
+
+    Plan shape: ONE gram explode feeds both the occurrence aggregate and the
+    position side of the join back (persisted — two consumers; pass
+    ``caches`` to own the unpersist, as in ``dup_ngram_fraction``); both
+    aggregates are map-side-partial on the digest (no window by gram hash —
+    a boilerplate gram in millions of documents would make that window's
+    single reducer the job); the island window partitions by document only.
+    """
+    grams = positional_grams(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if caches is not None:
+        caches.append(grams)
+    if keep_first:
+        hot = (
+            grams.groupBy("gh")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(F.struct("_id", "pos")).alias("_k"),
+            )
+            .where(F.col("_n") >= min_count)
+        )
+        marked = (
+            grams.join(hot.select("gh", "_k"), "gh")
+            .where(
+                ~(
+                    (F.col("_id") == F.col("_k._id"))
+                    & (F.col("pos") == F.col("_k.pos"))
+                )
+            )
+            .select("_id", "pos")
+        )
+    else:
+        hot = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= min_count)
+        )
+        marked = grams.join(hot.select("gh"), "gh", "left_semi")
+    w = Window.partitionBy("_id").orderBy("pos")
+    islands = marked.select(
+        "_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
+        .otherwise(0)
+        .alias("_brk"),
+    ).select("_id", "pos", F.sum("_brk").over(w).alias("_isl"))
+    return (
+        islands.groupBy("_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            F.col("n_grams").cast("long"),
+        )
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+    keep_first: bool = False,
+    spans: DataFrame | None = None,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Remove every duplicated span from every document: ``(id, clean_text,
+    n_tokens, kept_tokens, removed_tokens)``.  ``keep_first=True`` exempts
+    each gram's globally first occurrence (see :func:`dup_spans`), so one
+    copy of every duplicated passage survives.
+
+    ``clean_text`` is the single-space join of the tokens OUTSIDE all spans
+    (canonical whitespace normalization — documents with no spans still
+    come back normalized, so the output column is uniformly defined).  Pass
+    a precomputed ``spans`` frame (from :func:`dup_spans`, same ``k``) to
+    share the gram pass when both reports are wanted.
+
+    The subtraction runs entirely in JVM higher-order functions: the span
+    list per document is a collected array of ``(span_start, span_end)``
+    structs (``O(spans-per-doc)``, joined back on the id — the only shuffle
+    this function adds), and each token's keep/drop test is an ``exists``
+    over that array."""
+    if spans is None:
+        spans = dup_spans(
+            df,
+            id_col,
+            text_col,
+            k=k,
+            min_count=min_count,
+            keep_first=keep_first,
+            caches=caches,
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = _cs_tokens(F.col(text_col))
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        F.transform(toks, lambda x, i: F.struct(x.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            spans_arr,
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return (
+        df.select(id_col, text_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("removed_tokens"),
+        )
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-source span-dedup payoff report: ``(source, n_docs,
+    docs_with_spans, total_tokens, dup_tokens, dup_token_frac)`` — what
+    fraction of each source's token volume is corpus-duplicated spans (the
+    number that decides whether running the strip is worth a corpus pass).
+
+    Two aggregates over the strip output joined to the source column;
+    everything heavy is shared with :func:`strip_dup_spans`'s plan."""
+    caches: list[DataFrame] = []
+    try:
+        stripped = strip_dup_spans(
+            df, id_col, text_col, k=k, min_count=min_count, caches=caches
+        )
+        joined = stripped.join(df.select(id_col, source_col), id_col)
+        return (
+            joined.groupBy(source_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum((F.col("removed_tokens") > 0).cast("long"))
+                .cast("long")
+                .alias("docs_with_spans"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+                F.sum("removed_tokens").cast("long").alias("dup_tokens"),
+                F.round(
+                    F.sum("removed_tokens")
+                    / F.greatest(F.sum("n_tokens"), F.lit(1)),
+                    8,
+                ).alias("dup_token_frac"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for c in caches:
+            c.unpersist()

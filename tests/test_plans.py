@@ -487,3 +487,28 @@ def test_suite_classifier_margin_stays_in_derived_projection(spark, docs):
     assert n_scans(plan_on) == n_scans(plan_off) == 1
     for bad in ("Exchange", "Join", "Window"):
         assert bad not in plan_on, bad
+
+
+def test_dup_spans_shuffles_digests_never_text(spark, docs):
+    """Substring-span dedup: every corpus-wide exchange carries (gh, _id,
+    pos) — document bodies stay below the gram explode; the island window
+    partitions by document, never globally."""
+    from driftval import spandedup
+
+    plan = plan_of(spandedup.dup_spans(docs, "doc_id", "text", k=5))
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert exchanges, plan
+    assert all("text" not in l for l in exchanges), exchanges
+    assert "rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_strip_dup_spans_adds_only_the_span_join(spark, docs):
+    """The strip subtracts spans with JVM higher-order functions: no Python
+    (Arrow/BatchEvalPython) node anywhere, and the only join is the per-doc
+    span-list join."""
+    from driftval import spandedup
+
+    plan = plan_of(spandedup.strip_dup_spans(docs, "doc_id", "text", k=5))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan

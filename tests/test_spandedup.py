@@ -1,0 +1,226 @@
+"""Exact substring-span dedup (`driftval.spandedup`) vs an independent
+pure-Python reference: planted duplicated passages, within-document repeats,
+edge cases, and a randomized small-vocabulary fuzz across (k, min_count)."""
+
+import random
+
+import pytest
+
+from driftval import spandedup
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference (deliberately naive: dict-of-gram-counts + interval
+# merge — no Spark, no hashing tricks)
+# ---------------------------------------------------------------------------
+
+
+def _ref_tokens(text):
+    return [t for t in text.split() if t]
+
+
+def ref_spans(docs, k, min_count=2, keep_first=False):
+    """docs: {id: text} -> {id: [(start, end)] maximal duplicated spans}."""
+    counts = {}
+    first = {}
+    for did in sorted(docs):
+        toks = _ref_tokens(docs[did])
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            counts[g] = counts.get(g, 0) + 1
+            first.setdefault(g, (did, i))
+    out = {}
+    for did, text in docs.items():
+        toks = _ref_tokens(text)
+        marked = [
+            i
+            for i in range(len(toks) - k + 1)
+            if counts[" ".join(toks[i : i + k])] >= min_count
+            and not (keep_first and first[" ".join(toks[i : i + k])] == (did, i))
+        ]
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1] + 1:  # token ranges overlap/abut
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k - 1))
+            else:
+                spans.append((p, p + k - 1))
+        if spans:
+            out[did] = spans
+    return out
+
+
+def ref_strip(docs, k, min_count=2, keep_first=False):
+    spans = ref_spans(docs, k, min_count, keep_first=keep_first)
+    out = {}
+    for did, text in docs.items():
+        toks = _ref_tokens(text)
+        dropped = set()
+        for s, e in spans.get(did, []):
+            dropped.update(range(s, e + 1))
+        kept = [t for i, t in enumerate(toks) if i not in dropped]
+        out[did] = (" ".join(kept), len(toks), len(kept))
+    return out
+
+
+def _spark_spans(spark, docs, k, min_count=2):
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    rows = spandedup.dup_spans(df, "doc_id", "text", k=k, min_count=min_count).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    return {d: sorted(v) for d, v in got.items()}
+
+
+PLANTED = {
+    1: "the quick brown fox jumps over the lazy dog and runs away fast",
+    2: "hello world the quick brown fox jumps over the lazy dog indeed",
+    3: "completely unique text with no duplicated passages at all here",
+    4: "repeat me now repeat me now repeat me now tail tokens here",
+    5: "short doc",
+    6: "",
+    7: "Case SENSITIVE the QUICK brown fox jumps over the lazy dog",
+}
+
+
+def test_planted_spans_match_reference(spark):
+    assert _spark_spans(spark, PLANTED, k=5) == ref_spans(PLANTED, 5)
+
+
+def test_planted_spans_exact_values(spark):
+    got = _spark_spans(spark, PLANTED, k=5)
+    # docs 1/2 share the 9-token passage; doc 4's triple within-doc repeat
+    # is one merged island; doc 7's case difference breaks the head match
+    # but its verbatim tail ("brown fox ... dog") still shares 5-grams.
+    assert got == {1: [(0, 8)], 2: [(2, 10)], 4: [(0, 8)], 7: [(4, 10)]}
+
+
+def test_strip_matches_reference_and_is_lossless_outside_spans(spark):
+    df = spark.createDataFrame(list(PLANTED.items()), "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in spandedup.strip_dup_spans(df, "doc_id", "text", k=5).collect()
+    }
+    exp = ref_strip(PLANTED, 5)
+    assert set(rows) == set(PLANTED)
+    for did, (clean, n, kept) in exp.items():
+        r = rows[did]
+        assert (r.clean_text, r.n_tokens, r.kept_tokens) == (clean, n, kept), did
+        assert r.removed_tokens == n - kept
+
+
+def test_min_count_three_requires_triple_occurrence(spark):
+    got = _spark_spans(spark, PLANTED, k=5, min_count=3)
+    assert got == ref_spans(PLANTED, 5, min_count=3)
+    # only the grams common to docs 1/2/7 reach 3 occurrences; doc 4's
+    # within-doc repeat grams occur twice -> gone at min_count=3, and the
+    # doc-1/2 spans narrow to the triple-shared region.
+    assert got == {1: [(2, 8)], 2: [(4, 10)], 7: [(4, 10)]}
+
+
+def test_precomputed_spans_frame_is_accepted(spark):
+    df = spark.createDataFrame(list(PLANTED.items()), "doc_id long, text string")
+    spans = spandedup.dup_spans(df, "doc_id", "text", k=5)
+    via_spans = {
+        r.doc_id: r.clean_text
+        for r in spandedup.strip_dup_spans(
+            df, "doc_id", "text", k=5, spans=spans
+        ).collect()
+    }
+    direct = {
+        r.doc_id: r.clean_text
+        for r in spandedup.strip_dup_spans(df, "doc_id", "text", k=5).collect()
+    }
+    assert via_spans == direct
+
+
+def test_stats_rolls_up_per_source(spark):
+    rows = [(d, t, "web" if d % 2 else "code") for d, t in PLANTED.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: r
+        for r in spandedup.dup_span_stats(
+            df, "doc_id", "text", "source", k=5
+        ).collect()
+    }
+    exp = ref_strip(PLANTED, 5)
+    for src in ("web", "code"):
+        ids = [d for d in PLANTED if (d % 2 == 1) == (src == "web")]
+        total = sum(exp[d][1] for d in ids)
+        dup = sum(exp[d][1] - exp[d][2] for d in ids)
+        r = got[src]
+        assert r.n_docs == len(ids)
+        assert r.total_tokens == total and r.dup_tokens == dup
+        assert r.docs_with_spans == sum(1 for d in ids if exp[d][1] > exp[d][2])
+        assert abs(r.dup_token_frac - dup / max(total, 1)) < 1e-8
+
+
+@pytest.mark.parametrize("k,min_count,seed", [(3, 2, 7), (4, 2, 11), (3, 3, 13), (5, 2, 17)])
+def test_fuzz_small_vocab_matches_reference(spark, k, min_count, seed):
+    """Random docs over an 8-word vocabulary force heavy accidental gram
+    sharing — the adversarial regime for the island merge."""
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for i in range(40)
+    }
+    assert _spark_spans(spark, docs, k, min_count) == ref_spans(docs, k, min_count)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.kept_tokens)
+        for r in spandedup.strip_dup_spans(
+            df, "doc_id", "text", k=k, min_count=min_count
+        ).collect()
+    }
+    assert got == ref_strip(docs, k, min_count)
+
+
+def test_keep_first_preserves_one_copy(spark):
+    df = spark.createDataFrame(list(PLANTED.items()), "doc_id long, text string")
+    rows = {
+        r.doc_id: r
+        for r in spandedup.strip_dup_spans(
+            df, "doc_id", "text", k=5, keep_first=True
+        ).collect()
+    }
+    exp = ref_strip(PLANTED, 5, keep_first=True)
+    for did, (clean, n, kept) in exp.items():
+        r = rows[did]
+        assert (r.clean_text, r.n_tokens, r.kept_tokens) == (clean, n, kept), did
+    # doc 1 is the first carrier of the shared passage -> keeps every token;
+    # doc 2's copy is stripped; doc 4 keeps its first within-doc repeat.
+    assert rows[1].removed_tokens == 0
+    assert rows[2].removed_tokens > 0
+    assert 0 < rows[4].kept_tokens < rows[4].n_tokens
+
+
+@pytest.mark.parametrize("k,min_count,seed", [(3, 2, 23), (4, 3, 29)])
+def test_fuzz_keep_first_matches_reference(spark, k, min_count, seed):
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+        for i in range(35)
+    }
+    assert _spark_spans_kf(spark, docs, k, min_count) == ref_spans(
+        docs, k, min_count, keep_first=True
+    )
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.kept_tokens)
+        for r in spandedup.strip_dup_spans(
+            df, "doc_id", "text", k=k, min_count=min_count, keep_first=True
+        ).collect()
+    }
+    assert got == ref_strip(docs, k, min_count, keep_first=True)
+
+
+def _spark_spans_kf(spark, docs, k, min_count=2):
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    rows = spandedup.dup_spans(
+        df, "doc_id", "text", k=k, min_count=min_count, keep_first=True
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    return {d: sorted(v) for d, v in got.items()}
