@@ -865,6 +865,29 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+SHARD_TOKENS = 512
+SHARD_BUCKETS = 8
+
+
+def q_shard_plan(spark, sf_dir):
+    """Whole-document training-shard assignment (WebDataset-style export
+    layout): deterministic token-budget shards per hash bucket — the
+    packing window math reused with ctx_len = shard budget."""
+    d = _t(spark, sf_dir, "documents")
+    return packing.shard_plan(
+        d, "doc_id", "text", shard_tokens=SHARD_TOKENS, n_buckets=SHARD_BUCKETS
+    )
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard export manifest: doc/token/char counts + the
+    order-insensitive bit_xor id-lineage fold a consumer verifies."""
+    d = _t(spark, sf_dir, "documents")
+    return packing.shard_manifest(
+        d, "doc_id", "text", shard_tokens=SHARD_TOKENS, n_buckets=SHARD_BUCKETS
+    )
+
+
 CHUNK_CHARS = 200
 CHUNK_OVERLAP = 50
 
@@ -1874,6 +1897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": q_strip_dup_spans,
         "strip_dup_spans_keep_first": q_strip_dup_spans_keep_first,
         "dup_span_stats": q_dup_span_stats,
+        # training-shard export (full DuckDB twins; post-window — ROUND-5
+        # ROTATION: front these)
+        "shard_plan": q_shard_plan,
+        "shard_manifest": q_shard_manifest,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -2242,6 +2269,50 @@ SELECT doc_id, bucket, n_tokens, "offset",
        (_last // {PACK_CTX})::BIGINT AS pack_last,
        ((_last // {PACK_CTX}) - ("offset" // {PACK_CTX}) + 1)::INT AS n_packs_spanned
 FROM l
+"""
+
+
+def _shard_plan_sql() -> str:
+    """shard_plan DuckDB twin: the pack layout with ctx_len = shard budget,
+    first-token shard assignment, and the printf partition label (also the
+    plan source for the shard_manifest twin)."""
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         len({_TOK})::BIGINT AS n_tokens,
+         (('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 15))::BIGINT) AS _h
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, (_h % {SHARD_BUCKETS})::INT AS bucket, _h FROM staged
+), o AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY _h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+  FROM b
+)
+SELECT doc_id, bucket,
+       ("offset" // {SHARD_TOKENS})::BIGINT AS shard_ix,
+       printf('%05d-%06d', bucket, ("offset" // {SHARD_TOKENS})::INT) AS shard,
+       n_tokens, "offset"
+FROM o
+"""
+
+
+def _shard_manifest_sql() -> str:
+    return f"""
+WITH plan AS ({_shard_plan_sql()}),
+j AS (
+  SELECT p.*, length(d.text)::BIGINT AS _nc,
+         (('0x' || substr(md5(p.doc_id::VARCHAR || 'lineage'), 1, 15))::BIGINT) AS _hx
+  FROM plan p JOIN documents d USING (doc_id)
+)
+SELECT shard, bucket, shard_ix,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       sum(_nc)::BIGINT AS n_chars,
+       bit_xor(_hx)::BIGINT AS id_xor,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM j GROUP BY shard, bucket, shard_ix
 """
 
 
@@ -3880,6 +3951,8 @@ SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
 FROM chunks
 """,
         "pack_sequences": _pack_plan_sql(),
+        "shard_plan": _shard_plan_sql(),
+        "shard_manifest": _shard_manifest_sql(),
         "pack_stats": f"""
 WITH plan AS ({_pack_plan_sql()}), pb AS (
   SELECT bucket, count(*) AS _docs, sum(n_tokens) AS _toks,

@@ -444,6 +444,34 @@ def cmd_pack(spark, args) -> int:
     return 0
 
 
+def cmd_export(spark, args) -> int:
+    """Materialize the training-shard export: document rows partitioned
+    into deterministic token-budget shards + the lineage manifest under
+    <out>/_manifest; prints the shard-count/balance summary."""
+    from pyspark.sql import functions as F
+
+    from driftval.packing import write_shards
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    man = write_shards(
+        files, args.out, args.id_col, args.text_col,
+        shard_tokens=args.shard_tokens, n_buckets=args.buckets, salt=args.salt,
+    )
+    rows = man.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tokens").alias("toks"),
+        F.min("n_tokens").alias("lo"),
+        F.max("n_tokens").alias("hi"),
+    ).first()
+    print(
+        f"{rows.docs or 0} docs / {rows.toks or 0} tokens -> {rows.n} shards "
+        f"of ~{args.shard_tokens} tokens (min {rows.lo}, max {rows.hi}); "
+        f"export -> {args.out}"
+    )
+    return 0
+
+
 def cmd_quality(spark, args) -> int:
     """Model-based quality gate: train the hashed-feature logistic
     classifier on a labeled seed parquet (id, label in {0,1}), score the
@@ -796,6 +824,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument("--salt", default="")
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser(
+        "export", help="write whole-document token-budget shards + manifest"
+    )
+    p.add_argument("--path")
+    p.add_argument("--table")
+    p.add_argument("--out", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--shard-tokens", type=int, default=1 << 20)
+    p.add_argument("--buckets", type=int, default=256)
+    p.add_argument("--salt", default="shard")
+    p.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)
     spark = build_session("driftval", master=args.master)

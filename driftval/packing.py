@@ -252,3 +252,155 @@ def pack_stats(
         ).alias("fill_ratio"),
         F.sum("_split").cast("long").alias("split_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export: whole-document shards with a verifiable manifest
+# ---------------------------------------------------------------------------
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    tokens_col: str | None = None,
+    shard_tokens: int = 1 << 20,
+    n_buckets: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget OUTPUT SHARD — the
+    WebDataset/Megatron-style distribution layout (whole documents per
+    shard, ~``shard_tokens`` tokens each), as opposed to
+    :func:`pack_sequences`' fixed token WINDOWS (which split documents).
+
+    Returns ``(id, bucket, shard_ix, shard, n_tokens, offset)`` where
+    ``shard`` is the stable partition label ``"{bucket:05d}-{shard_ix:06d}"``.
+    A document belongs to the shard its FIRST token falls into within its
+    bucket's deterministic stream — so shard sizes overshoot the budget by
+    at most one document, assignment is a pure function of the document key
+    (identical at any cluster size, under resume, and in the audit twin),
+    and the shard set of a bucket never changes when OTHER buckets grow.
+
+    Reuses the packing layout verbatim: with ``ctx_len = shard_tokens`` the
+    plan's ``pack_first`` IS the shard index — same hash, same per-bucket
+    window cumsum, no global sort (pinned there).  Exactly one of
+    ``text_col`` / ``tokens_col`` must be given; ``tokens_col`` rides
+    precomputed counts so exporting never re-reads text.
+    """
+    if (text_col is None) == (tokens_col is None):
+        raise ValueError("pass exactly one of text_col / tokens_col")
+    if text_col is not None:
+        staged = df.select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_nt"),
+        )
+        tokens_col = "_nt"
+    else:
+        staged = df.select(id_col, tokens_col)
+    plan = pack_plan_from_counts(
+        staged,
+        id_col,
+        tokens_col,
+        ctx_len=int(shard_tokens),
+        n_buckets=n_buckets,
+        salt=salt,
+    )
+    return plan.select(
+        F.col(id_col),
+        "bucket",
+        F.col("pack_first").cast("long").alias("shard_ix"),
+        F.format_string("%05d-%06d", "bucket", "pack_first").alias("shard"),
+        "n_tokens",
+        "offset",
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shard_tokens: int = 1 << 20,
+    n_buckets: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Per-shard manifest: ``(shard, bucket, shard_ix, n_docs, n_tokens,
+    n_chars, id_xor, min_id, max_id)`` — the row a consumer checks before
+    trusting a shard (``id_xor`` is the order-insensitive ``bit_xor`` fold
+    of the members' 60-bit id hashes: any missing/extra/substituted
+    document flips it, and the identical expression runs in the DuckDB
+    twin; the V12 lineage idea applied to the export).
+
+    One id-keyed join of the plan against the (id, chars) projection, then
+    one hash aggregate per shard — text is read once for token counts and
+    never shuffled."""
+    from driftval.sampling import hash60
+
+    plan = shard_plan(
+        df,
+        id_col,
+        text_col,
+        shard_tokens=shard_tokens,
+        n_buckets=n_buckets,
+        salt=salt,
+    )
+    chars = df.select(
+        F.col(id_col), F.length(F.col(text_col)).cast("long").alias("_nc")
+    )
+    return (
+        plan.join(chars, id_col)
+        .withColumn("_hx", hash60(F.col(id_col), "lineage"))
+        .groupBy("shard", "bucket", "shard_ix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("_nc").cast("long").alias("n_chars"),
+            F.expr("bit_xor(_hx)").cast("long").alias("id_xor"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    shard_tokens: int = 1 << 20,
+    n_buckets: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Materialize the export: document rows written to
+    ``path/shard=<label>/`` (one parquet leaf per shard — readers load any
+    subset of shards independently) plus the manifest at
+    ``path/_manifest/`` (underscore-prefixed: invisible to parquet
+    discovery over ``path``).  Returns the manifest frame.
+
+    Overwrite mode end-to-end, so a re-run replaces the export atomically
+    per leaf — combined with the plan's determinism, re-export after a
+    crash converges to byte-identical shard membership."""
+    plan = shard_plan(
+        df,
+        id_col,
+        text_col,
+        shard_tokens=shard_tokens,
+        n_buckets=n_buckets,
+        salt=salt,
+    )
+    (
+        df.join(plan.select(id_col, "shard"), id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    manifest = shard_manifest(
+        df,
+        id_col,
+        text_col,
+        shard_tokens=shard_tokens,
+        n_buckets=n_buckets,
+        salt=salt,
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest

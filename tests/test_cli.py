@@ -293,3 +293,32 @@ def test_cli_cloneindex_and_clonescan(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "0 fingerprints appended" in r.stdout
+
+
+def test_cli_export_shards(tmp_path, spark):
+    """`export` writes shard-partitioned parquet + the _manifest dataset and
+    prints the balance summary."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * (i % 7 + 1)) for i in range(60)], "doc_id long, text string"
+    )
+    src = tmp_path / "docs"
+    docs.write.parquet(str(src))
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", "export", "--path", str(src),
+         "--out", str(tmp_path / "shards"), "--shard-tokens", "32",
+         "--buckets", "2"],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "60 docs" in out.stdout and "shards of ~32" in out.stdout
+    back = pd.read_parquet(tmp_path / "shards")
+    assert len(back) == 60
+    man = pd.read_parquet(tmp_path / "shards" / "_manifest")
+    assert man["n_docs"].sum() == 60
+    # every parquet leaf dir corresponds to a manifest row
+    leaves = {p.name.split("=", 1)[1] for p in (tmp_path / "shards").iterdir()
+              if p.name.startswith("shard=")}
+    assert leaves == set(man["shard"])

@@ -274,3 +274,97 @@ def test_chunk_stats_matches_chunk_frame(spark, docs):
     tails = sum(1 for r in rows if r["chunk_len"] < 200)
     # operator rounds to 6 dp
     assert abs(s["tail_fraction"] - tails / len(rows)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Shard export (whole-document shards + manifest)
+# ---------------------------------------------------------------------------
+
+SHARD_T = 256
+
+
+@pytest.fixture(scope="module")
+def shard_plan_rows(spark, docs):
+    plan = packing.shard_plan(
+        docs, "doc_id", "text", shard_tokens=SHARD_T, n_buckets=4
+    )
+    return [r.asDict() for r in plan.collect()]
+
+
+def test_shard_assignment_is_first_token_shard(shard_plan_rows):
+    for r in shard_plan_rows:
+        assert r["shard_ix"] == r["offset"] // SHARD_T, r
+        assert r["shard"] == f"{r['bucket']:05d}-{r['shard_ix']:06d}"
+
+
+def test_shard_budget_overshoot_bounded_by_one_doc(shard_plan_rows):
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in shard_plan_rows:
+        shards[r["shard"]].append(r)
+    for label, members in shards.items():
+        total = sum(m["n_tokens"] for m in members)
+        last = max(members, key=lambda m: m["offset"])
+        # every shard except a bucket's last is filled past its budget only
+        # by the straddling final doc
+        assert total - last["n_tokens"] < SHARD_T, label
+
+
+def test_shard_plan_deterministic_under_repartition(spark, docs, shard_plan_rows):
+    again = packing.shard_plan(
+        docs.repartition(13), "doc_id", "text", shard_tokens=SHARD_T, n_buckets=4
+    )
+    got = sorted(
+        ((r.doc_id, r.shard) for r in again.collect())
+    )
+    want = sorted((r["doc_id"], r["shard"]) for r in shard_plan_rows)
+    assert got == want
+
+
+def test_shard_manifest_matches_plan_and_python_xor(spark, docs, shard_plan_rows):
+    import hashlib
+    from collections import defaultdict
+
+    man = {
+        r.shard: r
+        for r in packing.shard_manifest(
+            docs, "doc_id", "text", shard_tokens=SHARD_T, n_buckets=4
+        ).collect()
+    }
+    shards = defaultdict(list)
+    for r in shard_plan_rows:
+        shards[r["shard"]].append(r)
+    assert set(man) == set(shards)
+    chars = {r.doc_id: r.n for r in docs.select("doc_id", F.length("text").alias("n")).collect()}
+    for label, members in shards.items():
+        m = man[label]
+        assert m.n_docs == len(members)
+        assert m.n_tokens == sum(x["n_tokens"] for x in members)
+        assert m.n_chars == sum(chars[x["doc_id"]] for x in members)
+        ids = [x["doc_id"] for x in members]
+        assert (m.min_id, m.max_id) == (min(ids), max(ids))
+        xor = 0
+        for did in ids:
+            h = int(hashlib.md5(f"{did}lineage".encode()).hexdigest()[:15], 16)
+            xor ^= h
+        assert m.id_xor == xor, label
+
+
+def test_write_shards_round_trip(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("export") / "shards")
+    man = packing.write_shards(
+        docs, path, "doc_id", "text", shard_tokens=SHARD_T, n_buckets=4
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # shard partition column round-trips and membership matches the plan
+    plan = packing.shard_plan(docs, "doc_id", "text", shard_tokens=SHARD_T, n_buckets=4)
+    got = {(r.doc_id, str(r.shard)) for r in back.select("doc_id", "shard").collect()}
+    want = {(r.doc_id, r.shard) for r in plan.select("doc_id", "shard").collect()}
+    assert got == want
+    stored = spark.read.parquet(f"{path}/_manifest")
+    key = lambda r: r["shard"]
+    assert sorted((r.asDict() for r in stored.collect()), key=key) == sorted(
+        (r.asDict() for r in man.collect()), key=key
+    ), "persisted manifest differs from returned frame"
