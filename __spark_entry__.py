@@ -865,6 +865,17 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+def q_source_jaccard_kmv(spark, sf_dir):
+    """Pairwise soft-overlap estimates between sources from KMV bottom-k
+    shingle sketches (k=128, 3-word shingles) — O(k) state per source, the
+    sub-linear fallback when the exact inverted-index pair join is too big;
+    deterministic hash -> the twin reproduces every estimate exactly."""
+    from driftval import repodedup
+
+    d = _t(spark, sf_dir, "documents")
+    return repodedup.source_jaccard_kmv(d, "source", "text", k=128, n=3)
+
+
 SHARD_TOKENS = 512
 SHARD_BUCKETS = 8
 
@@ -1901,6 +1912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROTATION: front these)
         "shard_plan": q_shard_plan,
         "shard_manifest": q_shard_manifest,
+        # KMV bottom-k overlap sketch (full DuckDB twin; post-window —
+        # ROUND-5 ROTATION: front this)
+        "source_jaccard_kmv": q_source_jaccard_kmv,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -2295,6 +2309,40 @@ SELECT doc_id, bucket,
        printf('%05d-%06d', bucket, ("offset" // {SHARD_TOKENS})::INT) AS shard,
        n_tokens, "offset"
 FROM o
+"""
+
+
+def _kmv_jaccard_sql(k: int = 128, n: int = 3, salt: str = "kmv") -> str:
+    """source_jaccard_kmv twin: same 60-bit md5-prefix unit hashes, the same
+    bottom-k sketches, the same merged-bottom-k Broder estimator — all
+    integer/list algebra, so every estimate matches bit for bit."""
+    return f"""
+WITH u AS (
+  SELECT DISTINCT source, sh
+  FROM (
+    SELECT source, unnest({_units_sql(n)}) AS sh
+    FROM (SELECT source, {_TOK} AS toks FROM documents)
+  )
+), h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(sh || '{salt}'), 1, 15))::BIGINT AS h
+  FROM u
+), r AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+), sk AS (
+  SELECT source, list_sort(list(h)) AS s FROM r WHERE rn <= {k} GROUP BY source
+), p AS (
+  SELECT a.source AS group_a, b.source AS group_b,
+         list_sort(list_distinct(a.s || b.s))[1:{k}] AS m,
+         list_intersect(a.s, b.s) AS c
+  FROM sk a JOIN sk b ON a.source < b.source
+)
+SELECT group_a, group_b,
+       len(m)::BIGINT AS k_used,
+       len(list_intersect(m, c))::BIGINT AS common_in_merged,
+       round(len(list_intersect(m, c)) / len(m), 8) AS jaccard_est
+FROM p
 """
 
 
@@ -3953,6 +4001,7 @@ FROM chunks
         "pack_sequences": _pack_plan_sql(),
         "shard_plan": _shard_plan_sql(),
         "shard_manifest": _shard_manifest_sql(),
+        "source_jaccard_kmv": _kmv_jaccard_sql(),
         "pack_stats": f"""
 WITH plan AS ({_pack_plan_sql()}), pb AS (
   SELECT bucket, count(*) AS _docs, sum(n_tokens) AS _toks,

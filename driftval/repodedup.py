@@ -42,7 +42,7 @@ with no skew (keys are unique per side by contract).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -172,3 +172,118 @@ def snapshot_diff(
         | F.col("new_hash").isNull()
         | (F.col("old_hash") != F.col("new_hash"))
     ).select(*key_cols, status.alias("status"), "old_hash", "new_hash")
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketches: pairwise overlap when exact inverted-index pairing
+# is too expensive
+# ---------------------------------------------------------------------------
+
+
+def source_kmv_sketches(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+    n_prebuckets: int = 64,
+    n: int | None = None,
+) -> DataFrame:
+    """Per-group bottom-k (KMV) sketch of a distinct-unit hash set:
+    ``(group, sketch: array<long>)`` with the k SMALLEST 60-bit hashes of
+    each group's distinct units (Bar-Yossef et al. 2002 / the
+    minimum-values sketch Broder's resemblance estimate builds on).
+
+    ``n=None`` sketches whole-text digests (exact-content overlap, the
+    fork/mirror signal); ``n>=1`` sketches the group's ``n``-word shingle
+    set (:func:`driftval.textops.word_shingles` — lowercased, like every
+    shingle operator here), measuring soft textual overlap between groups
+    even when no file is byte-identical.
+
+    :func:`group_overlap_pairs` is exact but its pair join materializes one
+    row per cross-group item co-occurrence — the right tool until the
+    distinct-item universe itself is the bottleneck.  The KMV sketch is the
+    100 TB fallback: O(k) state per group, mergeable, and — because
+    "bottom-k of a fixed deterministic hash" has exactly one correct answer
+    — the DuckDB twin reproduces the sketch and every downstream estimate
+    bit-for-bit (no tolerance band, unlike a seeded-sampling sketch).
+
+    Two-phase bottom-k so no executor ever sorts a whole group's hash set:
+    phase 1 keeps k per ``(group, h % n_prebuckets)`` sub-stream, phase 2
+    keeps k of the surviving ``k × n_prebuckets`` — both windows are
+    digest-only and bounded; the distinct() before them is the only
+    corpus-sized shuffle (16-byte digests + group key)."""
+    from driftval.sampling import hash60
+    from driftval.textops import word_shingles
+
+    if n is None:
+        unit = hash60(F.md5(F.col(text_col).cast("binary")), salt)
+        staged = df.select(F.col(group_col).alias("_g"), unit.alias("_h"))
+    else:
+        staged = df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(word_shingles(F.col(text_col), int(n))).alias("_sh"),
+        ).select("_g", hash60(F.col("_sh"), salt).alias("_h"))
+    d = staged.distinct()
+    w1 = Window.partitionBy("_g", F.pmod(F.col("_h"), F.lit(int(n_prebuckets)))).orderBy(
+        "_h"
+    )
+    w2 = Window.partitionBy("_g").orderBy("_h")
+    survivors = (
+        d.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") <= k)
+    )
+    return survivors.groupBy(F.col("_g").alias(group_col)).agg(
+        F.array_sort(F.collect_list("_h")).alias("sketch")
+    )
+
+
+def source_jaccard_kmv(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+    n: int | None = None,
+) -> DataFrame:
+    """Pairwise distinct-unit Jaccard estimates between groups from KMV
+    sketches: ``(group_a, group_b, k_used, common_in_merged, jaccard_est)``
+    — unit = whole-text digest (``n=None``) or ``n``-word shingle (see
+    :func:`source_kmv_sketches`).
+
+    Estimator (Broder resemblance over the merged sketch): take the k
+    smallest of A ∪ B (= bottom-k of the two sketches' union — valid
+    because each sketch already holds its set's k smallest), count how many
+    lie in BOTH sketches; the fraction is an unbiased Jaccard estimate with
+    s.e. ~ 1/sqrt(k).  When a group has fewer than k distinct texts its
+    sketch is exhaustive and the "estimate" collapses to the EXACT Jaccard
+    — ``k_used = |merged| <= k`` handles both regimes in one formula.
+
+    The pair comparison is an all-pairs join over the GROUP-level sketch
+    frame (one row per group, k longs each) — groups are the unit of this
+    report (thousands, not billions), so the quadratic lives where it is
+    affordable and the corpus-sized data never meets it.  All set algebra
+    runs as JVM array functions on the sorted sketch arrays."""
+    sk = source_kmv_sketches(df, group_col, text_col, k=k, salt=salt, n=n)
+    a = sk.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("_sa")
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("_sb")
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("_sa"), F.col("_sb"))), 1, int(k)
+    )
+    common = F.array_intersect(F.col("_sa"), F.col("_sb"))
+    in_both = F.size(F.array_intersect(merged, common))
+    k_used = F.size(merged)
+    return pairs.select(
+        "group_a",
+        "group_b",
+        k_used.cast("long").alias("k_used"),
+        in_both.cast("long").alias("common_in_merged"),
+        F.round(in_both / k_used, 8).alias("jaccard_est"),
+    )

@@ -512,3 +512,16 @@ def test_strip_dup_spans_adds_only_the_span_join(spark, docs):
     plan = plan_of(spandedup.strip_dup_spans(docs, "doc_id", "text", k=5))
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_kmv_sketch_shuffles_hashes_only_no_global_sort(spark, docs):
+    """KMV sketches: exchanges carry (group, 60-bit hash) — never text —
+    and both bottom-k windows are hash-partitioned (a global sort would
+    need rangepartitioning)."""
+    from driftval import repodedup
+
+    plan = plan_of(repodedup.source_jaccard_kmv(docs, "source", "text", k=32, n=3))
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert exchanges, plan
+    assert all("text" not in l for l in exchanges), exchanges
+    assert "rangepartitioning" not in plan, plan

@@ -92,3 +92,117 @@ def test_snapshot_diff_statuses(spark):
     assert out["k2"]["old_hash"] != out["k2"]["new_hash"]
     assert out["k3"]["status"] == "removed" and out["k3"]["new_hash"] is None
     assert out["k4"]["status"] == "added" and out["k4"]["old_hash"] is None
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k overlap sketches
+# ---------------------------------------------------------------------------
+
+
+def _h60(unit: str, salt: str = "kmv") -> int:
+    import hashlib
+
+    return int(hashlib.md5((unit + salt).encode()).hexdigest()[:15], 16)
+
+
+def _ref_units(text: str, n):
+    import hashlib
+
+    if n is None:
+        md5 = hashlib.md5(text.encode()).hexdigest()
+        return {md5}
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _ref_kmv_pairs(docs, n, k):
+    """docs: [(group, text)] -> {(ga, gb): (k_used, common, est)} — the same
+    bottom-k estimator, computed naively."""
+    groups = {}
+    for g, t in docs:
+        groups.setdefault(g, set()).update(_ref_units(t, n))
+    sk = {g: sorted({_h60(u) for u in us})[:k] for g, us in groups.items()}
+    out = {}
+    for ga in sk:
+        for gb in sk:
+            if ga >= gb:
+                continue
+            merged = sorted(set(sk[ga]) | set(sk[gb]))[:k]
+            common = set(sk[ga]) & set(sk[gb])
+            in_both = len([h for h in merged if h in common])
+            out[(ga, gb)] = (len(merged), in_both, round(in_both / len(merged), 8))
+    return out
+
+
+def test_kmv_exact_regime_is_exact_jaccard(spark):
+    """Sketches smaller than k are exhaustive -> the estimate IS Jaccard."""
+    docs = [
+        ("a", "x1"), ("a", "x2"), ("a", "x3"), ("a", "shared"),
+        ("b", "shared"), ("b", "y1"),
+        ("c", "z1"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        (r.group_a, r.group_b): (r.k_used, r.common_in_merged, r.jaccard_est)
+        for r in repodedup.source_jaccard_kmv(df, "source", "text", k=64).collect()
+    }
+    # |a|=4, |b|=2, overlap {shared} -> J(a,b) = 1/5
+    assert got[("a", "b")] == (5, 1, round(1 / 5, 8))
+    assert got[("a", "c")] == (5, 0, 0.0)
+    assert got[("b", "c")] == (3, 0, 0.0)
+    assert got == _ref_kmv_pairs(docs, None, 64)
+
+
+def test_kmv_estimation_regime_matches_reference_exactly(spark):
+    """k below the distinct-unit count: the estimate is still a pure
+    function of the hashes — Spark must equal the naive reference bit for
+    bit (no tolerance)."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [
+        (f"g{j % 4}", " ".join(rng.choice(vocab) for _ in range(80)))
+        for j in range(48)
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    for n, k in ((3, 32), (1, 16)):
+        got = {
+            (r.group_a, r.group_b): (r.k_used, r.common_in_merged, r.jaccard_est)
+            for r in repodedup.source_jaccard_kmv(
+                df, "source", "text", k=k, n=n
+            ).collect()
+        }
+        assert got == _ref_kmv_pairs(docs, n, k), (n, k)
+
+
+def test_kmv_estimate_tracks_true_overlap(spark):
+    """Accuracy sanity: two sources sharing half their shingle mass should
+    estimate far above two disjoint ones (s.e. ~ 1/sqrt(k))."""
+    shared = " ".join(f"s{i}" for i in range(300))
+    only_a = " ".join(f"a{i}" for i in range(300))
+    only_b = " ".join(f"b{i}" for i in range(300))
+    only_c = " ".join(f"c{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [("A", shared), ("A", only_a), ("B", shared), ("B", only_b), ("C", only_c)],
+        "source string, text string",
+    )
+    got = {
+        (r.group_a, r.group_b): r.jaccard_est
+        for r in repodedup.source_jaccard_kmv(
+            df, "source", "text", k=128, n=3
+        ).collect()
+    }
+    # true J(A,B) ~ 1/3 (shared 300-ish of ~900 distinct shingles)
+    assert 0.15 < got[("A", "B")] < 0.55, got
+    assert got[("A", "C")] < 0.05 and got[("B", "C")] < 0.05, got
+
+
+def test_kmv_sketch_is_bottom_k_and_bounded(spark):
+    docs = [("g", f"unique text number {i}") for i in range(200)]
+    df = spark.createDataFrame(docs, "source string, text string")
+    sk = repodedup.source_kmv_sketches(df, "source", "text", k=16).collect()
+    assert len(sk) == 1
+    got = sk[0].sketch
+    want = sorted(_h60(__import__("hashlib").md5(t.encode()).hexdigest()) for _, t in docs)[:16]
+    assert got == want
