@@ -170,6 +170,10 @@ def main() -> None:
         quantile_shift_threshold=1e9,
         outlier_rate_threshold=0.99,
         volume_ratio_bounds=(0.001, 1000.0),
+        # the one gate that CANNOT ride the derived pass (needs token
+        # positions): prices its documented extra content scan honestly
+        max_dup_span_frac=0.99,
+        span_k=20,
         sequential_detectors={"page_hinkley": {}, "cusum": {}, "adwin": {}},
         quality_report=True,
         pack_ctx_len=2048,

@@ -202,6 +202,8 @@ def cmd_suite(spark, args) -> int:
         quality_report=args.report_quality,
         pack_ctx_len=args.pack_ctx_len,
         max_norm_dup_rate=args.max_norm_dup_rate,
+        max_dup_span_frac=args.max_dup_span_frac,
+        span_k=args.span_k,
         min_keep_rate=args.min_keep_rate,
         classifier_model=_load_clf_model(args.clf_model),
         max_snapshot_lag=args.max_snapshot_lag,
@@ -642,6 +644,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable comment-insensitive duplicate-rate verdicts: "
                         "fail a partition whose (rows - distinct normalized "
                         "digests)/rows exceeds this")
+    p.add_argument("--max-dup-span-frac", type=float, default=None,
+                   help="enable substring-span duplication verdicts: fail a "
+                        "partition whose within-partition duplicated-span "
+                        "token share exceeds this (adds one content scan)")
+    p.add_argument("--span-k", type=int, default=20,
+                   help="minimum duplicated span length in tokens for "
+                        "--max-dup-span-frac (default 20)")
     p.add_argument("--max-snapshot-lag", type=int, default=None,
                    help="with --snapshot-root: fail the table-level "
                         "snapshot_lag verdict when the pinned snapshot "

@@ -62,10 +62,17 @@ def _cs_tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda x: x != "")
 
 
-def positional_grams(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """``(_id, pos, gh)`` — every k-token gram of every document with its
-    0-based start token index and full-md5 gram key.  Documents shorter
-    than ``k`` tokens emit no rows.
+def positional_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    scope_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(scope..., _id, pos, gh)`` — every k-token gram of every document
+    with its 0-based start token index and full-md5 gram key.  Documents
+    shorter than ``k`` tokens emit no rows.  ``scope_cols`` pass through
+    untouched (the suite scopes duplication per table partition).
 
     The token array is lambda-bound before the per-index transform (the
     clonedetect/shingle lesson, pinned in ``tests/test_plans.py``: a plain
@@ -86,12 +93,14 @@ def positional_grams(df: DataFrame, id_col: str, text_col: str, k: int) -> DataF
         )
         return F.filter(g, lambda s: s.isNotNull())
 
-    return _spread(df.select(id_col, text_col)).select(
+    scope = list(scope_cols)
+    return _spread(df.select(*scope, id_col, text_col)).select(
+        *scope,
         F.col(id_col).alias("_id"),
         F.explode(
             F.flatten(F.transform(F.array(_cs_tokens(F.col(text_col))), _per))
         ).alias("g"),
-    ).select("_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    ).select(*scope, "_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
 
 
 def dup_spans(
@@ -102,6 +111,7 @@ def dup_spans(
     min_count: int = 2,
     keep_first: bool = False,
     caches: list[DataFrame] | None = None,
+    scope_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Maximal duplicated token spans: ``(id, span_start, span_end,
     span_tokens, n_grams)`` with token indices 0-based inclusive.
@@ -131,14 +141,15 @@ def dup_spans(
     a boilerplate gram in millions of documents would make that window's
     single reducer the job); the island window partitions by document only.
     """
-    grams = positional_grams(df, id_col, text_col, k).persist(
+    scope = list(scope_cols)
+    grams = positional_grams(df, id_col, text_col, k, scope_cols=scope_cols).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     if caches is not None:
         caches.append(grams)
     if keep_first:
         hot = (
-            grams.groupBy("gh")
+            grams.groupBy(*scope, "gh")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
                 F.min(F.struct("_id", "pos")).alias("_k"),
@@ -146,38 +157,40 @@ def dup_spans(
             .where(F.col("_n") >= min_count)
         )
         marked = (
-            grams.join(hot.select("gh", "_k"), "gh")
+            grams.join(hot.select(*scope, "gh", "_k"), [*scope, "gh"])
             .where(
                 ~(
                     (F.col("_id") == F.col("_k._id"))
                     & (F.col("pos") == F.col("_k.pos"))
                 )
             )
-            .select("_id", "pos")
+            .select(*scope, "_id", "pos")
         )
     else:
         hot = (
-            grams.groupBy("gh")
+            grams.groupBy(*scope, "gh")
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") >= min_count)
         )
-        marked = grams.join(hot.select("gh"), "gh", "left_semi")
-    w = Window.partitionBy("_id").orderBy("pos")
+        marked = grams.join(hot.select(*scope, "gh"), [*scope, "gh"], "left_semi")
+    w = Window.partitionBy(*scope, "_id").orderBy("pos")
     islands = marked.select(
+        *scope,
         "_id",
         "pos",
         F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
         .otherwise(0)
         .alias("_brk"),
-    ).select("_id", "pos", F.sum("_brk").over(w).alias("_isl"))
+    ).select(*scope, "_id", "pos", F.sum("_brk").over(w).alias("_isl"))
     return (
-        islands.groupBy("_id", "_isl")
+        islands.groupBy(*scope, "_id", "_isl")
         .agg(
             F.min("pos").alias("span_start"),
             (F.max("pos") + F.lit(k - 1)).alias("span_end"),
             F.count(F.lit(1)).alias("n_grams"),
         )
         .select(
+            *scope,
             F.col("_id").alias(id_col),
             F.col("span_start").cast("long"),
             F.col("span_end").cast("long"),

@@ -128,6 +128,21 @@ class SuiteConfig:
     # rewrites and reformatting that byte-exact uniqueness (V5, key-based)
     # and sha fidelity cannot see.
     max_norm_dup_rate: float | None = None
+    # Substring-span duplication gate (driftval.spandedup). None = off
+    # (default). A fraction in [0, 1] turns it on: each partition gets a
+    # ``dup_span_frac`` verdict that FAILS when the share of the
+    # partition's tokens sitting inside duplicated >= span_k-token spans
+    # (duplication judged WITHIN the partition — resume-stable: a
+    # partition's verdict never changes when later partitions land; the
+    # corpus-global form is the catalog's dup_spans job) exceeds the
+    # threshold — the templated-boilerplate/copied-block mass that
+    # byte-exact and comment-insensitive dedup both undercount. COST NOTE:
+    # unlike the digest checks this cannot ride the derived pass (it needs
+    # token positions, not a per-row scalar), so enabling it adds ONE more
+    # content scan over pending partitions; every shuffle after the gram
+    # explode is digest-only.
+    max_dup_span_frac: float | None = None
+    span_k: int = 20
     # Model-based quality gate (driftval.classifier). None = off (default).
     # A rate in [0, 1] turns it on: the linear classifier margin rides the
     # single derived content pass as ONE array-fold column (zero extra
@@ -382,6 +397,78 @@ def norm_dup_suite_verdicts(
         rate.cast("double").alias("metric"),
         F.lit(thr).alias("threshold"),
         surplus.alias("violation_count"),
+    )
+
+
+def _span_file_stats(
+    files_pending: DataFrame,
+    cfg: SuiteConfig,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-file duplicated-span token counts, duplication scoped per
+    partition: ``(partition_value, key_cols..., _n_tokens, _dup_tokens)``.
+    Shared by the verdict aggregate and the violation-row extractor (the
+    caller persists it for exactly that reason)."""
+    from driftval import spandedup
+
+    pcol = cfg.partition_col
+    key_cols = list(cfg.key_cols)
+    frame = files_pending.select(
+        F.col(pcol).cast("string").alias("partition_value"),
+        *key_cols,
+        F.md5(F.concat_ws("", *key_cols).cast("binary")).alias("_fid"),
+        F.col(cfg.content_col),
+    )
+    spans = spandedup.dup_spans(
+        frame,
+        "_fid",
+        cfg.content_col,
+        k=int(cfg.span_k),
+        scope_cols=("partition_value",),
+        caches=caches,
+    )
+    per_file_dup = spans.groupBy("partition_value", "_fid").agg(
+        F.sum("span_tokens").alias("_dup_tokens")
+    )
+    totals = frame.select(
+        "partition_value",
+        *key_cols,
+        "_fid",
+        F.size(spandedup._cs_tokens(F.col(cfg.content_col)))
+        .cast("long")
+        .alias("_n_tokens"),
+    )
+    return totals.join(per_file_dup, ["partition_value", "_fid"], "left").select(
+        "partition_value",
+        *key_cols,
+        "_n_tokens",
+        F.coalesce("_dup_tokens", F.lit(0)).cast("long").alias("_dup_tokens"),
+    )
+
+
+def span_suite_verdicts(span_stats: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """Per-partition substring-span duplication verdicts from a (persisted)
+    :func:`_span_file_stats` frame: metric = share of the partition's
+    tokens inside duplicated >= span_k-token spans (within-partition
+    duplication — see the config comment for why), passed iff metric <=
+    ``cfg.max_dup_span_frac``, violation_count = files containing spans.
+    One partition-keyed aggregate over the shared per-file stats frame."""
+    thr = float(cfg.max_dup_span_frac or 0.0)
+    agg = span_stats.groupBy("partition_value").agg(
+        F.sum("_n_tokens").alias("_tok"),
+        F.sum("_dup_tokens").alias("_dup"),
+        F.sum((F.col("_dup_tokens") > 0).cast("long")).alias("_files"),
+    )
+    rate = F.when(F.col("_tok") > 0, F.col("_dup") / F.col("_tok")).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        "partition_value",
+        F.lit("dup_span_frac").alias("check_name"),
+        (rate <= thr).alias("passed"),
+        rate.cast("double").alias("metric"),
+        F.lit(thr).alias("threshold"),
+        F.col("_files").cast("long").alias("violation_count"),
     )
 
 
@@ -746,6 +833,7 @@ def _write_violation_rows(
     dim_commits: DataFrame | None,
     violations_path: str,
     run_id: str,
+    span_stats: DataFrame | None = None,
 ) -> None:
     """Offending-row extraction for the row-localizable checks (V4 type
     conformance, V5 duplicate keys, V6 referential orphans), appended to a
@@ -814,6 +902,19 @@ def _write_violation_rows(
                 ),
                 "norm_dup_rate",
                 F.col(NORM_MD5),
+            )
+        )
+
+    if span_stats is not None:
+        # the files behind each dup_span_frac verdict: every file with
+        # duplicated-span tokens, detail = its dup token count (from the
+        # persisted stats frame — no recompute); output ∝ offending files
+        frames.append(
+            span_stats.where(F.col("_dup_tokens") > 0).select(
+                F.col("partition_value"),
+                *key_cols,
+                F.col("_dup_tokens").cast("string").alias("detail"),
+                F.lit("dup_span_frac").alias("check_name"),
             )
         )
 
@@ -1086,6 +1187,16 @@ def run_suite(
 
     if cfg.max_norm_dup_rate is not None:
         frames.append(norm_dup_suite_verdicts(derived_pending, cfg))
+    span_stats = None
+    span_caches: list[DataFrame] = []
+    if cfg.max_dup_span_frac is not None:
+        # needs token POSITIONS, so it cannot ride the derived digest pass:
+        # one extra content scan over pending partitions (documented on the
+        # config field); everything after the gram explode is digest-only.
+        span_stats = _span_file_stats(
+            files.where(F.col(pcol).cast("string").isin(pending)), cfg, span_caches
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        frames.append(span_suite_verdicts(span_stats, cfg))
     if cfg.min_keep_rate is not None:
         frames.append(classifier_suite_verdicts(derived_pending, cfg))
     if cfg.volume_ratio_bounds is not None:
@@ -1194,6 +1305,7 @@ def run_suite(
         _write_violation_rows(
             files, derived_pending, cfg, pcol, pending,
             dim_repos, dim_commits, violations_path, run_id,
+            span_stats=span_stats,
         )
 
     # Lazy frames for the remaining stages, then collect ALL independent
@@ -1384,4 +1496,8 @@ def run_suite(
         with _timed("reports-write"):
             store.write_reports(reports)
     derived.unpersist()
+    if span_stats is not None:
+        span_stats.unpersist()
+    for c in span_caches:
+        c.unpersist()
     return store.read().where(F.col("run_id") == run_id)

@@ -155,6 +155,19 @@ def run_scale(spark, n_docs: int, workdir: str) -> dict:
         "batch_docs": n_batch, "matches": n_matches, "sec": sec,
     }
 
+    # substring-span dedup (round 4 day-2): positional-gram volume is the
+    # whole corpus (one row per token), so this is the family's heaviest
+    # scan — but duplicated-gram volume tracks the planted dup mass, so
+    # span count and wall must still grow ~linearly.
+    from driftval import spandedup
+
+    n_spans, sec = timed(
+        lambda: spandedup.dup_spans(
+            docs, "doc_id", "content", k=5, caches=caches
+        ).count()
+    )
+    out["dup_spans"] = {"pairs": n_spans, "sec": sec}
+
     for c in caches:
         c.unpersist()
     return out
@@ -219,7 +232,7 @@ def main() -> None:
     for op in (
         "minhash_dup_pairs", "simhash_dup_pairs",
         "ngram_jaccard_pairs", "dedup_against_index",
-        "clone_pairs", "clones_against_index",
+        "clone_pairs", "clones_against_index", "dup_spans",
     ):
         cells = []
         for r in results:

@@ -944,3 +944,47 @@ def test_volume_anomaly_verdicts(spark, tmp_path_factory):
     ).toPandas()
     vol_nb = v_nb[v_nb["check_name"] == "volume:rows"]
     assert len(vol_nb) == 5 and not vol_nb["passed"].any()
+
+
+def test_dup_span_gate_flags_planted_boilerplate(spark, tmp_path_factory):
+    """--max-dup-span-frac: a partition whose files share a verbatim
+    25-token block fails with the right metric; a clean partition passes;
+    violation rows name exactly the offending files."""
+    block = " ".join(f"boiler{i}" for i in range(25))
+    rows = []
+    for p, part in enumerate(["2026-02-01", "2026-02-02"]):
+        for i in range(6):
+            unique = " ".join(f"u{p}x{i}w{j}" for j in range(25))
+            text = f"{block} {unique}" if (p == 1 and i < 3) else unique
+            rows.append(
+                ("org/r", f"f{i}.py", f"{'%040x' % (p * 100 + i)}", "py", text, part)
+            )
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, part_date string"
+    )
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-02-01"],
+        block_size=10_000,
+        max_dup_span_frac=0.10,
+        span_k=20,
+    )
+    base = tmp_path_factory.mktemp("spangate")
+    v = run_suite(
+        spark, files, cfg, str(base / "ckpt"), run_id="rs",
+        violations_path=str(base / "violations"),
+    ).toPandas()
+    span_v = v[v["check_name"] == "dup_span_frac"].set_index("partition_value")
+    # partition 1: 3 of 6 files are 50-token docs carrying the shared
+    # 25-token block -> 75 dup tokens / (3*50 + 3*25) = 1/3
+    assert not bool(span_v.loc["2026-02-02", "passed"])
+    assert abs(span_v.loc["2026-02-02", "metric"] - 75 / 225) < 1e-9
+    assert span_v.loc["2026-02-02", "violation_count"] == 3
+    assert bool(span_v.loc["2026-02-01", "passed"])
+    assert span_v.loc["2026-02-01", "metric"] == 0.0
+
+    viol = spark.read.parquet(str(base / "violations")).toPandas()
+    sv = viol[viol["check_name"] == "dup_span_frac"]
+    assert set(sv["partition_value"]) == {"2026-02-02"}
+    assert sorted(sv["path"]) == ["f0.py", "f1.py", "f2.py"]
+    assert set(sv["detail"]) == {"25"}
