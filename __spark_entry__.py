@@ -865,6 +865,20 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+def q_dup_spans_against_index(spark, sf_dir):
+    """Incremental ingest span scan: docs with doc_id % 10 == 0 play the
+    daily batch, the rest the indexed corpus (span_gram_index — (gh, cnt)
+    rows, corpus text never re-read). Exactly dup_spans over the union,
+    restricted to batch docs — which is what the DuckDB twin computes."""
+    from driftval import spandedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    idx = spandedup.span_gram_index(corpus, "doc_id", "text", k=5)
+    return spandedup.dup_spans_against_index(batch, idx, "doc_id", "text", k=5)
+
+
 def q_source_jaccard_kmv(spark, sf_dir):
     """Pairwise soft-overlap estimates between sources from KMV bottom-k
     shingle sketches (k=128, 3-word shingles) — O(k) state per source, the
@@ -1915,6 +1929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KMV bottom-k overlap sketch (full DuckDB twin; post-window —
         # ROUND-5 ROTATION: front this)
         "source_jaccard_kmv": q_source_jaccard_kmv,
+        # incremental span scan (full DuckDB twin via union-restriction;
+        # post-window — ROUND-5 ROTATION: front this)
+        "dup_spans_against_index": q_dup_spans_against_index,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -2998,6 +3015,14 @@ GROUP BY pv, q
 SELECT doc_id, span_start, span_end,
        (span_end - span_start + 1)::BIGINT AS span_tokens, n_grams
 FROM spans
+""",
+        # against-index twin: a gram's total count over corpus ∪ batch is
+        # what the index+batch sum reproduces, so the oracle is the plain
+        # span chain restricted to batch (doc_id % 10 = 0) documents
+        "dup_spans_against_index": _SPAN_CTES + """
+SELECT doc_id, span_start, span_end,
+       (span_end - span_start + 1)::BIGINT AS span_tokens, n_grams
+FROM spans WHERE doc_id % 10 = 0
 """,
         "strip_dup_spans": _SPAN_CTES + _SPAN_STRIP_SQL,
         "strip_dup_spans_keep_first": _SPAN_CTES_KEEP_FIRST + _SPAN_STRIP_SQL,

@@ -388,6 +388,68 @@ def cmd_clonescan(spark, args) -> int:
     return 0
 
 
+def cmd_spanindex(spark, args) -> int:
+    """Build (or rebuild) the persistent substring-span gram-count index:
+    one ~24-byte (gh, cnt) row per distinct k-gram. Corpus content is read
+    ONCE here; every later ``spanscan`` matches against this parquet."""
+    from driftval import spandedup
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    spandedup.span_gram_index(
+        files, args.id_col, args.text_col, k=args.k
+    ).write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} grams indexed -> {args.out}")
+    return 0
+
+
+def cmd_spanscan(spark, args) -> int:
+    """Scan a new batch for duplicated >= k-token spans against an existing
+    gram-count index (plus the batch itself), write the span report, and —
+    unless ``--no-append`` — append the batch's gram counts so the next
+    scan sees this batch. ``--k`` must match the index build."""
+    from pyspark.sql import functions as F
+
+    from driftval import spandedup
+
+    batch = read_files_table(spark, path=args.path, table=args.table).persist()
+    try:
+        n_docs = batch.count()
+        idx = spark.read.parquet(args.index)
+        caches: list = []
+        spandedup.dup_spans_against_index(
+            batch, idx.select("gh", "cnt"), args.id_col, args.text_col,
+            k=args.k, min_count=args.min_count, caches=caches,
+        ).write.mode("overwrite").parquet(args.out)
+        n_spans = spark.read.parquet(args.out).count()
+        n_files = (
+            spark.read.parquet(args.out).select(args.id_col).distinct().count()
+        )
+        if not args.no_append:
+            merged = (
+                idx.select("gh", "cnt")
+                .unionByName(
+                    spandedup.span_gram_index(
+                        batch, args.id_col, args.text_col, k=args.k
+                    )
+                )
+                .groupBy("gh")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            tmp = args.index.rstrip("/") + ".next"
+            merged.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(args.index)
+        for c in caches:
+            c.unpersist()
+        print(
+            f"{n_docs} batch docs: {n_spans} duplicated spans in {n_files} "
+            f"files; report -> {args.out}"
+        )
+        return 0
+    finally:
+        batch.unpersist()
+
+
 def cmd_profile(spark, args) -> int:
     from driftval.checks.stats import profile_columns
 
@@ -833,6 +895,38 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument("--salt", default="")
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser(
+        "spanindex", help="build the persistent substring-span gram-count index"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--out", required=True, help="parquet output: gram-count index")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--k", type=int, default=20, help="span gram width in tokens")
+    p.set_defaults(fn=cmd_spanindex)
+
+    p = sub.add_parser(
+        "spanscan",
+        help="scan a batch for duplicated spans against an index (and grow it)",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset (the new batch)")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--index", required=True, help="the index written by `spanindex`")
+    p.add_argument("--out", required=True, help="parquet output: span report")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--k", type=int, default=20, help="gram width (match the index)")
+    p.add_argument("--min-count", type=int, default=2,
+                   help="total occurrences for a gram to count as duplicated")
+    p.add_argument(
+        "--no-append", action="store_true",
+        help="report spans only; do not grow the index",
+    )
+    p.set_defaults(fn=cmd_spanscan)
 
     p = sub.add_parser(
         "export", help="write whole-document token-budget shards + manifest"

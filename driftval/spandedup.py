@@ -103,6 +103,42 @@ def positional_grams(
     ).select(*scope, "_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
 
 
+def _merge_islands(
+    marked: DataFrame, id_col: str, k: int, scope: list[str]
+) -> DataFrame:
+    """Gaps-and-islands merge of marked gram start positions (columns
+    ``scope..., _id, pos``) into maximal spans — shared by the one-shot and
+    the against-index span operators.  Window partitions by (scope, doc)
+    only; never a global sort."""
+    w = Window.partitionBy(*scope, "_id").orderBy("pos")
+    islands = marked.select(
+        *scope,
+        "_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
+        .otherwise(0)
+        .alias("_brk"),
+    ).select(*scope, "_id", "pos", F.sum("_brk").over(w).alias("_isl"))
+    return (
+        islands.groupBy(*scope, "_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            *scope,
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            F.col("n_grams").cast("long"),
+        )
+    )
+
+
 def dup_spans(
     df: DataFrame,
     id_col: str,
@@ -173,33 +209,7 @@ def dup_spans(
             .where(F.col("_n") >= min_count)
         )
         marked = grams.join(hot.select(*scope, "gh"), [*scope, "gh"], "left_semi")
-    w = Window.partitionBy(*scope, "_id").orderBy("pos")
-    islands = marked.select(
-        *scope,
-        "_id",
-        "pos",
-        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
-        .otherwise(0)
-        .alias("_brk"),
-    ).select(*scope, "_id", "pos", F.sum("_brk").over(w).alias("_isl"))
-    return (
-        islands.groupBy(*scope, "_id", "_isl")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-        .select(
-            *scope,
-            F.col("_id").alias(id_col),
-            F.col("span_start").cast("long"),
-            F.col("span_end").cast("long"),
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("span_tokens"),
-            F.col("n_grams").cast("long"),
-        )
-    )
+    return _merge_islands(marked, id_col, k, scope)
 
 
 def strip_dup_spans(
@@ -307,3 +317,70 @@ def dup_span_stats(
     finally:
         for c in caches:
             c.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Incremental (daily-ingest) span dedup: gram-count index + batch scan
+# ---------------------------------------------------------------------------
+
+
+def span_gram_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """The persistable state of incremental span dedup: ``(gh, cnt)`` — one
+    row per DISTINCT k-gram with its occurrence count.  Unlike the minhash
+    index (O(docs)) this is a full positional-gram census (O(distinct
+    grams) ≈ O(corpus tokens) rows of ~24 B) — that is inherent to exact
+    substring semantics: ANY gram the corpus has seen once may complete a
+    duplicate when the next batch arrives, so none can be dropped.  What
+    the index saves is re-reading corpus TEXT: a daily batch joins ~24-byte
+    digest rows, never documents.  One map-side-partial aggregate."""
+    return (
+        positional_grams(df, id_col, text_col, k)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dup_spans_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Duplicated spans IN THE BATCH, judged against the indexed corpus
+    PLUS the batch itself: exactly the rows :func:`dup_spans` over
+    ``indexed_corpus ∪ batch`` would emit for batch documents (a gram's
+    total count = its batch occurrences + its indexed ``cnt``), without
+    re-reading any indexed text.  ``index`` rows are ``(gh, cnt)`` — raw
+    per-batch appends are fine, counts are summed after the restriction.
+
+    Plan shape per batch: one gram explode over the batch (persisted —
+    feeds the count and the mark join; pass ``caches`` to own the
+    unpersist); the index is touched ONLY by a semi join against the
+    batch's distinct gram keys followed by a sum over the matches — the
+    index never shuffles its full width, and AQE broadcasts the batch-sized
+    side."""
+    grams = positional_grams(batch, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if caches is not None:
+        caches.append(grams)
+    batch_cnt = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_bc"))
+    idx_cnt = (
+        index.join(batch_cnt.select("gh"), "gh", "left_semi")
+        .groupBy("gh")
+        .agg(F.sum("cnt").alias("_ic"))
+    )
+    hot = (
+        batch_cnt.join(idx_cnt, "gh", "left")
+        .where(
+            F.col("_bc") + F.coalesce(F.col("_ic"), F.lit(0)) >= F.lit(int(min_count))
+        )
+        .select("gh")
+    )
+    marked = grams.join(hot, "gh", "left_semi").select("_id", "pos")
+    return _merge_islands(marked, id_col, k, [])

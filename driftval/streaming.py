@@ -1147,3 +1147,131 @@ def run_suite_stream(
     )
     query.awaitTermination()
     return runner, runner.finalize(stream_df.sparkSession)
+
+
+# ---------------------------------------------------------------------------
+# Incremental substring-span dedup against a growing gram-count index
+# ---------------------------------------------------------------------------
+
+
+class IncrementalSpanRunner:
+    """The daily-ingest SUBSTRING-SPAN scan as a ``foreachBatch`` stream —
+    the exact-substring sibling of :class:`IncrementalDedupRunner`: each
+    micro-batch's duplicated spans (judged against every earlier batch's
+    grams PLUS the batch itself,
+    :func:`driftval.spandedup.dup_spans_against_index`) land in
+    ``matches_path``, and the batch's own gram counts
+    (:func:`driftval.spandedup.span_gram_index` rows) join the index —
+    corpus text is never re-read, only ~24-byte (gh, cnt) rows accumulate.
+
+    Delivery semantics differ from the id-keyed runners on purpose: gram
+    counts carry no document ids, so replay safety comes from LAYOUT — both
+    datasets write per-batch leaves (``.../batch_id=N``, overwrite), so a
+    re-delivered batch replaces its own spans AND its own gram counts
+    instead of double-counting, and the index read simply EXCLUDES the
+    current batch's leaf (``batch_id != N`` — partition-pruned) to see
+    first-attempt state.  Readers of the index sum ``cnt`` per ``gh``
+    across leaves (raw appends are valid input to the batch operator).
+
+    Prefix semantics documented: a batch's spans are judged against the
+    corpus AS OF its arrival — text indexed later can create duplicates a
+    re-run over the union would find but this stream already certified as
+    unique (the same as-of caveat as the suite's cross-partition V5
+    attribution)."""
+
+    def __init__(
+        self,
+        index_path: str,
+        matches_path: str,
+        id_col: str,
+        text_col: str,
+        k: int = 5,
+        min_count: int = 2,
+    ):
+        self.index_path = index_path
+        self.matches_path = matches_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.min_count = min_count
+        self.n_batches = 0
+
+    def _read_index(self, spark: SparkSession, exclude_batch: int) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            idx = spark.read.parquet(self.index_path)
+        except AnalysisException as e:
+            # same contract as IncrementalDedupRunner._read_index: ONLY
+            # path-not-found means "fresh index"; anything else propagates
+            err_cls = ""
+            get_cls = getattr(e, "getErrorClass", None)
+            if callable(get_cls):
+                err_cls = get_cls() or ""
+            if err_cls == "PATH_NOT_FOUND" or (
+                not err_cls and "Path does not exist" in str(e)
+            ):
+                return None
+            raise
+        # replay protection: a crash after the index write re-delivers this
+        # batch with its own grams already indexed — partition-pruned filter
+        idx = idx.where(F.col("batch_id") != exclude_batch)
+        return idx.select("gh", "cnt")
+
+    def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from driftval import spandedup
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        caches: list[DataFrame] = []
+        try:
+            idx = self._read_index(spark, int(batch_id))
+            if idx is None:
+                idx = spark.createDataFrame([], "gh string, cnt long")
+            spans = spandedup.dup_spans_against_index(
+                batch_df,
+                idx,
+                self.id_col,
+                self.text_col,
+                k=self.k,
+                min_count=self.min_count,
+                caches=caches,
+            )
+            spans.write.mode("overwrite").parquet(
+                f"{self.matches_path}/batch_id={int(batch_id)}"
+            )
+            spandedup.span_gram_index(
+                batch_df, self.id_col, self.text_col, k=self.k
+            ).write.mode("overwrite").parquet(
+                f"{self.index_path}/batch_id={int(batch_id)}"
+            )
+            self.n_batches += 1
+        finally:
+            for c in caches:
+                c.unpersist()
+            batch_df.unpersist()
+
+
+def run_incremental_span_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> IncrementalSpanRunner:
+    """Drain an available-now document stream through
+    :class:`IncrementalSpanRunner`; returns the runner (per-batch span
+    reports in ``matches_path``, the gram-count index in ``index_path``)."""
+    runner = IncrementalSpanRunner(
+        index_path, matches_path, id_col, text_col, **kwargs
+    )
+    query = (
+        stream_df.writeStream.foreachBatch(runner.on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return runner

@@ -868,3 +868,101 @@ def test_suite_stream_crash_resume_replay_idempotent(spark, tmp_path):
     per_part = pdf.groupby("part_date").size()
     for p, cnt in per_part.items():
         assert rows_scanned[p] == cnt, (p, rows_scanned[p], cnt)
+
+
+def test_incremental_span_stream_matches_sequential_replay(spark, tmp_path):
+    """run_incremental_span_stream over 3 micro-batches == driver-side
+    sequential replay (dup_spans_against_index per batch over a growing
+    gram-count index), and each batch's spans equal dup_spans over the
+    union-so-far restricted to that batch's docs — the prefix-semantics
+    contract. Covers: cross-batch duplicate, batch-internal duplicate, and
+    a clean doc."""
+    from driftval import spandedup
+
+    block = " ".join(f"tok{i}" for i in range(9))
+    chunks = [
+        [(1, block + " tail one alpha beta"), (2, "nothing shared here at all now")],
+        [(10, "prefix words then " + block), (11, "some fresh body unseen before now")],
+        [(20, block + " and " + block), (21, "entirely novel third batch text")],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs-src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src + f"/part-{i:05d}")
+        time.sleep(1.05)
+
+    stream_df = streaming.read_chunk_stream(
+        spark, src + "/part-*", spark.createDataFrame([], schema).schema
+    )
+    runner = streaming.run_incremental_span_stream(
+        stream_df,
+        str(tmp_path / "index"),
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        "doc_id",
+        "text",
+        k=5,
+    )
+    assert runner.n_batches == 3
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    }
+
+    # sequential replay with the batch operators + prefix-union parity
+    seen: list = []
+    want = set()
+    for rows in chunks:
+        bdf = spark.createDataFrame(rows, schema)
+        idx = (
+            spandedup.span_gram_index(
+                spark.createDataFrame(seen, schema), "doc_id", "text", k=5
+            )
+            if seen
+            else spark.createDataFrame([], "gh string, cnt long")
+        )
+        batch_spans = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in spandedup.dup_spans_against_index(
+                bdf, idx, "doc_id", "text", k=5
+            ).collect()
+        }
+        union_df = spark.createDataFrame(seen + rows, schema)
+        bids = {r[0] for r in rows}
+        union_restricted = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in spandedup.dup_spans(union_df, "doc_id", "text", k=5).collect()
+            if r.doc_id in bids
+        }
+        assert batch_spans == union_restricted, rows
+        want |= batch_spans
+        seen += rows
+    assert got == want
+    # batch 0 saw no duplicates yet; batch 1 matched the indexed block;
+    # batch 2 duplicated it internally as well
+    assert 1 not in {d for d, *_ in got} and 10 in {d for d, *_ in got}
+
+    # replay idempotence: re-deliver the LAST batch by hand — both leaves
+    # overwrite, final state unchanged
+    matches_before = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "matches")).collect())
+    )
+    runner.on_batch(spark.createDataFrame(chunks[-1], schema), 2)
+    matches_after = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "matches")).collect())
+    )
+    assert matches_before == matches_after
+    idx_rows = (
+        spark.read.parquet(str(tmp_path / "index"))
+        .groupBy("gh")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full_idx = spandedup.span_gram_index(
+        spark.createDataFrame(sum(chunks, []), schema), "doc_id", "text", k=5
+    )
+    assert sorted(map(tuple, idx_rows.collect())) == sorted(
+        map(tuple, full_idx.collect())
+    )
