@@ -865,6 +865,19 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+def q_constraint_suggestions(spark, sf_dir):
+    """Deequ-style constraint suggestion over the documents table: the
+    deterministic rule set of driftval/suggest.py applied to one profile
+    pass (rationale text excluded here — engine float formatting differs;
+    the numbers ARE the contract and are hash-compared)."""
+    from driftval import suggest
+
+    d = _t(spark, sf_dir, "documents")
+    return suggest.suggest_report(
+        d, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).drop("rationale")
+
+
 def q_dup_spans_against_index(spark, sf_dir):
     """Incremental ingest span scan: docs with doc_id % 10 == 0 play the
     daily batch, the rest the indexed corpus (span_gram_index — (gh, cnt)
@@ -1932,6 +1945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental span scan (full DuckDB twin via union-restriction;
         # post-window — ROUND-5 ROTATION: front this)
         "dup_spans_against_index": q_dup_spans_against_index,
+        # Deequ-style constraint suggestion (full DuckDB twin; post-window
+        # — ROUND-5 ROTATION: front this)
+        "constraint_suggestions": q_constraint_suggestions,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -2327,6 +2343,73 @@ SELECT doc_id, bucket,
        n_tokens, "offset"
 FROM o
 """
+
+
+def _suggest_sql() -> str:
+    """constraint_suggestions twin: the same deterministic rule set
+    (driftval/suggest.py module docstring) replayed in SQL over the same
+    one-pass profile numbers.  Column roster and candidate patterns are
+    generated from the module's constants so the twins cannot drift."""
+    from driftval.suggest import CAT_MAX, PATTERNS
+
+    cols = [
+        ("doc_id", "numeric"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "numeric"),
+    ]
+    aggs = ["count(*) AS n"]
+    for c, kindof in cols:
+        aggs += [
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+        ]
+        if kindof == "numeric":
+            aggs += [f"min({c}::DOUBLE) AS min_{c}", f"max({c}::DOUBLE) AS max_{c}"]
+        else:
+            for j, (_, pat) in enumerate(PATTERNS):
+                aggs.append(
+                    f"sum(CASE WHEN regexp_full_match({c}, '(?:{pat})') "
+                    f"THEN 1 ELSE 0 END) AS pat_{c}_{j}"
+                )
+    branches = []
+    for c, kindof in cols:
+        branches.append(f"""
+SELECT '{c}' AS column_name, 'null_rate' AS kind, NULL::DOUBLE AS lo,
+       NULL::DOUBLE AS hi,
+       CASE WHEN nulls_{c} = 0 THEN 0.0
+            ELSE round(least(1.0, (nulls_{c}::DOUBLE / n) * 1.25), 8) END AS max_rate,
+       NULL::VARCHAR AS pattern, NULL::VARCHAR AS allowed
+FROM prof""")
+        if kindof == "numeric":
+            branches.append(f"""
+SELECT '{c}', 'bounds',
+       round(min_{c} - 0.1 * (max_{c} - min_{c}), 8),
+       round(max_{c} + 0.1 * (max_{c} - min_{c}), 8),
+       NULL::DOUBLE, NULL::VARCHAR, NULL::VARCHAR
+FROM prof WHERE n - nulls_{c} > 0""")
+        else:
+            pat_case = " ".join(
+                f"WHEN pat_{c}_{j} = n - nulls_{c} THEN '{pat.replace(chr(39), chr(39)*2)}'"
+                for j, (_, pat) in enumerate(PATTERNS)
+            )
+            branches.append(f"""
+SELECT '{c}', 'pattern', NULL::DOUBLE, NULL::DOUBLE, 0.0,
+       CASE {pat_case} END, NULL::VARCHAR
+FROM prof WHERE n - nulls_{c} > 0
+  AND (CASE {pat_case} END) IS NOT NULL""")
+            branches.append(f"""
+SELECT '{c}', 'allowed', NULL::DOUBLE, NULL::DOUBLE, 0.0, NULL::VARCHAR,
+       (SELECT array_to_string(list_sort(list(DISTINCT {c})), ',')
+        FROM documents WHERE {c} IS NOT NULL)
+FROM prof WHERE nd_{c} > 0 AND nd_{c} <= {CAT_MAX}""")
+        branches.append(f"""
+SELECT '{c}', 'unique', NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       NULL::VARCHAR, NULL::VARCHAR
+FROM prof WHERE n - nulls_{c} > 0 AND nd_{c} = n - nulls_{c}""")
+    return (
+        "WITH prof AS (\n  SELECT " + ",\n         ".join(aggs)
+        + "\n  FROM documents\n)\n"
+        + "\nUNION ALL".join(branches)
+    )
 
 
 def _kmv_jaccard_sql(k: int = 128, n: int = 3, salt: str = "kmv") -> str:
@@ -4027,6 +4110,7 @@ FROM chunks
         "shard_plan": _shard_plan_sql(),
         "shard_manifest": _shard_manifest_sql(),
         "source_jaccard_kmv": _kmv_jaccard_sql(),
+        "constraint_suggestions": _suggest_sql(),
         "pack_stats": f"""
 WITH plan AS ({_pack_plan_sql()}), pb AS (
   SELECT bucket, count(*) AS _docs, sum(n_tokens) AS _toks,

@@ -186,6 +186,11 @@ def cmd_suite(spark, args) -> int:
         snapshot_root=args.snapshot_root, snapshot_id=args.snapshot_id,
     )
     extra = _parse_satisfies(args.satisfies)
+    if args.constraints:
+        from driftval.suggest import constraints_from_json
+
+        with open(args.constraints) as fh:
+            extra = extra + constraints_from_json(fh.read())
     cfg = SuiteConfig(
         baseline_partitions=args.baseline.split(","),
         partition_col=args.partition_col,
@@ -385,6 +390,28 @@ def cmd_clonescan(spark, args) -> int:
         f"{n_docs} files scanned: {n_matches} clone matches, "
         f"{n_new} fingerprints appended; matches -> {args.out}"
     )
+    return 0
+
+
+def cmd_suggest(spark, args) -> int:
+    """Profile a baseline table and print/persist the suggested constraint
+    set (deterministic rules — driftval/suggest.py): review the printout,
+    then enforce with `suite --constraints <file>`."""
+    from driftval import suggest
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    cols = args.columns.split(",") if args.columns else files.columns
+    rows = suggest.suggest_rows(files, cols)
+    for r in rows:
+        parts = [f"{k}={r[k]}" for k in ("lo", "hi", "max_rate", "pattern", "allowed")
+                 if r[k] is not None]
+        print(f"{r['column_name']:>16}  {r['kind']:<10} {' '.join(parts)}")
+        print(f"{'':>16}  {'':<10} # {r['rationale']}")
+    cons = suggest.rows_to_constraints(rows)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(suggest.constraints_to_json(cons))
+        print(f"{len(cons)} enforceable constraints -> {args.out}")
     return 0
 
 
@@ -702,6 +729,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable median/MAD modified-z outlier-rate verdicts")
     p.add_argument("--satisfies", action="append", default=[],
                    help="extra rule 'label=max_rate:SQL predicate' (repeatable)")
+    p.add_argument("--constraints", default=None,
+                   help="JSON constraint file written by `suggest --out` — "
+                        "typed constraints appended to the default set")
     p.add_argument("--max-norm-dup-rate", type=float, default=None,
                    help="enable comment-insensitive duplicate-rate verdicts: "
                         "fail a partition whose (rows - distinct normalized "
@@ -895,6 +925,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument("--salt", default="")
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser(
+        "suggest", help="profile a baseline and suggest the constraint set"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset (the baseline)")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated columns (default: all)")
+    p.add_argument("--out", default=None,
+                   help="write enforceable constraints as JSON for "
+                        "`suite --constraints`")
+    p.set_defaults(fn=cmd_suggest)
 
     p = sub.add_parser(
         "spanindex", help="build the persistent substring-span gram-count index"

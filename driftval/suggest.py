@@ -1,0 +1,257 @@
+"""Constraint suggestion: profile a baseline table and derive the
+constraint set a validation run should enforce (Deequ's
+``ConstraintSuggestionRunner`` / Great Expectations' profiler, rebuilt
+Spark-first).
+
+A validation engine is only as good as the constraints someone wrote; in
+practice nobody writes them for 400-column tables — they are SUGGESTED from
+healthy baseline data, reviewed, then enforced.  The rules here are
+deliberately deterministic, documented closed-form functions of the profile
+(no sampling, no ML), so the same baseline always yields the same
+suggestions, the DuckDB twin reproduces them bit-for-bit, and a reviewer
+can read WHY each one exists (the ``rationale`` column).
+
+Rules (fixed slack factors, documented here and nowhere else):
+
+- **null_rate** (every column): observed null fraction ``r`` -> max_rate
+  ``0.0`` when ``r == 0`` (a never-null baseline column stays never-null),
+  else ``round(min(1, r * 1.25), 8)`` — 25% headroom absorbs routine
+  variation while a column going twice as null still fails.
+- **bounds** (numeric columns with >= 1 non-null value): observed
+  ``[min, max]`` widened by 10% of the range on each side (degenerate
+  range 0 -> exact pin).
+- **type_conformance / pattern** (string columns where EVERY non-null
+  value full-matches one of the candidate patterns, first match in the
+  fixed order below wins): ``hex40`` (git object ids), ``iso_date``,
+  ``int`` — max_rate 0.
+- **type_conformance / allowed** (string columns with <= ``cat_max``
+  distinct values): the observed value set, max_rate 0 — the categorical
+  containment check.
+- **unique** (columns whose non-null values are all distinct): emitted as
+  a HINT row only (rationale explains): absolute distinct counts do not
+  transfer to future partitions, and key uniqueness is the suite's V5
+  (``key_cols``) job — the hint tells the operator to put the column there.
+
+Scale shape: suggestion costs ONE profile aggregate over the baseline
+(single scan — the same fold-everything-into-one-agg shape as
+``profile_columns``) plus one tiny second aggregate restricted to the
+low-cardinality columns for their value sets.  The report is O(columns)
+rows built driver-side from the two one-row results.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from driftval.checks.stats import (
+    Bounds,
+    DistinctCount,
+    NullRate,
+    PredicateRate,
+    StatsConstraint,
+    TypeConformance,
+)
+
+CAT_MAX = 20
+# fixed precedence: first fully-matching pattern wins
+PATTERNS = (
+    ("hex40", "[0-9a-f]{40}"),
+    ("iso_date", r"\d{4}-\d{2}-\d{2}"),
+    ("int", "-?[0-9]+"),
+)
+
+REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("column_name", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("lo", T.DoubleType()),
+        T.StructField("hi", T.DoubleType()),
+        T.StructField("max_rate", T.DoubleType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("allowed", T.StringType()),
+        T.StructField("rationale", T.StringType()),
+    ]
+)
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _profile(df: DataFrame, cols: list[str]) -> dict:
+    """One aggregate: per column nulls / exact distinct / numeric min-max /
+    per-pattern full-match counts (string columns only)."""
+    dtypes = dict(df.dtypes)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"_nulls_{i}"),
+            F.count_distinct(col).alias(f"_nd_{i}"),
+        ]
+        if isinstance(schema[c], _NUMERIC):
+            aggs += [
+                F.min(col.cast("double")).alias(f"_min_{i}"),
+                F.max(col.cast("double")).alias(f"_max_{i}"),
+            ]
+        if dtypes[c] == "string":
+            for j, (_, pat) in enumerate(PATTERNS):
+                aggs.append(
+                    F.sum(col.rlike(f"^(?:{pat})$").cast("long")).alias(
+                        f"_pat_{i}_{j}"
+                    )
+                )
+    row = df.agg(*aggs).first().asDict()
+    row["_schema"] = schema
+    row["_dtypes"] = dtypes
+    return row
+
+
+def suggest_rows(df: DataFrame, cols: list[str]) -> list[dict]:
+    """The suggestion rules applied to one profile pass — a list of plain
+    dicts matching ``REPORT_SCHEMA`` (sorted by (column, kind))."""
+    prof = _profile(df, cols)
+    n = prof["_n"]
+    schema, dtypes = prof["_schema"], prof["_dtypes"]
+
+    # second tiny aggregate: value sets for the low-cardinality strings
+    low_card = [
+        c
+        for i, c in enumerate(cols)
+        if dtypes[c] == "string" and 0 < prof[f"_nd_{i}"] <= CAT_MAX
+    ]
+    value_sets: dict[str, list[str]] = {}
+    if low_card:
+        sets_row = df.agg(
+            *[
+                F.sort_array(F.collect_set(F.col(c))).alias(f"_set_{i}")
+                for i, c in enumerate(low_card)
+            ]
+        ).first()
+        value_sets = {c: list(sets_row[f"_set_{i}"]) for i, c in enumerate(low_card)}
+
+    rows: list[dict] = []
+
+    def emit(c, kind, lo=None, hi=None, max_rate=None, pattern=None,
+             allowed=None, rationale=""):
+        rows.append(
+            dict(column_name=c, kind=kind, lo=lo, hi=hi, max_rate=max_rate,
+                 pattern=pattern, allowed=allowed, rationale=rationale)
+        )
+
+    for i, c in enumerate(cols):
+        nulls, nd = prof[f"_nulls_{i}"], prof[f"_nd_{i}"]
+        nonnull = n - nulls
+        r = (nulls / n) if n else 0.0
+        emit(
+            c, "null_rate",
+            max_rate=0.0 if nulls == 0 else round(min(1.0, r * 1.25), 8),
+            rationale=f"observed null rate {round(r, 8)} over {n} rows",
+        )
+        if isinstance(schema[c], _NUMERIC) and nonnull > 0:
+            mn, mx = float(prof[f"_min_{i}"]), float(prof[f"_max_{i}"])
+            pad = 0.1 * (mx - mn)
+            emit(
+                c, "bounds", lo=round(mn - pad, 8), hi=round(mx + pad, 8),
+                rationale=f"observed [{mn}, {mx}], 10% slack",
+            )
+        if dtypes[c] == "string" and nonnull > 0:
+            for j, (pname, pat) in enumerate(PATTERNS):
+                if prof[f"_pat_{i}_{j}"] == nonnull:
+                    emit(
+                        c, "pattern", max_rate=0.0, pattern=pat,
+                        rationale=f"all {nonnull} non-null values match {pname}",
+                    )
+                    break
+        if c in value_sets:
+            emit(
+                c, "allowed", max_rate=0.0, allowed=",".join(value_sets[c]),
+                rationale=f"{nd} distinct values (<= {CAT_MAX})",
+            )
+        if nonnull > 0 and nd == nonnull:
+            emit(
+                c, "unique",
+                rationale=(
+                    "all non-null values distinct in the baseline; absolute "
+                    "counts do not transfer — add to the suite's key_cols (V5)"
+                ),
+            )
+    return sorted(rows, key=lambda r: (r["column_name"], r["kind"]))
+
+
+def suggest_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Suggestions as a DataFrame (the catalog/report form)."""
+    return df.sparkSession.createDataFrame(suggest_rows(df, cols), REPORT_SCHEMA)
+
+
+def rows_to_constraints(rows: list[dict]) -> list[StatsConstraint]:
+    """Typed constraints from suggestion rows (``unique`` hints are advisory
+    only — see the module docstring)."""
+    out: list[StatsConstraint] = []
+    for r in rows:
+        if r["kind"] == "null_rate":
+            out.append(NullRate(r["column_name"], max_rate=r["max_rate"]))
+        elif r["kind"] == "bounds":
+            out.append(Bounds(r["column_name"], lo=r["lo"], hi=r["hi"]))
+        elif r["kind"] == "pattern":
+            out.append(
+                TypeConformance(
+                    r["column_name"], pattern=r["pattern"], max_rate=r["max_rate"]
+                )
+            )
+        elif r["kind"] == "allowed":
+            out.append(
+                TypeConformance(
+                    r["column_name"],
+                    allowed=tuple(r["allowed"].split(",")),
+                    max_rate=r["max_rate"],
+                )
+            )
+    return out
+
+
+def suggested_constraints(df: DataFrame, cols: list[str]) -> list[StatsConstraint]:
+    """Profile ``df`` and return the enforceable constraint list — by
+    construction the baseline itself passes every one of them (pinned in
+    tests: the round-trip guarantee)."""
+    return rows_to_constraints(suggest_rows(df, cols))
+
+
+# ---------------------------------------------------------------------------
+# (De)serialization — so `suggest` can write a file `suite --constraints`
+# loads back, closing the suggest -> review -> enforce loop
+# ---------------------------------------------------------------------------
+
+_KINDS = {
+    "NullRate": NullRate,
+    "Bounds": Bounds,
+    "DistinctCount": DistinctCount,
+    "TypeConformance": TypeConformance,
+    "PredicateRate": PredicateRate,
+}
+
+
+def constraints_to_json(constraints: list[StatsConstraint]) -> str:
+    payload = []
+    for c in constraints:
+        d = {k: v for k, v in c.__dict__.items() if v is not None}
+        if isinstance(c, TypeConformance) and c.allowed is not None:
+            d["allowed"] = list(c.allowed)
+        payload.append({"type": type(c).__name__, **d})
+    return json.dumps(payload, indent=2)
+
+
+def constraints_from_json(text: str) -> list[StatsConstraint]:
+    out = []
+    for d in json.loads(text):
+        cls = _KINDS[d.pop("type")]
+        if cls is TypeConformance and "allowed" in d:
+            d["allowed"] = tuple(d["allowed"])
+        out.append(cls(**d))
+    return out

@@ -1,0 +1,134 @@
+"""Constraint suggestion (`driftval.suggest`): the round-trip guarantee
+(a baseline passes its own suggestions), planted-anomaly detection through
+the suggested set, pattern/categorical/unique rules, and the JSON
+serialization loop the `suggest` -> `suite --constraints` CLI path uses."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftval import suggest
+from driftval.checks.stats import (
+    Bounds,
+    NullRate,
+    TypeConformance,
+    stats_verdicts,
+)
+
+COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_round_trip_guarantee(spark, docs):
+    """By construction the baseline passes every suggested constraint."""
+    cons = suggest.suggested_constraints(docs, COLS)
+    assert cons, "no constraints suggested"
+    v = stats_verdicts(docs, "source", cons)
+    failed = v.where(~F.col("passed")).collect()
+    assert not failed, failed
+
+
+def test_rule_kinds_on_documents(docs):
+    rows = suggest.suggest_rows(docs, COLS)
+    kinds = {(r["column_name"], r["kind"]) for r in rows}
+    # every column gets a null_rate; numerics get bounds; low-card strings
+    # get the containment set; the dense id is flagged unique (hint only)
+    assert all((c, "null_rate") in kinds for c in COLS)
+    assert ("doc_id", "bounds") in kinds and ("n_chars", "bounds") in kinds
+    assert ("lang", "allowed") in kinds and ("source", "allowed") in kinds
+    assert ("doc_id", "unique") in kinds
+    # the unique hint is advisory: it must NOT become a constraint
+    cons = suggest.rows_to_constraints(rows)
+    assert all(not isinstance(c, tuple) for c in cons)
+    assert {type(c) for c in cons} == {NullRate, Bounds, TypeConformance}
+
+
+def test_pattern_rule_fires_on_hex40(spark):
+    df = spark.createDataFrame(
+        [(("%040x" % i), f"2026-01-{i + 1:02d}", str(i)) for i in range(9)],
+        "commit string, day string, num string",
+    )
+    rows = {(r["column_name"], r["kind"]): r for r in suggest.suggest_rows(
+        df, ["commit", "day", "num"]
+    )}
+    assert rows[("commit", "pattern")]["pattern"] == "[0-9a-f]{40}"
+    assert rows[("day", "pattern")]["pattern"] == r"\d{4}-\d{2}-\d{2}"
+    assert rows[("num", "pattern")]["pattern"] == "-?[0-9]+"
+
+
+def test_null_rate_slack_and_nonzero(spark):
+    df = spark.createDataFrame(
+        [(i, None if i < 2 else "x") for i in range(10)], "i long, s string"
+    )
+    rows = {(r["column_name"], r["kind"]): r for r in suggest.suggest_rows(df, ["s"])}
+    # observed 0.2 -> 25% headroom
+    assert rows[("s", "null_rate")]["max_rate"] == round(0.2 * 1.25, 8)
+
+
+def test_suggested_set_catches_planted_anomalies(spark, docs):
+    cons = suggest.suggested_constraints(docs, COLS)
+    bad = spark.createDataFrame(
+        [
+            # lang outside the learned set, n_chars far out of bounds,
+            # null text
+            (9001, None, "xx", "srcNEW", 10_000_000),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    v = stats_verdicts(docs.unionByName(bad), "source", cons).toPandas()
+    failed = set(v[~v["passed"]]["check_name"])
+    assert "type_conformance:lang" in failed
+    assert "bounds:n_chars" in failed
+    assert "null_rate:text" in failed
+
+
+def test_json_round_trip(docs):
+    cons = suggest.suggested_constraints(docs, COLS)
+    back = suggest.constraints_from_json(suggest.constraints_to_json(cons))
+    assert back == cons
+
+
+def test_cli_suggest_then_suite_enforces(spark, docs, tmp_path):
+    """The full loop: `suggest --out` writes JSON, `suite --constraints`
+    loads it, and a clean table passes the enforced set."""
+    import os
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = tmp_path / "files"
+    files = docs.selectExpr(
+        "source AS part_date", "'org/a' AS repo",
+        "cast(doc_id AS string) AS path", "repeat('0', 40) AS commit",
+        "lang", "text AS content", "n_chars",
+    )
+    files.write.parquet(str(src))
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", "suggest", "--path", str(src),
+         "--columns", "lang,n_chars", "--out", str(tmp_path / "cons.json")],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "enforceable constraints ->" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", "suite", "--path", str(src),
+         "--checkpoint", str(tmp_path / "ckpt"), "--run-id", "rs",
+         "--baseline", "src0", "--block-size", "100000",
+         "--constraints", str(tmp_path / "cons.json")],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=600,
+    )
+    # exit 1 just means SOME verdict failed (drift checks legitimately fire
+    # on this improvised fixture); the contract under test is that the
+    # loaded constraint rows ran and passed
+    assert out.returncode in (0, 1), out.stderr[-2000:]
+    ck = spark.read.parquet(str(tmp_path / "ckpt")).toPandas()
+    assert "type_conformance:lang" in set(ck["check_name"])
+    assert "bounds:n_chars" in set(ck["check_name"])
+    assert ck[ck["check_name"].isin(
+        ["type_conformance:lang", "bounds:n_chars"]
+    )]["passed"].all()
