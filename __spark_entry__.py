@@ -865,6 +865,32 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+ANOM_SALTS = ("h1", "h2", "h3")
+ANOM_CONS = [
+    Bounds("n_chars", lo=0, hi=10**9, label="n_chars"),
+    NullRate("lang", 0.5),
+]
+
+
+def q_metric_anomaly(spark, sf_dir):
+    """Metric-history anomaly scoring (driftval/checkpoint.py
+    metric_anomaly): history = the same checks over three deterministic
+    50% hash-samples (stand-ins for prior runs), current = the full table.
+    The n_chars bounds metric (per-source max) varies per sample — real
+    z-scores; the lang null-rate is 0 in every run — the degenerate-sigma
+    branch. n_sigma=1 so both ok and anomalous rows appear."""
+    from driftval.checkpoint import metric_anomaly
+
+    d = _t(spark, sf_dir, "documents")
+    hist = None
+    for salt in ANOM_SALTS:
+        samp = sampling.deterministic_sample(d, "doc_id", 0.5, salt=salt)
+        v = stats_verdicts(samp, "source", ANOM_CONS)
+        hist = v if hist is None else hist.unionByName(v)
+    cur = stats_verdicts(d, "source", ANOM_CONS)
+    return metric_anomaly(hist, cur, n_sigma=1.0)
+
+
 def q_constraint_suggestions(spark, sf_dir):
     """Deequ-style constraint suggestion over the documents table: the
     deterministic rule set of driftval/suggest.py applied to one profile
@@ -1948,6 +1974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Deequ-style constraint suggestion (full DuckDB twin; post-window
         # — ROUND-5 ROTATION: front this)
         "constraint_suggestions": q_constraint_suggestions,
+        # metric-history anomaly scoring (full DuckDB twin; post-window —
+        # ROUND-5 ROTATION: front this)
+        "metric_anomaly": q_metric_anomaly,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -2342,6 +2371,52 @@ SELECT doc_id, bucket,
        printf('%05d-%06d', bucket, ("offset" // {SHARD_TOKENS})::INT) AS shard,
        n_tokens, "offset"
 FROM o
+"""
+
+
+def _metric_anomaly_sql() -> str:
+    """metric_anomaly twin: the same three hash-sample 'runs', the same
+    per-source metrics, the same z/status rules (rounded z compared, like
+    the Spark side)."""
+    thr = sampling.threshold_for(0.5)
+    salts = ", ".join(f"'{s}'" for s in ANOM_SALTS)
+    return f"""
+WITH h AS (
+  SELECT s.salt, d.source::VARCHAR AS pv,
+         max(d.n_chars)::DOUBLE AS m_bounds,
+         avg(CASE WHEN d.lang IS NULL THEN 1.0 ELSE 0.0 END) AS m_null
+  FROM documents d
+  JOIN (SELECT unnest([{salts}]) AS salt) s
+    ON ('0x' || substr(md5(d.doc_id::VARCHAR || s.salt), 1, 15))::BIGINT < {thr}
+  GROUP BY 1, 2
+), hist AS (
+  SELECT pv, 'bounds:n_chars' AS check_name, m_bounds AS metric FROM h
+  UNION ALL SELECT pv, 'null_rate:lang', m_null FROM h
+), curagg AS (
+  SELECT source::VARCHAR AS pv, max(n_chars)::DOUBLE AS m_bounds,
+         avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END) AS m_null
+  FROM documents GROUP BY 1
+), cur AS (
+  SELECT pv, 'bounds:n_chars' AS check_name, m_bounds AS metric FROM curagg
+  UNION ALL SELECT pv, 'null_rate:lang', m_null FROM curagg
+), agg AS (
+  SELECT pv, check_name, count(*)::BIGINT AS n_history,
+         avg(metric) AS mean_raw, stddev_pop(metric) AS std_raw
+  FROM hist GROUP BY 1, 2
+)
+SELECT c.pv AS partition_value, c.check_name, c.metric::DOUBLE AS metric,
+       coalesce(a.n_history, 0)::BIGINT AS n_history,
+       round(a.mean_raw, 8) AS hist_mean,
+       round(a.std_raw, 8) AS hist_std,
+       (CASE WHEN a.std_raw > 0
+             THEN round((c.metric - a.mean_raw) / a.std_raw, 8) END)::DOUBLE AS z,
+       CASE WHEN coalesce(a.n_history, 0) < 3 THEN 'insufficient_history'
+            WHEN a.std_raw = 0 THEN
+              CASE WHEN c.metric <> a.mean_raw THEN 'anomalous' ELSE 'ok' END
+            WHEN abs(round((c.metric - a.mean_raw) / a.std_raw, 8)) > 1.0
+              THEN 'anomalous'
+            ELSE 'ok' END AS status
+FROM cur c LEFT JOIN agg a ON c.pv = a.pv AND c.check_name = a.check_name
 """
 
 
@@ -4111,6 +4186,7 @@ FROM chunks
         "shard_manifest": _shard_manifest_sql(),
         "source_jaccard_kmv": _kmv_jaccard_sql(),
         "constraint_suggestions": _suggest_sql(),
+        "metric_anomaly": _metric_anomaly_sql(),
         "pack_stats": f"""
 WITH plan AS ({_pack_plan_sql()}), pb AS (
   SELECT bucket, count(*) AS _docs, sum(n_tokens) AS _toks,

@@ -212,6 +212,7 @@ def cmd_suite(spark, args) -> int:
         min_keep_rate=args.min_keep_rate,
         classifier_model=_load_clf_model(args.clf_model),
         max_snapshot_lag=args.max_snapshot_lag,
+        anomaly_sigma=args.anomaly_sigma,
         volume_ratio_bounds=(
             tuple(float(b) for b in args.volume_ratio_bounds.split(","))
             if args.volume_ratio_bounds
@@ -391,6 +392,27 @@ def cmd_clonescan(spark, args) -> int:
         f"{n_new} fingerprints appended; matches -> {args.out}"
     )
     return 0
+
+
+def cmd_anomaly(spark, args) -> int:
+    """Metric-history triage view from the checkpoint table: z-score this
+    run's metrics against all prior runs; exit 1 iff anything is anomalous
+    — the CI hook for 'metrics moved abnormally though thresholds passed'."""
+    from pyspark.sql import functions as F
+
+    from driftval.checkpoint import CheckpointStore, metric_anomaly
+
+    store = CheckpointStore(spark, args.checkpoint)
+    rows = store.read()
+    cur = rows.where(F.col("run_id") == args.run_id)
+    hist = rows.where(F.col("run_id") != args.run_id)
+    rep = metric_anomaly(
+        hist, cur, n_sigma=args.sigma, min_history=args.min_history
+    ).toPandas().sort_values(["status", "partition_value", "check_name"])
+    print(rep.to_string(index=False))
+    n_anom = int((rep["status"] == "anomalous").sum())
+    print(f"{n_anom} anomalous metric(s)")
+    return 1 if n_anom else 0
 
 
 def cmd_suggest(spark, args) -> int:
@@ -736,6 +758,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable comment-insensitive duplicate-rate verdicts: "
                         "fail a partition whose (rows - distinct normalized "
                         "digests)/rows exceeds this")
+    p.add_argument("--anomaly-sigma", type=float, default=None,
+                   help="enable metric-history anomaly scoring vs prior "
+                        "runs in the checkpoint (report kind "
+                        "metric_anomaly); value = the |z| alarm bar")
     p.add_argument("--max-dup-span-frac", type=float, default=None,
                    help="enable substring-span duplication verdicts: fail a "
                         "partition whose within-partition duplicated-span "
@@ -925,6 +951,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument("--salt", default="")
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser(
+        "anomaly", help="z-score a run's metrics against prior runs (exit 1 on alarm)"
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--sigma", type=float, default=3.0)
+    p.add_argument("--min-history", type=int, default=3)
+    p.set_defaults(fn=cmd_anomaly)
 
     p = sub.add_parser(
         "suggest", help="profile a baseline and suggest the constraint set"

@@ -182,3 +182,68 @@ class CheckpointStore:
             .partitionBy("run_id", "partition_value")
             .parquet(self.path)
         )
+
+
+def metric_anomaly(
+    history: DataFrame,
+    current: DataFrame,
+    n_sigma: float = 3.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """Metric-history anomaly detection (Deequ's anomaly checks on the
+    metrics repository, rebuilt over the checkpoint store): for each
+    ``(partition_value, check_name)`` in the CURRENT run, score its metric
+    against the same check's metrics across PRIOR runs.
+
+    ``verdict_diff`` answers "what flipped pass/fail since run A" — this
+    answers the earlier question: "which metrics moved abnormally even
+    though every threshold still passes" (null-rate creeping from 0.1% to
+    0.9% under a 1% threshold fails nothing but is the incident brewing).
+
+    Inputs are verdict frames (``partition_value / check_name / metric``):
+    ``history`` = prior runs' rows (the caller scopes the window — e.g.
+    ``store.read().where(run_id != current_id)``), ``current`` = this run's.
+    Output per current row: ``(partition_value, check_name, metric,
+    n_history, hist_mean, hist_std, z, status)`` with deterministic rules:
+
+    - ``n_history < min_history`` -> ``insufficient_history`` (never
+      anomalous: two points cannot define normal);
+    - population std 0 -> ``anomalous`` iff the metric moved at all
+      (``z`` NULL: sigma is degenerate);
+    - else ``z = (metric - mean) / std`` (rounded 8), ``anomalous`` iff
+      ``|z| > n_sigma``.
+
+    One hash aggregate over the history + a keyed join — O(partitions ×
+    checks), metadata-scale."""
+    hist = history.groupBy("partition_value", "check_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_history"),
+        F.avg("metric").alias("hist_mean"),
+        F.stddev_pop("metric").alias("hist_std"),
+    )
+    cur = current.select("partition_value", "check_name", "metric")
+    j = cur.join(hist, ["partition_value", "check_name"], "left")
+    nh = F.coalesce("n_history", F.lit(0))
+    z = F.when(
+        F.col("hist_std") > 0,
+        F.round((F.col("metric") - F.col("hist_mean")) / F.col("hist_std"), 8),
+    )
+    status = (
+        F.when(nh < int(min_history), F.lit("insufficient_history"))
+        .when(
+            F.col("hist_std") == 0,
+            F.when(F.col("metric") != F.col("hist_mean"), F.lit("anomalous"))
+            .otherwise(F.lit("ok")),
+        )
+        .when(F.abs(z) > F.lit(float(n_sigma)), F.lit("anomalous"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "partition_value",
+        "check_name",
+        F.col("metric").cast("double"),
+        nh.cast("long").alias("n_history"),
+        F.round("hist_mean", 8).alias("hist_mean"),
+        F.round("hist_std", 8).alias("hist_std"),
+        z.cast("double").alias("z"),
+        status.alias("status"),
+    )

@@ -162,6 +162,14 @@ class SuiteConfig:
     # can). Costs one single-column aggregate — the scan prunes to the
     # partition column, so at parquet/Iceberg scale this is metadata-cheap.
     volume_ratio_bounds: tuple[float, float] | None = None
+    # Metric-history anomaly scoring (None = off). A sigma turns it on:
+    # after this run's verdicts land, every (partition, check) metric is
+    # z-scored against the SAME check's metrics across all prior runs in
+    # the checkpoint store (driftval.checkpoint.metric_anomaly) and the
+    # report lands in the reports dataset (kind='metric_anomaly') — the
+    # "null-rate is creeping but still under threshold" early warning.
+    # Metadata-scale: one aggregate over the checkpoint table.
+    anomaly_sigma: float | None = None
     # Snapshot staleness for snapshot-pinned runs (None = off; only
     # meaningful with run_suite(snapshot_root=...)): fail the table-level
     # ``snapshot_lag`` verdict when the validated snapshot trails the
@@ -553,6 +561,29 @@ def _diff_report_frame(store: CheckpointStore, run_id: str, diff_run_id: str) ->
         F.col("metric_delta").cast("double").alias("value_double"),
         F.col("transition").alias("value_str"),
         F.lit("verdict_diff").alias("kind"),
+        F.lit(run_id).alias("run_id"),
+    )
+
+
+def _anomaly_report_frame(
+    store: CheckpointStore, run_id: str, cfg: SuiteConfig
+) -> DataFrame:
+    """metric_anomaly(prior runs, this run) melted into the reports long
+    format — entity = partition/check, value_double = z, value_str =
+    status. Only moved metrics are worth storing: ok rows with
+    insufficient_history/ok status still land (the dashboard shows
+    coverage), scoped to this run's rows."""
+    from driftval.checkpoint import metric_anomaly
+
+    all_rows = store.read()
+    cur = all_rows.where(F.col("run_id") == run_id)
+    hist = all_rows.where(F.col("run_id") != run_id)
+    return metric_anomaly(hist, cur, n_sigma=float(cfg.anomaly_sigma or 3.0)).select(
+        F.concat_ws("/", "partition_value", "check_name").alias("entity"),
+        F.lit("anomaly_z").alias("metric"),
+        F.col("z").alias("value_double"),
+        F.col("status").alias("value_str"),
+        F.lit("metric_anomaly").alias("kind"),
         F.lit(run_id).alias("run_id"),
     )
 
@@ -1489,6 +1520,8 @@ def run_suite(
     # against an earlier checkpointed run — O(partitions x checks) metadata.
     if diff_run_id is not None:
         report_frames.append(_diff_report_frame(store, run_id, diff_run_id))
+    if cfg.anomaly_sigma is not None:
+        report_frames.append(_anomaly_report_frame(store, run_id, cfg))
     if report_frames:
         reports = report_frames[0]
         for f in report_frames[1:]:

@@ -132,3 +132,106 @@ def test_cli_suggest_then_suite_enforces(spark, docs, tmp_path):
     assert ck[ck["check_name"].isin(
         ["type_conformance:lang", "bounds:n_chars"]
     )]["passed"].all()
+
+
+# ---------------------------------------------------------------------------
+# Metric-history anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def _verdict_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "partition_value string, check_name string, metric double"
+    )
+
+
+def test_metric_anomaly_rules(spark):
+    from driftval.checkpoint import metric_anomaly
+
+    hist = _verdict_rows(spark, [
+        # c1: mean 0.2, pop std ~0.0816 -> current 0.5 is z ~ +3.67
+        ("p", "c1", 0.1), ("p", "c1", 0.2), ("p", "c1", 0.3),
+        # c2: constant history -> degenerate sigma
+        ("p", "c2", 0.5), ("p", "c2", 0.5), ("p", "c2", 0.5),
+        # c3: only two points -> insufficient
+        ("p", "c3", 1.0), ("p", "c3", 2.0),
+    ])
+    cur = _verdict_rows(spark, [
+        ("p", "c1", 0.5), ("p", "c2", 0.6), ("p", "c3", 99.0),
+        ("p", "c4", 1.0),  # never seen before
+    ])
+    got = {r.check_name: r for r in metric_anomaly(hist, cur, n_sigma=3.0).collect()}
+    import math
+
+    std = math.sqrt(((0.1 - 0.2) ** 2 + 0 + (0.3 - 0.2) ** 2) / 3)
+    assert got["c1"].status == "anomalous"
+    assert abs(got["c1"].z - round((0.5 - 0.2) / std, 8)) < 1e-9
+    assert got["c1"].n_history == 3
+    assert got["c2"].status == "anomalous" and got["c2"].z is None
+    assert got["c3"].status == "insufficient_history"
+    assert got["c4"].status == "insufficient_history" and got["c4"].n_history == 0
+    # a current metric inside the band is ok
+    ok = metric_anomaly(hist, _verdict_rows(spark, [("p", "c1", 0.25)])).collect()[0]
+    assert ok.status == "ok"
+
+
+def test_suite_anomaly_report_and_cli(spark, tmp_path):
+    """--anomaly-sigma writes kind='metric_anomaly' report rows scored
+    against prior runs in the same checkpoint; the `anomaly` CLI exits 1
+    on an alarm."""
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore
+    from driftval.suite import SuiteConfig, run_suite
+
+    rows = [
+        ("org/r", f"f{i}.py", "%040x" % i, "py", f"body {i} tok{i}", part)
+        for part in ("2026-03-01", "2026-03-02")
+        for i in range(4)
+    ]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, part_date string"
+    )
+    ck = tmp_path / "ckpt"
+    store = CheckpointStore(spark, str(ck))
+    # three fake prior runs: same checks, jittered metrics
+    base = dict(threshold=0.0, violation_count=0, segment_start=None,
+                segment_end=None, rows_scanned=4, content_sha_xor="0",
+                completed_at=pd.Timestamp("2026-02-01"))
+    fake = []
+    for j, rid in enumerate(["a", "b", "c"]):
+        for part in ("2026-03-01", "2026-03-02"):
+            fake.append(dict(base, partition_value=part,
+                             check_name="null_rate:content", passed=True,
+                             metric=0.0, run_id=rid))
+    store.write(spark.createDataFrame(
+        pd.DataFrame(fake)[[f.name for f in CHECKPOINT_SCHEMA.fields]],
+        CHECKPOINT_SCHEMA,
+    ))
+    cfg = SuiteConfig(baseline_partitions=["2026-03-01"], block_size=10_000,
+                      anomaly_sigma=3.0)
+    run_suite(spark, files, cfg, str(ck), run_id="r_now")
+    rep = store.read_reports().where(
+        (F.col("kind") == "metric_anomaly") & (F.col("run_id") == "r_now")
+    ).toPandas()
+    assert len(rep) > 0
+    by_entity = dict(zip(rep["entity"], rep["value_str"]))
+    # the content null-rate matched its (constant-zero) history -> ok
+    assert by_entity["2026-03-02/null_rate:content"] == "ok"
+    # checks with no prior runs are marked, not alarmed
+    assert "insufficient_history" in set(rep["value_str"])
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", "anomaly", "--checkpoint", str(ck),
+         "--run-id", "r_now", "--sigma", "3.0"],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "anomalous metric(s)" in out.stdout
