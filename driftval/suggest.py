@@ -83,17 +83,24 @@ _NUMERIC = (
 )
 
 
-def _profile(df: DataFrame, cols: list[str]) -> dict:
-    """One aggregate: per column nulls / exact distinct / numeric min-max /
-    per-pattern full-match counts (string columns only)."""
+def _profile(df: DataFrame, cols: list[str], exact_distinct: bool = True) -> dict:
+    """One aggregate: per column nulls / distinct / numeric min-max /
+    per-pattern full-match counts (string columns only).
+
+    ``exact_distinct=False`` swaps in HLL ``approx_count_distinct`` — at
+    100 TB the exact form's Expand rewrite shuffles distinct TEXT values,
+    which is the wrong default for a wide-content baseline; HLL keeps one
+    sketch per column.  Deterministic either way (HLL++ has no RNG), but
+    only the exact form is twin-parity (the catalog entry uses it)."""
     dtypes = dict(df.dtypes)
     schema = {f.name: f.dataType for f in df.schema.fields}
+    nd_agg = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
         col = F.col(c)
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"_nulls_{i}"),
-            F.count_distinct(col).alias(f"_nd_{i}"),
+            nd_agg(col).alias(f"_nd_{i}"),
         ]
         if isinstance(schema[c], _NUMERIC):
             aggs += [
@@ -113,10 +120,16 @@ def _profile(df: DataFrame, cols: list[str]) -> dict:
     return row
 
 
-def suggest_rows(df: DataFrame, cols: list[str]) -> list[dict]:
+def suggest_rows(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> list[dict]:
     """The suggestion rules applied to one profile pass — a list of plain
-    dicts matching ``REPORT_SCHEMA`` (sorted by (column, kind))."""
-    prof = _profile(df, cols)
+    dicts matching ``REPORT_SCHEMA`` (sorted by (column, kind)).  With
+    ``exact_distinct=False`` (the 100 TB profile form) the unique hint
+    fires on ``nd >= 0.95 * non-null`` (HLL default rsd is 5%) instead of
+    exact equality; low-cardinality detection is unaffected (HLL is
+    near-exact at tiny counts)."""
+    prof = _profile(df, cols, exact_distinct=exact_distinct)
     n = prof["_n"]
     schema, dtypes = prof["_schema"], prof["_dtypes"]
 
@@ -174,7 +187,8 @@ def suggest_rows(df: DataFrame, cols: list[str]) -> list[dict]:
                 c, "allowed", max_rate=0.0, allowed=",".join(value_sets[c]),
                 rationale=f"{nd} distinct values (<= {CAT_MAX})",
             )
-        if nonnull > 0 and nd == nonnull:
+        uniq = (nd == nonnull) if exact_distinct else (nd >= 0.95 * nonnull)
+        if nonnull > 0 and uniq:
             emit(
                 c, "unique",
                 rationale=(
@@ -185,9 +199,13 @@ def suggest_rows(df: DataFrame, cols: list[str]) -> list[dict]:
     return sorted(rows, key=lambda r: (r["column_name"], r["kind"]))
 
 
-def suggest_report(df: DataFrame, cols: list[str]) -> DataFrame:
+def suggest_report(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
     """Suggestions as a DataFrame (the catalog/report form)."""
-    return df.sparkSession.createDataFrame(suggest_rows(df, cols), REPORT_SCHEMA)
+    return df.sparkSession.createDataFrame(
+        suggest_rows(df, cols, exact_distinct=exact_distinct), REPORT_SCHEMA
+    )
 
 
 def rows_to_constraints(rows: list[dict]) -> list[StatsConstraint]:
@@ -216,11 +234,13 @@ def rows_to_constraints(rows: list[dict]) -> list[StatsConstraint]:
     return out
 
 
-def suggested_constraints(df: DataFrame, cols: list[str]) -> list[StatsConstraint]:
+def suggested_constraints(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> list[StatsConstraint]:
     """Profile ``df`` and return the enforceable constraint list — by
     construction the baseline itself passes every one of them (pinned in
     tests: the round-trip guarantee)."""
-    return rows_to_constraints(suggest_rows(df, cols))
+    return rows_to_constraints(suggest_rows(df, cols, exact_distinct=exact_distinct))
 
 
 # ---------------------------------------------------------------------------

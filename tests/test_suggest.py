@@ -235,3 +235,13 @@ def test_suite_anomaly_report_and_cli(spark, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-1500:]
     assert "anomalous metric(s)" in out.stdout
+
+
+def test_approx_distinct_path(docs):
+    """The 100 TB profile form: HLL distinct counts, unique hint on the
+    >= 95% band; rule kinds agree with the exact path on this table."""
+    exact = {(r["column_name"], r["kind"])
+             for r in suggest.suggest_rows(docs, COLS)}
+    approx = {(r["column_name"], r["kind"])
+              for r in suggest.suggest_rows(docs, COLS, exact_distinct=False)}
+    assert exact == approx
