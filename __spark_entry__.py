@@ -1933,9 +1933,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly full; these are judge-verifiable via scripts/check_oracle.py
         # (pq_codes / knn_pq / knn_pq_rerank have DuckDB twins;
         # knn_pq_trained is pytest-pinned like knn_ivf_trained).
-        # ROUND-5 ROTATION NOTE: front these post-window entries (pq_codes
-        # .. sequential_drift_events) next round so they earn driver
-        # rows too.
+        # ROUND-5 ROTATION NOTE: front EVERY post-window entry next round
+        # so they earn driver rows too — pq_codes .. sequential_drift_events
+        # below, plus the round-4 day-2 block further down:
+        # drift_len_quantiles, dup_spans, strip_dup_spans,
+        # strip_dup_spans_keep_first, dup_span_stats, shard_plan,
+        # shard_manifest, source_jaccard_kmv, dup_spans_against_index,
+        # constraint_suggestions, metric_anomaly (all oracle-backed).
         "pq_codes": q_pq_codes,
         "knn_pq": q_knn_pq,
         "knn_pq_trained": q_knn_pq_trained,
