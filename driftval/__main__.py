@@ -213,6 +213,9 @@ def cmd_suite(spark, args) -> int:
         classifier_model=_load_clf_model(args.clf_model),
         max_snapshot_lag=args.max_snapshot_lag,
         anomaly_sigma=args.anomaly_sigma,
+        suggest_from_baseline=(
+            tuple(args.suggest_from.split(",")) if args.suggest_from else None
+        ),
         volume_ratio_bounds=(
             tuple(float(b) for b in args.volume_ratio_bounds.split(","))
             if args.volume_ratio_bounds
@@ -758,6 +761,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="enable comment-insensitive duplicate-rate verdicts: "
                         "fail a partition whose (rows - distinct normalized "
                         "digests)/rows exceeds this")
+    p.add_argument("--suggest-from", default=None,
+                   help="comma-separated raw columns: profile the baseline "
+                        "partitions and enforce the suggested constraints "
+                        "on pending ones (hands-off suggest loop)")
     p.add_argument("--anomaly-sigma", type=float, default=None,
                    help="enable metric-history anomaly scoring vs prior "
                         "runs in the checkpoint (report kind "

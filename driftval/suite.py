@@ -162,6 +162,13 @@ class SuiteConfig:
     # can). Costs one single-column aggregate — the scan prunes to the
     # partition column, so at parquet/Iceberg scale this is metadata-cheap.
     volume_ratio_bounds: tuple[float, float] | None = None
+    # Constraint self-suggestion (None = off). A tuple of raw column names
+    # turns it on: the BASELINE partitions are profiled at run time
+    # (driftval.suggest rules — deterministic, so resume re-derives the
+    # same set) and the suggested constraints are enforced on pending
+    # partitions alongside extra_constraints. The hands-off form of the
+    # suggest-CLI -> --constraints loop.
+    suggest_from_baseline: tuple[str, ...] | None = None
     # Metric-history anomaly scoring (None = off). A sigma turns it on:
     # after this run's verdicts land, every (partition, check) metric is
     # z-scored against the SAME check's metrics across all prior runs in
@@ -1194,21 +1201,36 @@ def run_suite(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     derived_pending = derived.where(F.col(pcol).cast("string").isin(pending))
 
-    if cfg.stats_constraints or cfg.extra_constraints:
+    extra_cons = list(cfg.extra_constraints)
+    if cfg.suggest_from_baseline:
+        # self-suggestion: profile THE BASELINE PARTITIONS of this very
+        # table and enforce the derived set on the pending ones — the
+        # profile is deterministic so resume re-derives the identical
+        # constraints (and the round-trip guarantee means the baseline
+        # itself would pass them)
+        from driftval.suggest import suggested_constraints
+
+        base_files = files.where(
+            F.col(pcol).cast("string").isin(cfg.baseline_partitions)
+        )
+        extra_cons += suggested_constraints(
+            base_files, list(cfg.suggest_from_baseline)
+        )
+    if cfg.stats_constraints or extra_cons:
         # custom constraints may reference arbitrary raw columns
         scoped_raw = files.where(F.col(pcol).cast("string").isin(pending))
     if cfg.stats_constraints:
         frames: list[DataFrame] = [
             stats_verdicts(
-                scoped_raw, pcol, cfg.stats_constraints + cfg.extra_constraints
+                scoped_raw, pcol, cfg.stats_constraints + extra_cons
             )
         ]
     else:
         frames = [stats_verdicts(derived_pending, pcol, _derived_default_constraints(cfg))]
-        if cfg.extra_constraints:
+        if extra_cons:
             # extras ADD to the defaults (one more pass over the raw frame —
             # they may reference columns the derived pass dropped)
-            frames.append(stats_verdicts(scoped_raw, pcol, cfg.extra_constraints))
+            frames.append(stats_verdicts(scoped_raw, pcol, extra_cons))
 
     if cfg.secret_patterns:
         frames.append(secret_suite_verdicts(derived_pending, cfg))

@@ -245,3 +245,32 @@ def test_approx_distinct_path(docs):
     approx = {(r["column_name"], r["kind"])
               for r in suggest.suggest_rows(docs, COLS, exact_distinct=False)}
     assert exact == approx
+
+
+def test_suite_suggest_from_baseline(spark, tmp_path):
+    """--suggest-from: constraints derived from the baseline partitions are
+    enforced on pending ones — a pending partition that breaks the
+    baseline's learned lang set fails type_conformance."""
+    from driftval.suite import SuiteConfig, run_suite
+
+    rows = []
+    for i in range(6):
+        rows.append(("org/r", f"a{i}.py", "%040x" % i, "py", f"base body {i}", "2026-04-01"))
+    for i in range(6):
+        lang = "rs" if i < 2 else "py"  # rs never seen in baseline
+        rows.append(("org/r", f"b{i}.py", "%040x" % (100 + i), lang, f"new body {i}", "2026-04-02"))
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+        "content string, part_date string"
+    )
+    cfg = SuiteConfig(
+        baseline_partitions=["2026-04-01"],
+        block_size=10_000,
+        suggest_from_baseline=("lang",),
+    )
+    v = run_suite(
+        spark, files, cfg, str(tmp_path / "ckpt"), run_id="rsug"
+    ).toPandas()
+    tc = v[v["check_name"] == "type_conformance:lang"].set_index("partition_value")
+    assert not bool(tc.loc["2026-04-02", "passed"])  # rs outside learned {py}
+    assert bool(tc.loc["2026-04-01", "passed"])      # baseline passes its own set
