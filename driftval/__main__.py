@@ -656,7 +656,7 @@ def cmd_snapmaint(spark, args) -> int:
     elif args.action == "orphans":
         orphans = snaptable.orphan_files(args.root, delete=args.delete)
         print(_json.dumps({"orphans": orphans, "deleted": bool(args.delete)}))
-    else:  # compact
+    elif args.action == "compact":
         if not args.where:
             print("compact requires --where col=value", flush=True)
             return 2
@@ -665,6 +665,16 @@ def cmd_snapmaint(spark, args) -> int:
             spark, args.root, where, target_files=args.target_files
         )
         print(_json.dumps({"snapshot_id": sid, "compacted": where}))
+    else:  # cluster (Z-order rewrite)
+        if not args.where or not args.by:
+            print("cluster requires --where col=value and --by col,col", flush=True)
+            return 2
+        where = dict(kv.split("=", 1) for kv in args.where)
+        sid = snaptable.cluster_partition(
+            spark, args.root, where, args.by.split(","),
+            target_files=args.target_files, bits=args.bits,
+        )
+        print(_json.dumps({"snapshot_id": sid, "clustered": where, "by": args.by}))
     return 0
 
 
@@ -936,9 +946,10 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_quality)
 
     p = sub.add_parser(
-        "snapmaint", help="snapshot-table maintenance: expire / orphans / compact"
+        "snapmaint",
+        help="snapshot-table maintenance: expire / orphans / compact / cluster",
     )
-    p.add_argument("action", choices=["expire", "orphans", "compact"])
+    p.add_argument("action", choices=["expire", "orphans", "compact", "cluster"])
     p.add_argument("--root", required=True, help="snapshot table root")
     p.add_argument("--keep-last", type=int, default=2, help="expire: snapshots to retain")
     p.add_argument("--delete", action="store_true", help="orphans: also remove them")
@@ -946,6 +957,10 @@ def main(argv: list[str] | None = None) -> int:
         "--where", nargs="*", default=[], help="compact: partition selection col=value"
     )
     p.add_argument("--target-files", type=int, default=1)
+    p.add_argument("--by", default=None,
+                   help="cluster: comma-separated Z-order columns")
+    p.add_argument("--bits", type=int, default=16,
+                   help="cluster: Z-value bits per column")
     p.set_defaults(fn=cmd_snapmaint)
 
     p = sub.add_parser("pack", help="write a sequence-packing layout plan")

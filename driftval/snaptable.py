@@ -48,7 +48,7 @@ import json
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -529,3 +529,107 @@ def compact_partition(
         spec,
         replace_where=where,
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (Iceberg's rewrite_data_files strategy=sort / Delta
+# OPTIMIZE ZORDER BY)
+# ---------------------------------------------------------------------------
+
+
+def zorder_value(
+    df: "DataFrame", cols: list[str], bits: int = 16
+) -> "Column":
+    """The interleaved-bit Z-value of ``cols`` as a single LONG column
+    expression: each column is min-max-scaled to a ``bits``-bit integer
+    (one tiny min/max aggregate per call, collected here — O(cols)
+    doubles), then the columns' bits are interleaved MSB-first so
+    lexicographic order on the result is Morton order over the column
+    space.  Numeric columns scale by value; string columns scale by the
+    60-bit md5-prefix hash (hash order carries no range locality, but
+    clustering equal values together is exactly what file pruning on
+    equality predicates needs).
+
+    ``bits * len(cols)`` must fit 63 bits (2 cols × 16 bits or 3 × 16 are
+    typical)."""
+    from driftval.sampling import hash60
+
+    if bits * len(cols) > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a long")
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    span = (1 << bits) - 1
+    scaled: list[Column] = []
+    for c in cols:
+        if c in numeric:
+            mm = df.agg(
+                F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))
+            ).first()
+            lo, hi = mm[0] or 0.0, mm[1] or 0.0
+            rng = (hi - lo) or 1.0
+            s = F.round((F.col(c).cast("double") - F.lit(lo)) / F.lit(rng) * span)
+            scaled.append(
+                F.least(F.lit(span), F.greatest(F.lit(0), s)).cast("long")
+            )
+        else:
+            # 60-bit hash -> top `bits` bits
+            scaled.append(
+                F.shiftrightunsigned(hash60(F.col(c)), 60 - bits).cast("long")
+            )
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for b in range(bits - 1, -1, -1):  # MSB first
+        for s in scaled:
+            # Column | / & are BOOLEAN in PySpark — bitwise needs methods
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftrightunsigned(s, b).bitwiseAND(one)
+            )
+    return z
+
+
+def cluster_partition(
+    spark: SparkSession,
+    root: str,
+    where: dict[str, object],
+    by_cols: list[str],
+    target_files: int = 8,
+    bits: int = 16,
+) -> int:
+    """Z-order rewrite of one partition selection: rows are range-split
+    into ``target_files`` files BY Z-VALUE and sorted within each — after
+    the rewrite every file covers a narrow hyper-rectangle of the
+    ``by_cols`` space, so parquet min/max (and Iceberg file-level stats)
+    prune most files for predicates on ANY prefix-free combination of the
+    clustered columns, not just the leading sort key.  Same commit contract
+    as :func:`compact_partition` (overwrite-commit of the selection; older
+    snapshots keep the unclustered files until expiry).
+
+    Scale shape: one min/max aggregate per numeric cluster column + ONE
+    range-partitioned shuffle of the selection keyed by the 64-bit Z-value
+    (range boundaries from Spark's sampled partitioner — no global sort on
+    a single task), then a per-file local sort."""
+    if not where:
+        raise ValueError("cluster_partition requires a partition selection")
+    manifest = read_manifest(root)
+    spec = manifest["partition_spec"]
+    missing = [c for c in where if c not in spec]
+    if missing:
+        raise ValueError(
+            f"cluster selection columns {missing} not in the current "
+            f"partition spec {spec}"
+        )
+    rows = read_snapshot(spark, root, where=where)
+    if not rows.take(1):
+        raise ValueError(f"no rows match {where}; refusing an empty cluster")
+    z = zorder_value(rows, by_cols, bits=bits)
+    clustered = (
+        rows.withColumn("_z", z)
+        .repartitionByRange(max(1, int(target_files)), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return commit_overwrite(spark, root, clustered, spec, replace_where=where)

@@ -537,3 +537,104 @@ def test_suite_snapshot_lag_verdict(spark, root, tmp_path):
         snapshot_root=root, snapshot_id=3,
     ).toPandas()
     assert not (v_off["check_name"] == "snapshot_lag").any()
+
+
+def test_zorder_value_is_morton_order(spark):
+    """Bit-interleave sanity on a known grid: for (x, y) scaled to 2 bits
+    each, the Z-value must equal the hand-computed Morton code."""
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = snaptable.zorder_value(df, ["x", "y"], bits=2)
+    got = {(r.x, r.y): r.z for r in df.withColumn("z", z).collect()}
+
+    def morton(x, y):
+        out = 0
+        for b in (1, 0):
+            out = (out << 1) | ((x >> b) & 1)
+            out = (out << 1) | ((y >> b) & 1)
+        return out
+
+    # min-max scaling maps 0..3 onto 0..3 exactly at bits=2
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+
+
+def test_cluster_partition_tightens_file_stats(spark, root):
+    """Z-order rewrite: after clustering on (repo, n_line), every data file
+    covers a narrow slice of the clustered space — parquet min/max per file
+    shrink versus the unclustered layout, and rows are byte-identical."""
+    import pyarrow.parquet as pq
+
+    rows = [
+        Row(
+            repo=f"r{i % 8}",
+            path=f"src/f{i}.py",
+            commit=f"{i:040x}",
+            lang="py",
+            content=f"print({i})",
+            n_line=i % 100,
+            part_date="2026-01-01",
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows).repartition(8)  # scattered layout
+    snaptable.commit_append(spark, root, df, ["part_date"])
+
+    def span_stats(manifest):
+        spans = []
+        for f in manifest["files"]:
+            md = pq.ParquetFile(os.path.join(root, f["path"])).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "n_line"
+            )
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return spans
+
+    before_manifest = snaptable.read_manifest(root)
+    before = span_stats(before_manifest)
+    rows_before = sorted(map(tuple, snaptable.read_snapshot(spark, root).collect()))
+
+    sid = snaptable.cluster_partition(
+        spark, root, {"part_date": "2026-01-01"}, ["n_line"],
+        target_files=8, bits=8,
+    )
+    after_manifest = snaptable.read_manifest(root, sid)
+    after = span_stats(after_manifest)
+    rows_after = sorted(
+        map(tuple, snaptable.read_snapshot(spark, root, snapshot_id=sid).collect())
+    )
+    assert rows_after == rows_before  # rewrite is byte-faithful
+    # scattered files each span ~the whole 0..99 range; 1-D clustering into
+    # 8 range files leaves each covering ~1/8 of it
+    assert sum(after) / len(after) < 0.3 * sum(before) / len(before), (before, after)
+
+    # 2-D Z-order: interleaving shares the narrowing between both columns,
+    # so the bound is looser but must still beat the scattered layout
+    sid2 = snaptable.cluster_partition(
+        spark, root, {"part_date": "2026-01-01"}, ["repo", "n_line"],
+        target_files=8, bits=8,
+    )
+    after2 = span_stats(snaptable.read_manifest(root, sid2))
+    assert sum(after2) / len(after2) < 0.8 * sum(before) / len(before), (
+        before, after2,
+    )
+
+
+def test_cluster_partition_rejects_bad_selection(spark, root):
+    snaptable.commit_append(
+        spark, root, _files(spark, ["2026-01-01"], ["py"]), ["part_date"]
+    )
+    with pytest.raises(ValueError):
+        snaptable.cluster_partition(spark, root, {}, ["repo"])
+    with pytest.raises(ValueError):
+        snaptable.cluster_partition(spark, root, {"nope": "x"}, ["repo"])
+    with pytest.raises(ValueError):
+        snaptable.cluster_partition(
+            spark, root, {"part_date": "2099-01-01"}, ["repo"]
+        )
+    with pytest.raises(ValueError):
+        snaptable.zorder_value(
+            _files(spark, ["2026-01-01"], ["py"]), ["repo"] * 5, bits=16
+        )
