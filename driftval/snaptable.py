@@ -563,13 +563,20 @@ def zorder_value(
         in ("byte", "short", "integer", "long", "float", "double", "decimal")
     }
     span = (1 << bits) - 1
+    num_cols = [c for c in cols if c in numeric]
+    ranges: dict[str, tuple[float, float]] = {}
+    if num_cols:
+        # ONE aggregate for every numeric cluster column (column-pruned scan)
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"_lo_{i}") for i, c in enumerate(num_cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"_hi_{i}") for i, c in enumerate(num_cols)],
+        ).first()
+        for i, c in enumerate(num_cols):
+            ranges[c] = (row[f"_lo_{i}"] or 0.0, row[f"_hi_{i}"] or 0.0)
     scaled: list[Column] = []
     for c in cols:
         if c in numeric:
-            mm = df.agg(
-                F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))
-            ).first()
-            lo, hi = mm[0] or 0.0, mm[1] or 0.0
+            lo, hi = ranges[c]
             rng = (hi - lo) or 1.0
             s = F.round((F.col(c).cast("double") - F.lit(lo)) / F.lit(rng) * span)
             scaled.append(
