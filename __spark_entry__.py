@@ -865,6 +865,18 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+def q_zorder_codes(spark, sf_dir):
+    """Morton (Z-order) codes over (doc_id, n_chars) at 8 bits/column —
+    the clustering key snapmaint's Z-order rewrite sorts by
+    (driftval/snaptable.py zorder_value); the twin replays the identical
+    min-max scaling and bit interleave in integer SQL."""
+    from driftval import snaptable
+
+    d = _t(spark, sf_dir, "documents")
+    z = snaptable.zorder_value(d, ["doc_id", "n_chars"], bits=8)
+    return d.select("doc_id", z.alias("z"))
+
+
 ANOM_SALTS = ("h1", "h2", "h3")
 ANOM_CONS = [
     Bounds("n_chars", lo=0, hi=10**9, label="n_chars"),
@@ -1981,6 +1993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metric-history anomaly scoring (full DuckDB twin; post-window —
         # ROUND-5 ROTATION: front this)
         "metric_anomaly": q_metric_anomaly,
+        # Z-order clustering key (full DuckDB twin; post-window —
+        # ROUND-5 ROTATION: front this)
+        "zorder_codes": q_zorder_codes,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -2375,6 +2390,34 @@ SELECT doc_id, bucket,
        printf('%05d-%06d', bucket, ("offset" // {SHARD_TOKENS})::INT) AS shard,
        n_tokens, "offset"
 FROM o
+"""
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    """zorder_codes twin: identical min-max scale (round HALF-UP agrees for
+    the non-negative inputs here) and an unrolled Morton interleave —
+    x's bit b lands at position 2b+1, y's at 2b (MSB-first loop parity
+    with snaptable.zorder_value)."""
+    span = (1 << bits) - 1
+    terms = []
+    for b in range(bits - 1, -1, -1):
+        terms.append(f"((sx >> {b}) & 1) * {1 << (2 * b + 1)}")
+        terms.append(f"((sy >> {b}) & 1) * {1 << (2 * b)}")
+    expr = " + ".join(terms)
+    return f"""
+WITH mm AS (
+  SELECT min(doc_id)::DOUBLE AS lox, max(doc_id)::DOUBLE AS hix,
+         min(n_chars)::DOUBLE AS loy, max(n_chars)::DOUBLE AS hiy
+  FROM documents
+), s AS (
+  SELECT d.doc_id,
+    CAST(least({span}, greatest(0, round((d.doc_id::DOUBLE - lox)
+      / (CASE WHEN hix - lox = 0 THEN 1 ELSE hix - lox END) * {span}))) AS BIGINT) AS sx,
+    CAST(least({span}, greatest(0, round((d.n_chars::DOUBLE - loy)
+      / (CASE WHEN hiy - loy = 0 THEN 1 ELSE hiy - loy END) * {span}))) AS BIGINT) AS sy
+  FROM documents d, mm
+)
+SELECT doc_id, ({expr})::BIGINT AS z FROM s
 """
 
 
@@ -4191,6 +4234,7 @@ FROM chunks
         "source_jaccard_kmv": _kmv_jaccard_sql(),
         "constraint_suggestions": _suggest_sql(),
         "metric_anomaly": _metric_anomaly_sql(),
+        "zorder_codes": _zorder_sql(),
         "pack_stats": f"""
 WITH plan AS ({_pack_plan_sql()}), pb AS (
   SELECT bucket, count(*) AS _docs, sum(n_tokens) AS _toks,

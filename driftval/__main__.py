@@ -418,6 +418,62 @@ def cmd_anomaly(spark, args) -> int:
     return 1 if n_anom else 0
 
 
+def cmd_spanstrip(spark, args) -> int:
+    """Materialize the span-deduplicated corpus: every duplicated
+    >= k-token span removed (or keep-first: one surviving copy), written as
+    (id, clean_text, token accounting) parquet."""
+    from driftval import spandedup
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    out = spandedup.strip_dup_spans(
+        files, args.id_col, args.text_col, k=args.k,
+        min_count=args.min_count, keep_first=args.keep_first,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    from pyspark.sql import functions as F
+
+    s = back.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("toks"),
+        F.sum("removed_tokens").alias("removed"),
+        F.sum((F.col("removed_tokens") > 0).cast("long")).alias("touched"),
+    ).first()
+    pct = 100.0 * (s.removed or 0) / max(s.toks or 0, 1)
+    print(
+        f"{s.docs} docs, {s.toks} tokens; removed {s.removed} dup-span "
+        f"tokens ({pct:.2f}%) across {s.touched} docs "
+        f"({'keep-first' if args.keep_first else 'remove-all'}); -> {args.out}"
+    )
+    return 0
+
+
+def cmd_coverage(spark, args) -> int:
+    """Validation coverage report: which of the table's partitions have NO
+    verdicts under ANY run in the checkpoint — the backfill worklist (exit
+    1 when gaps exist, for a scheduled-audit CI hook)."""
+    from pyspark.sql import functions as F
+
+    from driftval.checkpoint import CheckpointStore
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    parts = files.select(
+        F.col(args.partition_col).cast("string").alias("partition_value")
+    ).distinct()
+    store = CheckpointStore(spark, args.checkpoint)
+    covered = store.read().select("partition_value").distinct()
+    gaps = sorted(
+        r.partition_value
+        for r in parts.join(covered, "partition_value", "left_anti").collect()
+    )
+    total = parts.count()
+    print(
+        f"{total - len(gaps)}/{total} partitions validated; "
+        + ("no gaps" if not gaps else "NEVER validated: " + ", ".join(gaps))
+    )
+    return 1 if gaps else 0
+
+
 def cmd_suggest(spark, args) -> int:
     """Profile a baseline table and print/persist the suggested constraint
     set (deterministic rules — driftval/suggest.py): review the printout,
@@ -973,6 +1029,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=256)
     p.add_argument("--salt", default="")
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser(
+        "spanstrip", help="write the span-deduplicated corpus (remove or keep-first)"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--out", required=True, help="parquet output: cleaned corpus")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--k", type=int, default=20, help="minimum span length in tokens")
+    p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("--keep-first", action="store_true",
+                   help="exempt each gram's globally first occurrence")
+    p.set_defaults(fn=cmd_spanstrip)
+
+    p = sub.add_parser(
+        "coverage", help="list partitions never validated under any run (exit 1 on gaps)"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--partition-col", default="part_date")
+    p.set_defaults(fn=cmd_coverage)
 
     p = sub.add_parser(
         "anomaly", help="z-score a run's metrics against prior runs (exit 1 on alarm)"

@@ -322,3 +322,54 @@ def test_cli_export_shards(tmp_path, spark):
     leaves = {p.name.split("=", 1)[1] for p in (tmp_path / "shards").iterdir()
               if p.name.startswith("shard=")}
     assert leaves == set(man["shard"])
+
+
+def test_cli_spanstrip_and_coverage(tmp_path, spark):
+    """spanstrip writes the cleaned corpus with accounting; coverage exits
+    1 listing never-validated partitions and 0 once all are covered."""
+    import pandas as pd
+
+    block = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, block + " unique one tail"), (2, "second " + block + " here"),
+         (3, "entirely separate content body")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs"
+    docs.write.parquet(str(src))
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", "spanstrip", "--path", str(src),
+         "--id-col", "doc_id", "--text-col", "text", "--k", "5",
+         "--out", str(tmp_path / "clean")],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "removed 16 dup-span tokens" in out.stdout, out.stdout
+    clean = pd.read_parquet(tmp_path / "clean").set_index("doc_id")
+    assert clean.loc[3, "removed_tokens"] == 0
+    assert block not in clean.loc[1, "clean_text"]
+
+    # coverage: table has partitions, checkpoint covers only one of them
+    files = spark.createDataFrame(
+        [("a", "p1"), ("b", "p2")], "x string, part_date string"
+    )
+    fsrc = tmp_path / "files"
+    files.write.parquet(str(fsrc))
+    from driftval.checkpoint import CHECKPOINT_SCHEMA, CheckpointStore
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    row = dict(partition_value="p1", check_name="c", passed=True, metric=0.0,
+               threshold=0.0, violation_count=0, segment_start=None,
+               segment_end=None, rows_scanned=1, content_sha_xor="0",
+               run_id="r", completed_at=pd.Timestamp("2026-01-01"))
+    store.write(spark.createDataFrame(
+        pd.DataFrame([row])[[f.name for f in CHECKPOINT_SCHEMA.fields]],
+        CHECKPOINT_SCHEMA))
+    out = subprocess.run(
+        [sys.executable, "-m", "driftval", "coverage", "--path", str(fsrc),
+         "--checkpoint", str(tmp_path / "ckpt")],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=300,
+    )
+    assert out.returncode == 1 and "NEVER validated: p2" in out.stdout
