@@ -238,6 +238,7 @@ Q_DIGEST = "_q_digest"
 LIC_FAMILY = "_lic_family"
 NORM_MD5 = "_norm_md5"
 Q_MARGIN = "_q_margin"
+SPAN_NTOK = "_span_ntok"
 
 # name -> (check-name suffix, batch runner, alarm threshold for the verdict
 # row's `threshold` column given the configured kwargs)
@@ -299,6 +300,19 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
         clf_cols = [
             _clf_model(cfg).margin(F.col(cfg.content_col)).alias(Q_MARGIN)
         ]
+    span_cols = []
+    if cfg.max_dup_span_frac is not None:
+        # the span gate's DENOMINATOR rides this pass (token counts are
+        # tokenization-case-insensitive: whitespace boundaries don't move
+        # under lower()); only the positional-gram NUMERATOR needs its own
+        # content scan
+        from driftval import spandedup
+
+        span_cols = [
+            F.size(spandedup._cs_tokens(F.col(cfg.content_col)))
+            .cast("long")
+            .alias(SPAN_NTOK)
+        ]
     report_cols = []
     if cfg.quality_report or cfg.pack_ctx_len:
         # the SAME fused expressions the catalog's doc_quality /
@@ -322,6 +336,7 @@ def derive_columns(files: DataFrame, cfg: SuiteConfig) -> DataFrame:
         *lic_cols,
         *norm_cols,
         *clf_cols,
+        *span_cols,
         *report_cols,
     )
 
@@ -417,21 +432,24 @@ def norm_dup_suite_verdicts(
 
 def _span_file_stats(
     files_pending: DataFrame,
+    derived_pending: DataFrame,
     cfg: SuiteConfig,
     caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-file duplicated-span token counts, duplication scoped per
     partition: ``(partition_value, key_cols..., _n_tokens, _dup_tokens)``.
     Shared by the verdict aggregate and the violation-row extractor (the
-    caller persists it for exactly that reason)."""
+    caller persists it for exactly that reason).  Token TOTALS come from
+    the derived pass's ``_span_ntok`` column — only the positional-gram
+    numerator pays a content scan."""
     from driftval import spandedup
 
     pcol = cfg.partition_col
     key_cols = list(cfg.key_cols)
+    fid = F.md5(F.concat_ws("", *key_cols).cast("binary")).alias("_fid")
     frame = files_pending.select(
         F.col(pcol).cast("string").alias("partition_value"),
-        *key_cols,
-        F.md5(F.concat_ws("", *key_cols).cast("binary")).alias("_fid"),
+        fid,
         F.col(cfg.content_col),
     )
     spans = spandedup.dup_spans(
@@ -445,13 +463,11 @@ def _span_file_stats(
     per_file_dup = spans.groupBy("partition_value", "_fid").agg(
         F.sum("span_tokens").alias("_dup_tokens")
     )
-    totals = frame.select(
-        "partition_value",
+    totals = derived_pending.select(
+        F.col(pcol).cast("string").alias("partition_value"),
         *key_cols,
-        "_fid",
-        F.size(spandedup._cs_tokens(F.col(cfg.content_col)))
-        .cast("long")
-        .alias("_n_tokens"),
+        fid,
+        F.col(SPAN_NTOK).alias("_n_tokens"),
     )
     return totals.join(per_file_dup, ["partition_value", "_fid"], "left").select(
         "partition_value",
@@ -1247,7 +1263,10 @@ def run_suite(
         # one extra content scan over pending partitions (documented on the
         # config field); everything after the gram explode is digest-only.
         span_stats = _span_file_stats(
-            files.where(F.col(pcol).cast("string").isin(pending)), cfg, span_caches
+            files.where(F.col(pcol).cast("string").isin(pending)),
+            derived_pending,
+            cfg,
+            span_caches,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         frames.append(span_suite_verdicts(span_stats, cfg))
     if cfg.min_keep_rate is not None:
