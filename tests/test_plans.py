@@ -525,3 +525,47 @@ def test_kmv_sketch_shuffles_hashes_only_no_global_sort(spark, docs):
     assert exchanges, plan
     assert all("text" not in l for l in exchanges), exchanges
     assert "rangepartitioning" not in plan, plan
+
+
+def test_suggestion_profile_is_single_scan(spark, docs):
+    """Constraint suggestion folds every metric into ONE aggregate — no
+    per-column jobs, no global sort; the catalog-facing report frame is
+    driver-built so the plan under test is the profile aggregate itself."""
+    from driftval.suggest import PATTERNS
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(["doc_id", "lang", "text"]):
+        col = F.col(c)
+        aggs += [F.sum(col.isNull().cast("long")).alias(f"_nulls_{i}"),
+                 F.count_distinct(col).alias(f"_nd_{i}")]
+        if c != "doc_id":
+            for j, (_, pat) in enumerate(PATTERNS):
+                aggs.append(F.sum(col.rlike(f"^(?:{pat})$").cast("long"))
+                            .alias(f"_pat_{i}_{j}"))
+    plan = plan_of(docs.agg(*aggs))
+    assert n_scans(plan) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_bench_all_on_keys_are_valid_suite_config_fields():
+    """bench.py's every-gate-on override dict must track SuiteConfig — a
+    renamed config field would silently drop a gate from the priced
+    all-checks number."""
+    import ast
+    import dataclasses
+
+    from driftval.suite import SuiteConfig
+
+    src = open(f"{__file__.rsplit('/', 2)[0]}/bench.py").read()
+    tree = ast.parse(src)
+    keys = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call) and getattr(node.func, "id", "") == "dict":
+            kws = {k.arg for k in node.keywords if k.arg}
+            if "sequential_detectors" in kws:
+                keys = kws
+                break
+    assert keys, "all_on dict not found in bench.py"
+    fields = {f.name for f in dataclasses.fields(SuiteConfig)}
+    unknown = keys - fields
+    assert not unknown, f"bench all_on keys not in SuiteConfig: {unknown}"
