@@ -865,6 +865,27 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+def q_embedding_conformance(spark, sf_dir):
+    """Vector-column health per label: NULL/ragged/NaN/zero vectors + norm
+    stats (driftval/simsearch.py) — the V-family for embeddings; one
+    JVM-array-fold aggregate, no explode."""
+    from driftval import simsearch
+
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.embedding_conformance(
+        e, "vec_id", "embedding", expected_dim=64, group_col="label"
+    )
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/std/min/max over the corpus — the
+    embedding-collapse (dead-dimension) check."""
+    from driftval import simsearch
+
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.embedding_dim_stats(e, "embedding")
+
+
 def q_zorder_codes(spark, sf_dir):
     """Morton (Z-order) codes over (doc_id, n_chars) at 8 bits/column —
     the clustering key snapmaint's Z-order rewrite sorts by
@@ -1996,6 +2017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Z-order clustering key (full DuckDB twin; post-window —
         # ROUND-5 ROTATION: front this)
         "zorder_codes": q_zorder_codes,
+        # embedding-column validation (full DuckDB twins; post-window —
+        # ROUND-5 ROTATION: front these)
+        "embedding_conformance": q_embedding_conformance,
+        "embedding_dim_stats": q_embedding_dim_stats,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,
@@ -4235,6 +4260,49 @@ FROM chunks
         "constraint_suggestions": _suggest_sql(),
         "metric_anomaly": _metric_anomaly_sql(),
         "zorder_codes": _zorder_sql(),
+        # embedding validation twins: the same double-cast norm folds /
+        # per-dim unnest (synthetic embeddings hold no NULL/NaN rows, so
+        # the guard branches evaluate to clean zeros in both engines)
+        "embedding_conformance": """
+WITH per AS (
+  SELECT label, embedding IS NULL AS vnull,
+         CASE WHEN embedding IS NOT NULL THEN len(embedding) <> 64 END AS wrongd,
+         CASE WHEN embedding IS NOT NULL THEN
+           coalesce(list_bool_or(list_transform(embedding, x -> isnan(x::DOUBLE))), FALSE)
+         END AS hasnan,
+         CASE WHEN embedding IS NOT NULL THEN
+           coalesce(list_bool_or(list_transform(embedding, x -> x IS NULL)), FALSE)
+         END AS hasnullelem,
+         CASE WHEN embedding IS NOT NULL THEN
+           sqrt(coalesce(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 0.0))
+         END AS nrm
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN vnull THEN 1 ELSE 0 END)::BIGINT AS null_vecs,
+       sum(CASE WHEN coalesce(wrongd, FALSE) THEN 1 ELSE 0 END)::BIGINT AS wrong_dim,
+       sum(CASE WHEN coalesce(hasnan, FALSE) THEN 1 ELSE 0 END)::BIGINT AS nan_vecs,
+       sum(CASE WHEN coalesce(hasnullelem, FALSE) THEN 1 ELSE 0 END)::BIGINT
+         AS null_elem_vecs,
+       sum(CASE WHEN coalesce(nrm = 0.0, FALSE) THEN 1 ELSE 0 END)::BIGINT
+         AS zero_vecs,
+       0::BIGINT AS norm_outliers,
+       round(min(nrm), 6) AS norm_min,
+       round(avg(nrm), 6) AS norm_mean,
+       round(max(nrm), 6) AS norm_max
+FROM per GROUP BY label
+""",
+        "embedding_dim_stats": """
+WITH x AS (
+  SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+  FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings WHERE embedding IS NOT NULL)
+)
+SELECT dim, count(*)::BIGINT AS n, round(avg(v), 6) AS mean,
+       round(stddev_pop(v), 6) AS std,
+       round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+FROM x GROUP BY dim
+""",
         "pack_stats": f"""
 WITH plan AS ({_pack_plan_sql()}), pb AS (
   SELECT bucket, count(*) AS _docs, sum(n_tokens) AS _toks,

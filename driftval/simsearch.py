@@ -1264,3 +1264,87 @@ def knn_pq_against(
         F.round(-F.col("sim"), 6).alias("adist"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-column validation (the V-family for vectors)
+# ---------------------------------------------------------------------------
+
+
+def embedding_conformance(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    expected_dim: int,
+    group_col: str | None = None,
+    norm_bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Vector-column health report — the constraint checks (V1/V2/V4) for an
+    ``array<float>`` column, per ``group_col`` (or one corpus row):
+    ``(group?, n_vecs, null_vecs, wrong_dim, nan_vecs, null_elem_vecs,
+    zero_vecs, norm_outliers, norm_min, norm_mean, norm_max)``.
+
+    Catches the four ways embedding pipelines silently rot: a writer
+    emitting NULL/ragged vectors after a model swap (``wrong_dim``), NaNs
+    from fp16 overflow (``nan_vecs``), all-zero vectors from a failed
+    encode (``zero_vecs`` — these also poison cosine math downstream), and
+    norm drift outside ``norm_bounds`` (unnormalized vectors sneaking into
+    a normalized index).  ONE aggregate, all JVM array folds — no explode,
+    no Python; at 10^12 vectors this is a map-side-partial scan."""
+    v = F.col(vec_col)
+    lo, hi = norm_bounds if norm_bounds else (None, None)
+    norm = F.when(v.isNotNull(), _norm(v))
+    flags = [
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(v.isNull().cast("long")).cast("long").alias("null_vecs"),
+        F.sum((v.isNotNull() & (F.size(v) != expected_dim)).cast("long"))
+        .cast("long")
+        .alias("wrong_dim"),
+        F.sum(
+            F.coalesce(F.exists(v, lambda x: F.isnan(x)), F.lit(False)).cast("long")
+        )
+        .cast("long")
+        .alias("nan_vecs"),
+        F.sum(
+            F.coalesce(F.exists(v, lambda x: x.isNull()), F.lit(False)).cast("long")
+        )
+        .cast("long")
+        .alias("null_elem_vecs"),
+        F.sum(F.coalesce(norm == 0.0, F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("zero_vecs"),
+        F.sum(
+            F.coalesce(
+                (norm < F.lit(float(lo if lo is not None else float("-inf"))))
+                | (norm > F.lit(float(hi if hi is not None else float("inf")))),
+                F.lit(False),
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("norm_outliers"),
+        F.round(F.min(norm), 6).alias("norm_min"),
+        F.round(F.avg(norm), 6).alias("norm_mean"),
+        F.round(F.max(norm), 6).alias("norm_max"),
+    ]
+    if group_col:
+        return df.groupBy(group_col).agg(*flags)
+    return df.agg(*flags)
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension distribution over the corpus: ``(dim, n, mean, std,
+    min_v, max_v)`` — the embedding-collapse check (a dimension whose std
+    is ~0 carries no information; many of them means the encoder is
+    degenerate or the column was zero-padded).  One posexplode feeding a
+    map-side-partial aggregate keyed by the dimension index — rows carry
+    ``(int, double)``, never vectors."""
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_pop("v"), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

