@@ -865,6 +865,19 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunks (gear rolling hash, FastCDC-style min/max
+    walk) — the insertion-robust chunker (driftval/packing.py cdc_chunks).
+    Rows-only by design: the sequential gear recurrence is not
+    SQL-expressible; semantics are pinned bit-exact against an independent
+    pure-Python reference plus the resynchronization property test in
+    tests/test_packing_reporting.py."""
+    d = _t(spark, sf_dir, "documents")
+    return packing.cdc_chunks(
+        d, "doc_id", "text", mask_bits=6, min_size=16, max_size=256
+    )
+
+
 def q_embedding_conformance(spark, sf_dir):
     """Vector-column health per label: NULL/ragged/NaN/zero vectors + norm
     stats (driftval/simsearch.py) — the V-family for embeddings; one
@@ -2021,6 +2034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND-5 ROTATION: front these)
         "embedding_conformance": q_embedding_conformance,
         "embedding_dim_stats": q_embedding_dim_stats,
+        # content-defined chunking (rows-only by design: sequential gear
+        # recurrence; golden-pinned vs a pure-Python reference)
+        "cdc_chunks": q_cdc_chunks,
         # --- previously driver-verified (CORRECTNESS_r03) in original order ---
         "colstats_documents": q_colstats_documents,
         "profile_documents": q_profile_documents,

@@ -368,3 +368,116 @@ def test_write_shards_round_trip(spark, docs, tmp_path_factory):
     assert sorted((r.asDict() for r in stored.collect()), key=key) == sorted(
         (r.asDict() for r in man.collect()), key=key
     ), "persisted manifest differs from returned frame"
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (gear CDC)
+# ---------------------------------------------------------------------------
+
+
+def _ref_cdc_cuts(data: bytes, mask_bits: int, min_size: int, max_size: int):
+    """Independent pure-Python gear CDC (naive per-byte loop)."""
+    import hashlib
+
+    gear = [int(hashlib.md5(bytes([b])).hexdigest()[:16], 16) for b in range(256)]
+    n = len(data)
+    if n == 0:
+        return [0]
+    h = 0
+    cand = []
+    for i, b in enumerate(data):
+        h = ((h << 1) + gear[b]) & ((1 << 64) - 1)
+        if (h >> (64 - mask_bits)) == 0:
+            cand.append(i + 1)
+    cuts, cur, ci = [], 0, 0
+    while cur < n:
+        lo, hi = cur + min_size, cur + max_size
+        while ci < len(cand) and cand[ci] < lo:
+            ci += 1
+        if ci < len(cand) and cand[ci] <= hi and cand[ci] < n:
+            cur = cand[ci]
+            ci += 1
+        else:
+            cur = min(hi, n)
+        cuts.append(cur)
+    return cuts
+
+
+def test_cdc_chunks_match_pure_python_reference(spark):
+    import hashlib
+    import random
+
+    rng = random.Random(31)
+    docs = {
+        i: "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 600)))
+        for i in range(30)
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {}
+    for r in packing.cdc_chunks(
+        df, "doc_id", "text", mask_bits=5, min_size=8, max_size=128
+    ).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_ix, r.chunk_start, r.chunk_len, r.chunk_md5)
+        )
+    for did, text in docs.items():
+        data = text.encode()
+        cuts = _ref_cdc_cuts(data, 5, 8, 128)
+        want, prev = [], 0
+        for ix, cut in enumerate(cuts):
+            want.append((ix, prev, cut - prev, hashlib.md5(data[prev:cut]).hexdigest()))
+            prev = cut
+        assert sorted(got[did]) == want, did
+
+
+def test_cdc_resyncs_after_insertion_where_fixed_width_cannot(spark):
+    """THE content-defined property: an insertion near the head shifts every
+    fixed window (zero shared chunks) but gear boundaries depend on the
+    trailing 64 bytes only, so CDC chunks resynchronize and the bulk of the
+    document still dedups chunk-for-chunk."""
+    import random
+
+    rng = random.Random(77)
+    base = "".join(chr(rng.randrange(32, 127)) for _ in range(4000))
+    edited = "INSERTED! " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    kw = dict(mask_bits=6, min_size=16, max_size=256)
+    chunks = packing.cdc_chunks(df, "doc_id", "text", **kw).collect()
+    a = {r.chunk_md5 for r in chunks if r.doc_id == 1}
+    b = {r.chunk_md5 for r in chunks if r.doc_id == 2}
+    shared = len(a & b) / len(a)
+    assert shared >= 0.5, f"CDC failed to resync: {shared:.2f}"
+
+    fixed = packing.chunk_documents(df, "doc_id", "text", chunk_chars=64,
+                                    overlap_chars=0).collect()
+    fa = {r.chunk_md5 for r in fixed if r.doc_id == 1}
+    fb = {r.chunk_md5 for r in fixed if r.doc_id == 2}
+    # the 10-char insertion misaligns every 64-char window (10 % 64 != 0)
+    assert len(fa & fb) <= 1, "fixed-width unexpectedly aligned"
+
+
+def test_cdc_chunks_respect_min_max_and_cover(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 1000), (2, ""), (3, "short")], "doc_id long, text string"
+    )
+    rows = packing.cdc_chunks(
+        df, "doc_id", "text", mask_bits=4, min_size=8, max_size=64
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # full coverage, in-order, size bounds (tail chunk may undercut min)
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_ix)
+        pos = 0
+        for r in rs:
+            assert r.chunk_start == pos
+            pos += r.chunk_len
+            assert r.chunk_len <= 64
+        total = {1: 1000, 2: 0, 3: 5}[did]
+        assert pos == total
+        for r in rs[:-1]:
+            assert r.chunk_len >= 8
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 0
