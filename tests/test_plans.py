@@ -569,3 +569,21 @@ def test_bench_all_on_keys_are_valid_suite_config_fields():
     fields = {f.name for f in dataclasses.fields(SuiteConfig)}
     unknown = keys - fields
     assert not unknown, f"bench all_on keys not in SuiteConfig: {unknown}"
+
+
+def test_embedding_conformance_is_one_agg_no_explode(spark):
+    """The vector health report folds everything in ONE aggregate of array
+    expressions: no Generate (explode), no Python eval, and the only
+    exchange is the group-key hash partitioning."""
+    from driftval import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(
+        simsearch.embedding_conformance(
+            emb, "vec_id", "embedding", expected_dim=64, group_col="label"
+        )
+    )
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert exchanges and all("embedding" not in l for l in exchanges), exchanges
