@@ -865,6 +865,16 @@ def q_pack_stats(spark, sf_dir):
     return packing.pack_stats(plan, ctx_len=PACK_CTX)
 
 
+def q_embedding_dim_drift(spark, sf_dir):
+    """Per-label embedding drift vs label 0, dimension-wise max/mean shift
+    of per-dim means — localizes WHICH dimensions an encoder change moved
+    (centroid_drift's aggregate displacement, broken out)."""
+    from driftval import simsearch
+
+    e = _t(spark, sf_dir, "embeddings")
+    return simsearch.embedding_dim_drift(e, "embedding", "label", 0)
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunks (gear rolling hash, FastCDC-style min/max
     walk) — the insertion-robust chunker (driftval/packing.py cdc_chunks).
@@ -2034,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND-5 ROTATION: front these)
         "embedding_conformance": q_embedding_conformance,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "embedding_dim_drift": q_embedding_dim_drift,
         # content-defined chunking (rows-only by design: sequential gear
         # recurrence; golden-pinned vs a pure-Python reference)
         "cdc_chunks": q_cdc_chunks,
@@ -4307,6 +4318,22 @@ SELECT label, count(*)::BIGINT AS n_vecs,
        round(avg(nrm), 6) AS norm_mean,
        round(max(nrm), 6) AS norm_max
 FROM per GROUP BY label
+""",
+        "embedding_dim_drift": """
+WITH x AS (
+  SELECT label, i - 1 AS dim, embedding[i]::DOUBLE AS v
+  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings WHERE embedding IS NOT NULL)
+), m AS (
+  SELECT label, dim, avg(v) AS mu FROM x GROUP BY 1, 2
+), b AS (
+  SELECT dim, mu AS bmu FROM m WHERE label = 0
+)
+SELECT m.label, count(*)::BIGINT AS n_dims,
+       round(max(abs(m.mu - b.bmu)), 6) AS max_shift,
+       round(avg(abs(m.mu - b.bmu)), 6) AS mean_shift
+FROM m JOIN b USING (dim) WHERE m.label <> 0
+GROUP BY m.label
 """,
         "embedding_dim_stats": """
 WITH x AS (

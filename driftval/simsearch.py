@@ -1348,3 +1348,38 @@ def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+def embedding_dim_drift(
+    df: DataFrame, vec_col: str, group_col: str, baseline: object
+) -> DataFrame:
+    """Per-group embedding drift vs a baseline group, dimension-wise:
+    ``(group, n_dims, max_shift, mean_shift)`` where shift is the absolute
+    difference of per-dimension means against the baseline group's.  The
+    mean-vector form of distribution drift for vectors: catches an encoder
+    redeploy or preprocessing change that moves the embedding distribution
+    while every per-vector conformance check still passes (dims intact,
+    norms in band).  ``centroid_drift`` reports the aggregate centroid
+    displacement; this localizes WHICH dimensions moved and by how much.
+
+    One posexplode into ``(group, dim, value)`` feeding a map-side-partial
+    mean aggregate, then a dim-keyed join of O(groups × dims) rows — the
+    corpus-sized frame never shuffles vectors."""
+    exploded = df.select(
+        F.col(group_col).alias("_g"), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select("_g", "dim", F.col("v").cast("double").alias("v"))
+    stats = exploded.groupBy("_g", "dim").agg(F.avg("v").alias("_m"))
+    base = (
+        stats.where(F.col("_g") == F.lit(baseline))
+        .select("dim", F.col("_m").alias("_bm"))
+    )
+    return (
+        stats.where(F.col("_g") != F.lit(baseline))
+        .join(base, "dim")
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.round(F.max(F.abs(F.col("_m") - F.col("_bm"))), 6).alias("max_shift"),
+            F.round(F.avg(F.abs(F.col("_m") - F.col("_bm"))), 6).alias("mean_shift"),
+        )
+    )

@@ -887,3 +887,26 @@ def test_embedding_dim_stats_detects_dead_dimension(spark):
     assert abs(got[0].mean - mean) < 1e-9
     assert abs(got[0].std - round(std, 6)) < 1e-9
     assert (got[0].min_v, got[0].max_v, got[0].n) == (0.0, 9.0, 10)
+
+
+def test_embedding_dim_drift_localizes_moved_dimension(spark):
+    from driftval import simsearch
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 2.0, 3.0], "base"))
+        # dim 1 shifted by +5 for the drifted group; others identical
+        rows.append((100 + i, [1.0, 7.0, 3.0], "drifted"))
+        rows.append((200 + i, [1.0, 2.0, 3.0], "same"))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, grp string")
+    got = {
+        r.grp: r
+        for r in simsearch.embedding_dim_drift(
+            df, "embedding", "grp", "base"
+        ).collect()
+    }
+    assert set(got) == {"drifted", "same"}
+    assert got["drifted"].max_shift == 5.0
+    assert abs(got["drifted"].mean_shift - 5.0 / 3) < 1e-6
+    assert got["same"].max_shift == 0.0 and got["same"].mean_shift == 0.0
+    assert got["same"].n_dims == 3
