@@ -533,29 +533,111 @@ def cmd_spanscan(spark, args) -> int:
         n_files = (
             spark.read.parquet(args.out).select(args.id_col).distinct().count()
         )
+        appended = "skipped (--no-append)"
         if not args.no_append:
-            merged = (
-                idx.select("gh", "cnt")
-                .unionByName(
-                    spandedup.span_gram_index(
-                        batch, args.id_col, args.text_col, k=args.k
+            # Re-run guard: a deterministic order-independent digest of the
+            # batch (sum of per-row xxhash64) recorded in an "_"-prefixed
+            # sidecar inside the index dir (hidden files are ignored by
+            # parquet readers).  Re-scanning an already-appended batch must
+            # not double-count its grams.
+            digest = _batch_digest(batch, args.id_col, args.text_col)
+            applied = _read_applied_batches(spark, args.index)
+            if digest in applied:
+                appended = f"skipped (batch {digest} already appended)"
+            else:
+                merged = (
+                    idx.select("gh", "cnt")
+                    .unionByName(
+                        spandedup.span_gram_index(
+                            batch, args.id_col, args.text_col, k=args.k
+                        )
                     )
+                    .groupBy("gh")
+                    .agg(F.sum("cnt").alias("cnt"))
                 )
-                .groupBy("gh")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-            tmp = args.index.rstrip("/") + ".next"
-            merged.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(args.index)
+                # Stage -> swap via FileSystem.rename (atomic on HDFS and
+                # posix): no window where the live index is a half-written
+                # parquet dir, and the staging dir never accumulates.  A
+                # crash between delete and rename leaves the complete
+                # ".next" on disk for manual recovery.
+                tmp = args.index.rstrip("/") + ".next"
+                merged.write.mode("overwrite").parquet(tmp)
+                _swap_dirs(spark, tmp, args.index)
+                _write_applied_batches(spark, args.index, applied + [digest])
+                appended = f"appended (batch {digest})"
         for c in caches:
             c.unpersist()
         print(
             f"{n_docs} batch docs: {n_spans} duplicated spans in {n_files} "
-            f"files; report -> {args.out}"
+            f"files; report -> {args.out}; index {appended}"
         )
         return 0
     finally:
         batch.unpersist()
+
+
+def _batch_digest(df, id_col: str, text_col: str) -> str:
+    """Order-independent deterministic digest of a batch: sum of per-row
+    xxhash64 over (id, text), as unsigned hex."""
+    from pyspark.sql import functions as F
+
+    s = df.select(
+        F.sum(
+            F.xxhash64(F.col(id_col).cast("string"), F.col(text_col))
+        ).alias("s")
+    ).first()["s"]
+    return format((s or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _swap_dirs(spark, staged: str, live: str) -> None:
+    """Replace ``live`` with ``staged`` via FileSystem delete + rename —
+    atomic on HDFS/posix, and never leaves a half-written live dir (a crash
+    between the two calls leaves the COMPLETE staged dir for recovery)."""
+    fs, live_p, jvm = _hadoop_fs(spark, live)
+    staged_p = jvm.org.apache.hadoop.fs.Path(staged)
+    if fs.exists(live_p):
+        fs.delete(live_p, True)
+    if not fs.rename(staged_p, live_p):
+        raise IOError(f"rename {staged} -> {live} failed")
+
+
+_APPLIED_NAME = "_applied_batches.json"
+
+
+def _read_applied_batches(spark, index_path: str) -> list[str]:
+    import json as _json
+
+    fs, base, jvm = _hadoop_fs(spark, index_path)
+    p = jvm.org.apache.hadoop.fs.Path(index_path.rstrip("/") + "/" + _APPLIED_NAME)
+    if not fs.exists(p):
+        return []
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    return list(_json.loads(data))
+
+
+def _write_applied_batches(spark, index_path: str, digests: list[str]) -> None:
+    import json as _json
+
+    fs, base, jvm = _hadoop_fs(spark, index_path)
+    p = jvm.org.apache.hadoop.fs.Path(index_path.rstrip("/") + "/" + _APPLIED_NAME)
+    out = fs.create(p, True)
+    try:
+        out.write(_json.dumps(sorted(digests)).encode("utf-8"))
+    finally:
+        out.close()
 
 
 def cmd_profile(spark, args) -> int:

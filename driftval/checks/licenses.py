@@ -30,8 +30,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# SPDX tag: the id charset per the SPDX spec (letters, digits, .-+)
-SPDX_RE = r"spdx-license-identifier:\s*([a-z0-9.+-]+)"
+# SPDX tag: the id charset per the SPDX spec (letters, digits, .-+).
+# Whitespace is the pinned explicit ASCII class (not \s): the string is
+# interpolated verbatim into the DuckDB twin, and Java's \s includes
+# \x0B while RE2's does not.
+SPDX_RE = r"spdx-license-identifier:[ \t\n\x0B\f\r]*([a-z0-9.+-]+)"
 
 # (license_id, lowercase phrase) — FIRST MATCH WINS, most-specific first.
 # Phrases are distinctive fragments of the canonical license texts/notices;

@@ -53,13 +53,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from driftval.textops import _spread
+from driftval.textops import WS_RE, _spread
 
 
 def _cs_tokens(text: Column) -> Column:
-    """Case-sensitive whitespace tokens, empties dropped (portable:
-    DuckDB ``list_filter(regexp_split_to_array(text,'\\s+'), t -> t<>'')``)."""
-    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    """Case-sensitive whitespace tokens, empties dropped.  The splitter is
+    the pinned explicit ASCII class (``textops.WS_RE``) rather than ``\\s``
+    — Java's ``\\s`` includes \\x0B while RE2's does not, so only the
+    explicit class keeps the DuckDB twin byte-identical."""
+    return F.filter(F.split(text, WS_RE), lambda x: x != "")
 
 
 def positional_grams(

@@ -131,6 +131,12 @@ def suggest_rows(
     near-exact at tiny counts)."""
     prof = _profile(df, cols, exact_distinct=exact_distinct)
     n = prof["_n"]
+    if not n:
+        # Empty baseline: the profile aggregates are all NULL (SQL sum/min
+        # over zero rows), so no rule below has evidence to fire — return no
+        # suggestions rather than TypeError-ing on None arithmetic.  The
+        # DuckDB twin gates every branch on n > 0 to match.
+        return []
     schema, dtypes = prof["_schema"], prof["_dtypes"]
 
     # second tiny aggregate: value sets for the low-cardinality strings
@@ -183,8 +189,15 @@ def suggest_rows(
                     )
                     break
         if c in value_sets:
+            # JSON-encoded (not a bare ","-join): a categorical value
+            # containing a comma must survive the report -> constraint
+            # round-trip intact.  ensure_ascii=False + no separator spaces
+            # makes the string bit-identical to DuckDB's to_json().
             emit(
-                c, "allowed", max_rate=0.0, allowed=",".join(value_sets[c]),
+                c, "allowed", max_rate=0.0,
+                allowed=json.dumps(
+                    value_sets[c], ensure_ascii=False, separators=(",", ":")
+                ),
                 rationale=f"{nd} distinct values (<= {CAT_MAX})",
             )
         uniq = (nd == nonnull) if exact_distinct else (nd >= 0.95 * nonnull)
@@ -227,7 +240,7 @@ def rows_to_constraints(rows: list[dict]) -> list[StatsConstraint]:
             out.append(
                 TypeConformance(
                     r["column_name"],
-                    allowed=tuple(r["allowed"].split(",")),
+                    allowed=tuple(json.loads(r["allowed"])),
                     max_rate=r["max_rate"],
                 )
             )

@@ -446,7 +446,14 @@ def _span_file_stats(
 
     pcol = cfg.partition_col
     key_cols = list(cfg.key_cols)
-    fid = F.md5(F.concat_ws("", *key_cols).cast("binary")).alias("_fid")
+    # \x00-separated (and NULL-coalesced) like every other key fold in the
+    # repo: an empty separator would merge keys like ('r1','a/b') and
+    # ('r1/a','b') into one pseudo-file, corrupting dup_span_frac.
+    fid = F.md5(
+        F.concat_ws(
+            "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols]
+        ).cast("binary")
+    ).alias("_fid")
     frame = files_pending.select(
         F.col(pcol).cast("string").alias("partition_value"),
         fid,

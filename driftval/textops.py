@@ -24,6 +24,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MERSENNE_31 = 2_147_483_647  # 2^31 - 1, prime
+# ASCII whitespace pinned EXPLICITLY, shared by every tokenizer on both
+# engines: Java's \s equals this class, but RE2's \s lacks \x0B and
+# Python's adds Unicode whitespace — a bare \s silently breaks the
+# bit-exact DuckDB-twin contract on text containing a vertical tab.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS_RE = WS_CLASS + "+"
+WS_TRIM_RE = f"^{WS_RE}|{WS_RE}$"
+# non-word, non-whitespace (the punctuation census class), same pinning
+PUNCT_CLASS = r"[^\w \t\n\x0B\f\r]"
 # Deterministic affine coefficients (odd, < 2^31), same constants in oracle SQL.
 MINHASH_A = [1_103_515_245, 1_299_709, 104_729, 15_485_863, 32_452_843, 49_979_687, 67_867_967, 86_028_121]
 MINHASH_B = [12_345, 7_919, 104_723, 15_485_857, 32_452_799, 49_979_621, 67_867_927, 86_028_061]
@@ -32,7 +41,7 @@ MINHASH_B = [12_345, 7_919, 104_723, 15_485_857, 32_452_799, 49_979_621, 67_867_
 def tokens(text: Column, lowercase: bool = True) -> Column:
     """Whitespace tokens, empty strings dropped (portable: regexp split)."""
     t = F.lower(text) if lowercase else text
-    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    return F.filter(F.split(t, WS_RE), lambda x: x != "")
 
 
 def token_hash64(tok: Column) -> Column:
@@ -1152,7 +1161,7 @@ def _quality_exprs(text_col: str) -> dict[str, Column]:
     toks = tokens(t)
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(t).cast("long")
-    punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+    punct = F.regexp_count(t, F.lit(PUNCT_CLASS)).cast("double")
     stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
     mean_wl = F.when(n_tok > 0, (n_chars - n_tok + 1) / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
@@ -1248,7 +1257,7 @@ def langid_stopwords(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), best_expr.alias("lang_guess"))
 
 
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1312,7 +1321,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         # newlines (a paragraph ends with one), which trim() leaves in place
         arr = F.transform(
             F.split(t, split_pat),
-            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+            lambda x: F.regexp_replace(x, WS_TRIM_RE, ""),
         )
         arr = F.filter(arr, lambda x: x != "")
         return F.transform(
@@ -1665,7 +1674,7 @@ def _parquet_prefix_shape(
 
         import pyarrow.parquet as pq
 
-        ws = re.compile(r"\s+")
+        ws = re.compile(WS_RE)  # pinned ASCII class: Python \s is Unicode
         counts: Counter = Counter()
         seen = 0
         # walk files until the prefix is filled — a task-per-partition
@@ -1951,7 +1960,7 @@ def canonical_docs(comps: DataFrame, quality: DataFrame, id_col: str = "doc_id")
 # Cross-document boilerplate lines + unigram language-model quality
 # ---------------------------------------------------------------------------
 
-_LINE_TRIM = r"^\s+|\s+$"
+_LINE_TRIM = WS_TRIM_RE
 
 
 def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

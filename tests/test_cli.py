@@ -373,3 +373,65 @@ def test_cli_spanstrip_and_coverage(tmp_path, spark):
         env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=300,
     )
     assert out.returncode == 1 and "NEVER validated: p2" in out.stdout
+
+
+def test_cli_spanindex_and_spanscan_replay_safe(tmp_path):
+    """`spanscan` appends a batch's gram counts once: the staged ".next" dir
+    is renamed away (never accumulates), a re-run of the same batch is
+    detected via the _applied_batches.json sidecar and skipped (no
+    double-counting), and --no-append leaves the index untouched."""
+    import pandas as pd
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    pd.DataFrame(
+        {"doc_id": [1], "content": [phrase + " one two three"]}
+    ).to_parquet(corpus + "/part-0.parquet")
+    batch = str(tmp_path / "batch")
+    os.makedirs(batch, exist_ok=True)
+    pd.DataFrame(
+        {"doc_id": [10], "content": ["x y " + phrase + " four five"]}
+    ).to_parquet(batch + "/part-0.parquet")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    idx = str(tmp_path / "spanidx")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "spanindex", "--path", corpus,
+         "--out", idx, "--k", "5", "--text-col", "content"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def scan(out_name, *extra):
+        return subprocess.run(
+            [sys.executable, "-m", "driftval", "spanscan", "--path", batch,
+             "--index", idx, "--out", str(tmp_path / out_name), "--k", "5",
+             "--text-col", "content", *extra],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+        )
+
+    r = scan("spans1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "index appended (batch " in r.stdout, r.stdout
+    # staged dir renamed into place, not left behind; sidecar written
+    assert not os.path.exists(idx + ".next")
+    assert os.path.exists(os.path.join(idx, "_applied_batches.json"))
+    idx_after_1 = pd.read_parquet(idx).sort_values("gh").reset_index(drop=True)
+    # the shared 8-token phrase was reported as a duplicated span
+    spans = pd.read_parquet(tmp_path / "spans1")
+    assert len(spans) == 1 and spans.iloc[0]["span_tokens"] == 8
+
+    # replay: same batch again -> detected, index unchanged
+    r = scan("spans2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "already appended" in r.stdout, r.stdout
+    idx_after_2 = pd.read_parquet(idx).sort_values("gh").reset_index(drop=True)
+    pd.testing.assert_frame_equal(idx_after_1, idx_after_2)
+
+    # --no-append leaves the index untouched too
+    r = scan("spans3", "--no-append")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "skipped (--no-append)" in r.stdout
+    idx_after_3 = pd.read_parquet(idx).sort_values("gh").reset_index(drop=True)
+    pd.testing.assert_frame_equal(idx_after_1, idx_after_3)

@@ -274,3 +274,31 @@ def test_suite_suggest_from_baseline(spark, tmp_path):
     tc = v[v["check_name"] == "type_conformance:lang"].set_index("partition_value")
     assert not bool(tc.loc["2026-04-02", "passed"])  # rs outside learned {py}
     assert bool(tc.loc["2026-04-01", "passed"])      # baseline passes its own set
+
+
+def test_allowed_values_with_commas_round_trip(spark):
+    """A categorical value containing a comma (or quote) survives the
+    report -> constraint round-trip intact: the allowed list is JSON-encoded,
+    not a bare ","-join, so the enforced TypeConformance still passes the
+    very baseline it was suggested from."""
+    df = spark.createDataFrame(
+        [("a,b", "p"), ('say "hi"', "p"), ("plain", "p")] * 4, "cat string, pv string"
+    )
+    rows = suggest.suggest_rows(df, ["cat"])
+    allowed_rows = [r for r in rows if r["kind"] == "allowed"]
+    assert len(allowed_rows) == 1
+    cons = suggest.rows_to_constraints(rows)
+    tc = [c for c in cons if getattr(c, "allowed", None)]
+    assert len(tc) == 1
+    assert set(tc[0].allowed) == {"a,b", 'say "hi"', "plain"}
+    v = stats_verdicts(df, "pv", cons)
+    failed = v.where(~F.col("passed")).collect()
+    assert not failed, failed
+
+
+def test_empty_baseline_suggests_nothing(spark):
+    """A 0-row baseline produces no suggestions (not a TypeError on the
+    NULL profile aggregates)."""
+    df = spark.createDataFrame([], "cat string, n long")
+    assert suggest.suggest_rows(df, ["cat", "n"]) == []
+    assert suggest.suggested_constraints(df, ["cat", "n"]) == []
