@@ -888,6 +888,40 @@ def q_cdc_chunks(spark, sf_dir):
     )
 
 
+TOKEN_CDC_MASK = 3  # expected chunk length 2^3 = 8 tokens
+
+
+def q_token_cdc_chunks(spark, sf_dir):
+    """Token-level content-defined chunks: boundary after every token whose
+    pinned 60-bit hash is 0 mod 2^mask — the LBFS/Rabin rule without the
+    FastCDC min/max walk, which makes the chunker one JVM higher-order
+    projection (no Python) AND exactly SQL-expressible, so unlike the gear
+    chunker this one gets a full DuckDB twin."""
+    d = _t(spark, sf_dir, "documents")
+    return packing.token_cdc_chunks(d, "doc_id", "text", mask_bits=TOKEN_CDC_MASK)
+
+
+def q_chunk_dedup_against_index(spark, sf_dir):
+    """Incremental CHUNK-level dedup: docs with doc_id % 10 == 0 play the
+    daily batch, the rest the indexed corpus (chunk_index — ~40-byte
+    (chunk_md5, cnt, rep_id) rows, corpus text never re-read).  Per batch
+    doc: how many of its content-defined chunks already exist in the index
+    or repeat within the batch — sub-document dedup that survives
+    insertions (driftval/packing.py chunk_dedup_against_index)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    idx = packing.chunk_index(
+        packing.token_cdc_chunks(corpus, "doc_id", "text", mask_bits=TOKEN_CDC_MASK),
+        "doc_id",
+    )
+    return packing.chunk_dedup_against_index(
+        packing.token_cdc_chunks(batch, "doc_id", "text", mask_bits=TOKEN_CDC_MASK),
+        idx,
+        "doc_id",
+    )
+
+
 def q_embedding_conformance(spark, sf_dir):
     """Vector-column health per label: NULL/ragged/NaN/zero vectors + norm
     stats (driftval/simsearch.py) — the V-family for embeddings; one
@@ -1974,6 +2008,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recurrence; golden-pinned vs a pure-Python reference)
         "cdc_chunks": q_cdc_chunks,
         # --- new in round 5 (inside the driver window) ---
+        # token-level content-defined chunking + incremental chunk dedup
+        # (full DuckDB twins — the declarative CDC variant)
+        "token_cdc_chunks": q_token_cdc_chunks,
+        "chunk_dedup_against_index": q_chunk_dedup_against_index,
         # --- previously driver-verified (CORRECTNESS_r04) in original order ---
         "code_chunks": q_code_chunks,
         "function_clone_groups": q_function_clone_groups,
@@ -4792,4 +4830,83 @@ FROM masses GROUP BY pair_id
     # operator (no false negatives; false positives die in the confirm),
     # so the bloom entry is checked against the exact operator's oracle.
     out["decontamination_bloom"] = out["decontamination"]
+    out["token_cdc_chunks"] = (
+        f"WITH {_token_chunks_ctes(TOKEN_CDC_MASK)}\n"
+        "SELECT doc_id, chunk_ix, chunk_start, chunk_len, chunk_md5 FROM chunks"
+    )
+    out["chunk_dedup_against_index"] = _chunk_dedup_sql(TOKEN_CDC_MASK)
     return out
+
+
+def _token_chunks_ctes(mask_bits: int) -> str:
+    """CTE chain ending in ``chunks`` — the token-level CDC chunker
+    (driftval/packing.py token_cdc_chunks) replayed exactly in DuckDB: the
+    same pinned whitespace class, the same 60-bit md5-prefix token hash,
+    boundary iff hash % 2^mask == 0, final cut appended, md5 over the
+    space-joined token slice."""
+    m = 1 << int(mask_bits)
+    ws = "[ \\t\\n\\x0B\\f\\r]+"
+    return f"""tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{ws}'), t -> t <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks,
+         list_filter(generate_series(1, len(toks)),
+                     i -> ((('0x' || substr(md5(toks[i]), 1, 15))::BIGINT) % {m} = 0)
+         ) AS cuts0
+  FROM tok WHERE len(toks) > 0
+), cutsf AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(cuts0) = 0 OR cuts0[-1] <> len(toks)
+              THEN list_append(cuts0, len(toks)) ELSE cuts0 END AS cuts
+  FROM base
+), chunks AS (
+  SELECT doc_id, s.chunk_ix AS chunk_ix, s.chunk_start AS chunk_start,
+         s.chunk_len AS chunk_len, s.chunk_md5 AS chunk_md5
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(cuts, (c, i) -> struct_pack(
+             chunk_ix := (i - 1)::INT,
+             chunk_start := (CASE WHEN i = 1 THEN 0 ELSE cuts[i - 1] END)::BIGINT,
+             chunk_len := (c - (CASE WHEN i = 1 THEN 0 ELSE cuts[i - 1] END))::INT,
+             chunk_md5 := md5(array_to_string(
+               list_slice(toks, (CASE WHEN i = 1 THEN 0 ELSE cuts[i - 1] END) + 1, c),
+               ' '))
+           ))) AS s
+    FROM cutsf
+  )
+)"""
+
+
+def _chunk_dedup_sql(mask_bits: int, min_count: int = 2) -> str:
+    """chunk_dedup_against_index twin: chunk everything, count corpus-side
+    (doc_id % 10 <> 0) digests as the index, judge the batch's chunks
+    against index + batch occurrences — the same >= min_count rule."""
+    return f"""
+WITH {_token_chunks_ctes(mask_bits)},
+idx AS (
+  SELECT chunk_md5, count(*)::BIGINT AS cnt FROM chunks
+  WHERE doc_id % 10 <> 0 GROUP BY chunk_md5
+),
+bch AS (SELECT * FROM chunks WHERE doc_id % 10 = 0),
+bcounts AS (SELECT chunk_md5, count(*)::BIGINT AS bn FROM bch GROUP BY chunk_md5),
+totals AS (
+  SELECT b.chunk_md5, b.bn + coalesce(i.cnt, 0) AS tot,
+         coalesce(i.cnt, 0) > 0 AS in_index
+  FROM bcounts b LEFT JOIN idx i USING (chunk_md5)
+),
+dup AS (SELECT chunk_md5, in_index FROM totals WHERE tot >= {int(min_count)})
+SELECT b.doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(b.chunk_len)::BIGINT AS n_units,
+       sum(CASE WHEN d.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       sum(CASE WHEN d.chunk_md5 IS NOT NULL THEN b.chunk_len ELSE 0 END)::BIGINT AS dup_units,
+       sum(CASE WHEN coalesce(d.in_index, FALSE) THEN 1 ELSE 0 END)::BIGINT AS index_dup_chunks,
+       CASE WHEN sum(b.chunk_len) > 0
+            THEN sum(CASE WHEN d.chunk_md5 IS NOT NULL THEN b.chunk_len ELSE 0 END)::DOUBLE
+                 / sum(b.chunk_len)
+            ELSE 0.0 END AS dup_unit_frac
+FROM bch b LEFT JOIN dup d USING (chunk_md5)
+GROUP BY b.doc_id
+"""

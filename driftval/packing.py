@@ -531,3 +531,198 @@ def cdc_chunks(
     from driftval.textops import _spread
 
     return _spread(df.select(id_col, text_col)).mapInPandas(run, schema)
+
+
+def token_cdc_chunks(df: DataFrame, id_col: str, text_col: str, mask_bits: int = 3) -> DataFrame:
+    """Token-level content-defined chunks — the fully DECLARATIVE sibling of
+    :func:`cdc_chunks`: a chunk boundary falls after every token whose
+    pinned 60-bit md5-prefix hash is ``0 (mod 2^mask_bits)`` (expected
+    chunk length ``2^mask_bits`` tokens, the LBFS/Rabin rule without the
+    FastCDC min/max walk).  Dropping the min/max enforcement makes every
+    position's boundary decision INDEPENDENT, so the whole chunker is one
+    JVM higher-order-function projection — no Python, no ``mapInPandas``,
+    no sequential recurrence — and the DuckDB twin expresses it exactly
+    (the gear-based :func:`cdc_chunks` stays the byte-level high-fidelity
+    variant; both emit the same ``(id, chunk_ix, chunk_start, chunk_len,
+    chunk_md5)`` layout, so :func:`chunk_index` /
+    :func:`chunk_dedup_against_index` consume either).
+
+    Still insertion-robust: boundaries depend only on each token itself,
+    so an edit changes at most the two chunks it touches and everything
+    after resynchronizes immediately.  ``chunk_start``/``chunk_len`` are in
+    TOKENS; ``chunk_md5`` hashes the space-joined token slice.  Documents
+    with zero tokens (empty or NULL text) emit no rows.
+
+    Plan shape: one narrow projection + explode per document — zero
+    shuffles, embarrassingly parallel at any corpus size; exploded rows
+    carry 16-byte digests, never bodies.  Token arrays are lambda-bound
+    (single-element-array transform) before any per-index lambda references
+    them — the ``word_shingles`` lesson: a plain column reference would
+    re-split the text once per element."""
+    from driftval.spandedup import _cs_tokens
+    from driftval.textops import token_hash64
+
+    m = F.lit(int(1) << int(mask_bits)).cast("long")
+
+    def _chunks(toks):
+        seq = F.when(
+            F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))
+        ).otherwise(F.array().cast("array<int>"))
+        cuts0_expr = F.filter(
+            seq, lambda i: token_hash64(F.element_at(toks, i)) % m == F.lit(0)
+        )
+
+        def _per(cuts):
+            def _start(i):
+                return F.coalesce(
+                    F.when(i > 0, F.element_at(cuts, i)), F.lit(0)
+                ).cast("long")
+
+            return F.transform(
+                cuts,
+                lambda c, i: F.struct(
+                    i.cast("int").alias("chunk_ix"),
+                    _start(i).alias("chunk_start"),
+                    (c.cast("long") - _start(i)).cast("int").alias("chunk_len"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                toks,
+                                (_start(i) + 1).cast("int"),
+                                (c.cast("long") - _start(i)).cast("int"),
+                            ),
+                            " ",
+                        ).cast("binary")
+                    ).alias("chunk_md5"),
+                ),
+            )
+
+        # cuts0 is itself lambda-bound before the 4 references in `full`:
+        # inlined, the candidate filter (one md5 per token) would run 4x
+        # per document (verified in the Generate plan before the fix)
+        def _with_cuts0(cuts0):
+            full = F.when(
+                (F.size(toks) > 0)
+                & (
+                    (F.size(cuts0) == 0)
+                    | (F.try_element_at(cuts0, F.lit(-1)) != F.size(toks))
+                ),
+                F.concat(cuts0, F.array(F.size(toks))),
+            ).otherwise(cuts0)
+            return F.flatten(F.transform(F.array(full), _per))
+
+        return F.flatten(F.transform(F.array(cuts0_expr), _with_cuts0))
+
+    chunks = F.flatten(
+        F.transform(F.array(_cs_tokens(F.col(text_col))), _chunks)
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("_ch")
+    ).select(id_col, "_ch.*")
+
+
+def chunk_index(chunks: DataFrame, id_col: str) -> DataFrame:
+    """The persistable chunk-count index from a chunk frame
+    (:func:`cdc_chunks` / :func:`token_cdc_chunks` /
+    :func:`chunk_documents` — any producer of the shared digest layout):
+    ``(chunk_md5, cnt, rep_id)``, one ~40-byte row per DISTINCT chunk body.
+    Write once per corpus snapshot (bucketed by ``chunk_md5`` on a real
+    warehouse so ingest joins co-locate); appending a validated batch =
+    union + re-aggregate, or a per-batch leaf layout (readers sum ``cnt``
+    per digest across leaves — raw appends are valid input to
+    :func:`chunk_dedup_against_index`)."""
+    return chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min(id_col).alias("rep_id"),
+    )
+
+
+def chunk_dedup_against_index(
+    batch_chunks: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    min_count: int = 2,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document CHUNK-level dedup of a new batch judged against a
+    persisted :func:`chunk_index` PLUS the batch itself — the incremental
+    sub-document dedup path content-defined chunking exists to enable: a
+    one-character edit no longer hides a 99%-duplicated document, because
+    the unchanged chunks still hash-match the index.
+
+    A chunk is duplicated when its total occurrence count (index ``cnt`` +
+    occurrences in this batch, same-document repeats included) reaches
+    ``min_count`` — the :func:`dup_spans_against_index` convention.
+
+    Returns one row per batch document with >= 1 chunk:
+    ``(id, n_chunks, n_units, dup_chunks, dup_units, index_dup_chunks,
+    dup_unit_frac)`` where units are the chunker's ``chunk_len`` unit
+    (tokens for :func:`token_cdc_chunks`, bytes for :func:`cdc_chunks`)
+    and ``index_dup_chunks`` counts the subset of duplicated chunks that
+    matched the HISTORICAL index (vs batch-internal repeats).
+
+    Scale shape: the batch chunk frame aggregates to distinct digests
+    (~40 bytes each) before touching the index; the only index-sized
+    operation is one equi-join on ``chunk_md5`` against the batch's
+    distinct digests — batch-sized left, never a corpus self-join, and on
+    a ``chunk_md5``-bucketed index the join co-locates without shuffling
+    the index.  ``caches`` receives the persisted batch chunk frame (two
+    consumers: digest counts + the per-doc flag join); callers own the
+    unpersist, as in :func:`driftval.textops.dedup_against_index`."""
+    from pyspark.storagelevel import StorageLevel
+
+    bc = batch_chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    if caches is not None:
+        caches.append(bc)
+    batch_counts = bc.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("_bn")
+    )
+    # The index may carry SEVERAL rows per digest (raw per-batch leaf
+    # appends — the streaming runner's layout): the INNER join collects the
+    # matching index rows (this join shape lets AQE broadcast the small
+    # batch digest set, so the index is scanned, never shuffled — a left
+    # outer here could only broadcast the index side), the sum runs on the
+    # batch-sized join output, and the left join back is small-vs-small.
+    icnt = (
+        batch_counts.select("chunk_md5")
+        .join(index.select("chunk_md5", "cnt"), "chunk_md5")
+        .groupBy("chunk_md5")
+        .agg(F.sum("cnt").alias("_icnt"))
+    )
+    totals = batch_counts.join(icnt, "chunk_md5", "left").select(
+        "chunk_md5",
+        (F.col("_bn") + F.coalesce(F.col("_icnt"), F.lit(0))).alias("_tot"),
+        (F.coalesce(F.col("_icnt"), F.lit(0)) > 0).alias("_in_index"),
+    )
+    dup = totals.where(F.col("_tot") >= int(min_count)).select(
+        "chunk_md5", "_in_index", F.lit(True).alias("_isdup")
+    )
+    flagged = bc.join(dup, "chunk_md5", "left")
+    dup_len = F.when(F.col("_isdup"), F.col("chunk_len").cast("long"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.col("chunk_len").cast("long")).alias("n_units"),
+            F.coalesce(
+                F.sum(F.col("_isdup").cast("long")), F.lit(0)
+            ).alias("dup_chunks"),
+            F.coalesce(F.sum(dup_len), F.lit(0)).alias("dup_units"),
+            F.coalesce(
+                F.sum(F.col("_in_index").cast("long")), F.lit(0)
+            ).alias("index_dup_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_units",
+            "dup_chunks",
+            "dup_units",
+            "index_dup_chunks",
+            F.when(
+                F.col("n_units") > 0, F.col("dup_units") / F.col("n_units")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_unit_frac"),
+        )
+    )

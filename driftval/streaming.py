@@ -1275,3 +1275,126 @@ def run_incremental_span_stream(
     )
     query.awaitTermination()
     return runner
+
+
+class IncrementalChunkRunner:
+    """The daily-ingest CHUNK-level dedup scan as a ``foreachBatch`` stream —
+    the content-defined-chunk sibling of :class:`IncrementalSpanRunner`:
+    each micro-batch is chunked (:func:`driftval.packing.token_cdc_chunks`
+    by default, the gear :func:`driftval.packing.cdc_chunks` via
+    ``chunker="gear"``), judged against every earlier batch's chunk digests
+    PLUS the batch itself (:func:`driftval.packing.chunk_dedup_against_index`),
+    the per-doc dedup report lands in ``matches_path``, and the batch's own
+    :func:`driftval.packing.chunk_index` rows join the index — corpus text
+    is never re-read, only ~40-byte ``(chunk_md5, cnt, rep_id)`` rows
+    accumulate.
+
+    Replay safety comes from LAYOUT, exactly as in the span runner: both
+    datasets write per-batch leaves (``.../batch_id=N``, overwrite), so a
+    re-delivered batch replaces its own report AND its own index rows, and
+    the index read excludes the current batch's leaf (partition-pruned
+    ``batch_id != N``) to see first-attempt state.  Readers sum ``cnt`` per
+    ``chunk_md5`` across leaves — raw appends are valid input to the batch
+    operator (it aggregates the join output, never the index).
+
+    Prefix semantics: a batch's chunks are judged against the corpus AS OF
+    its arrival (the span runner's as-of caveat applies unchanged)."""
+
+    def __init__(
+        self,
+        index_path: str,
+        matches_path: str,
+        id_col: str,
+        text_col: str,
+        min_count: int = 2,
+        chunker: str = "token",
+        **chunk_kwargs,
+    ):
+        if chunker not in ("token", "gear"):
+            raise ValueError(f"chunker must be 'token' or 'gear', got {chunker!r}")
+        self.index_path = index_path
+        self.matches_path = matches_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.min_count = min_count
+        self.chunker = chunker
+        self.chunk_kwargs = chunk_kwargs
+        self.n_batches = 0
+
+    def _chunk(self, df: DataFrame) -> DataFrame:
+        from driftval import packing
+
+        fn = packing.token_cdc_chunks if self.chunker == "token" else packing.cdc_chunks
+        return fn(df, self.id_col, self.text_col, **self.chunk_kwargs)
+
+    def _read_index(self, spark: SparkSession, exclude_batch: int) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
+        try:
+            idx = spark.read.parquet(self.index_path)
+        except AnalysisException as e:
+            # same contract as the sibling runners: ONLY path-not-found
+            # means "fresh index"; anything else propagates
+            err_cls = ""
+            get_cls = getattr(e, "getErrorClass", None)
+            if callable(get_cls):
+                err_cls = get_cls() or ""
+            if err_cls == "PATH_NOT_FOUND" or (
+                not err_cls and "Path does not exist" in str(e)
+            ):
+                return None
+            raise
+        idx = idx.where(F.col("batch_id") != exclude_batch)
+        return idx.select("chunk_md5", "cnt")
+
+    def on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from driftval import packing
+
+        spark = batch_df.sparkSession
+        caches: list[DataFrame] = []
+        try:
+            idx = self._read_index(spark, int(batch_id))
+            if idx is None:
+                idx = spark.createDataFrame([], "chunk_md5 string, cnt long")
+            chunks = self._chunk(batch_df)
+            report = packing.chunk_dedup_against_index(
+                chunks, idx, self.id_col, min_count=self.min_count, caches=caches
+            )
+            report.write.mode("overwrite").parquet(
+                f"{self.matches_path}/batch_id={int(batch_id)}"
+            )
+            # caches[0] is the persisted chunk frame — the index append
+            # reuses it instead of re-chunking the batch
+            packing.chunk_index(caches[0], self.id_col).write.mode(
+                "overwrite"
+            ).parquet(f"{self.index_path}/batch_id={int(batch_id)}")
+            self.n_batches += 1
+        finally:
+            for c in caches:
+                c.unpersist()
+
+
+def run_incremental_chunk_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> IncrementalChunkRunner:
+    """Drain an available-now document stream through
+    :class:`IncrementalChunkRunner`; returns the runner (per-batch chunk
+    dedup reports in ``matches_path``, the chunk-count index in
+    ``index_path``)."""
+    runner = IncrementalChunkRunner(
+        index_path, matches_path, id_col, text_col, **kwargs
+    )
+    query = (
+        stream_df.writeStream.foreachBatch(runner.on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return runner

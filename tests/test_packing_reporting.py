@@ -481,3 +481,139 @@ def test_cdc_chunks_respect_min_max_and_cover(spark):
         for r in rs[:-1]:
             assert r.chunk_len >= 8
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 0
+
+
+# ---------------------------------------------------------------------------
+# Token-level content-defined chunking + incremental chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def _ref_token_cdc(text: str, mask_bits: int):
+    """Independent pure-Python reference for token_cdc_chunks."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", text or "") if t]
+    if not toks:
+        return []
+    m = 1 << mask_bits
+    h = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+    cuts = [i for i in range(1, len(toks) + 1) if h(toks[i - 1]) % m == 0]
+    if not cuts or cuts[-1] != len(toks):
+        cuts.append(len(toks))
+    out, prev = [], 0
+    for ix, c in enumerate(cuts):
+        body = " ".join(toks[prev:c])
+        out.append((ix, prev, c - prev, hashlib.md5(body.encode()).hexdigest()))
+        prev = c
+    return out
+
+
+def test_token_cdc_chunks_match_pure_python_reference(spark):
+    import random
+
+    rng = random.Random(13)
+    words = [f"w{rng.randrange(200)}" for _ in range(40)]
+    docs = {
+        i: " ".join(rng.choice(words) for _ in range(rng.randrange(0, 60)))
+        for i in range(25)
+    }
+    docs[100] = ""
+    docs[101] = "   \t  "
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {}
+    for r in packing.token_cdc_chunks(df, "doc_id", "text", mask_bits=3).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_ix, r.chunk_start, r.chunk_len, r.chunk_md5)
+        )
+    for did, text in docs.items():
+        want = _ref_token_cdc(text, 3)
+        assert sorted(got.get(did, [])) == want, did
+
+
+def test_token_cdc_chunks_resync_and_null(spark):
+    """An inserted token changes only the chunk it lands in; every chunk
+    after it hash-matches the original.  NULL/empty docs emit no rows."""
+    import random
+
+    rng = random.Random(5)
+    base = " ".join(f"tok{rng.randrange(500)}" for _ in range(400))
+    edited_toks = base.split()
+    edited_toks.insert(3, "INSERTED")
+    df = spark.createDataFrame(
+        [(1, base), (2, " ".join(edited_toks)), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = packing.token_cdc_chunks(df, "doc_id", "text", mask_bits=3).collect()
+    a = {r.chunk_md5 for r in rows if r.doc_id == 1}
+    b = {r.chunk_md5 for r in rows if r.doc_id == 2}
+    assert len(a & b) / len(a) >= 0.8, "token CDC failed to resync"
+    assert not [r for r in rows if r.doc_id == 3]
+
+
+def test_token_cdc_chunks_plan_is_narrow(spark):
+    """The declarative chunker is one JVM projection: no Exchange, no
+    Python/Arrow eval in the plan."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        packing.token_cdc_chunks(df, "doc_id", "text").explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert op not in plan, plan
+    # the candidate-cut filter (one md5 per token) must appear ONCE in the
+    # Generate expression — the lambda-binding discipline; inlined it runs
+    # 4x per document
+    assert plan.count("conv(substring(md5") <= 2, plan
+
+
+def test_chunk_dedup_against_index_semantics(spark):
+    """Index hits, batch-internal repeats, and min_count all behave: a chunk
+    is dup iff (index cnt + batch occurrences) >= min_count; index_dup_chunks
+    counts only historical matches."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    kw = dict(mask_bits=2)
+    idx = packing.chunk_index(
+        packing.token_cdc_chunks(corpus, "doc_id", "text", **kw), "doc_id"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # all indexed
+            (11, "novel words only here today friend"),              # clean
+            # "cut3" hashes to 0 mod 4 -> a boundary after each repeat,
+            # so the repeated phrase is its own chunk twice (batch-internal dup)
+            (12, "repeat me cut3 repeat me cut3"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r.doc_id: r
+        for r in packing.chunk_dedup_against_index(
+            packing.token_cdc_chunks(batch, "doc_id", "text", **kw), idx, "doc_id"
+        ).collect()
+    }
+    assert rep[10].dup_chunks == rep[10].n_chunks
+    assert rep[10].index_dup_chunks == rep[10].n_chunks
+    assert rep[10].dup_unit_frac == 1.0
+    assert rep[11].dup_chunks == 0 and rep[11].index_dup_chunks == 0
+    # doc 12: its repeated chunk dups against ITSELF (batch side), not the index
+    assert rep[12].dup_chunks >= 2 and rep[12].index_dup_chunks == 0
+
+    # min_count=3: doc 10's chunks appear twice total (1 index + 1 batch) -> clean
+    rep3 = {
+        r.doc_id: r
+        for r in packing.chunk_dedup_against_index(
+            packing.token_cdc_chunks(batch, "doc_id", "text", **kw),
+            idx,
+            "doc_id",
+            min_count=3,
+        ).collect()
+    }
+    assert rep3[10].dup_chunks == 0

@@ -966,3 +966,105 @@ def test_incremental_span_stream_matches_sequential_replay(spark, tmp_path):
     assert sorted(map(tuple, idx_rows.collect())) == sorted(
         map(tuple, full_idx.collect())
     )
+
+
+def test_incremental_chunk_stream_matches_sequential_replay(spark, tmp_path):
+    """run_incremental_chunk_stream over 3 micro-batches == driver-side
+    sequential replay (chunk_dedup_against_index per batch over a growing
+    chunk index).  Covers: cross-batch chunk duplicate, batch-internal
+    duplicate, a clean doc, and replay idempotence of the last batch."""
+    from driftval import packing
+
+    # "cut3"/"cut5" hash to 0 mod 4 -> deterministic chunk boundaries
+    phrase = "alpha beta cut3"
+    chunks_in = [
+        [(1, phrase + " gamma delta cut5"), (2, "nothing shared here cut5")],
+        [(10, "prefix words cut5 " + phrase), (11, "fresh body unseen cut3")],
+        [(20, phrase + " " + phrase), (21, "entirely novel third cut5 batch")],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs-src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(chunks_in):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src + f"/part-{i:05d}")
+        time.sleep(1.05)
+
+    stream_df = streaming.read_chunk_stream(
+        spark, src + "/part-*", spark.createDataFrame([], schema).schema
+    )
+    runner = streaming.run_incremental_chunk_stream(
+        stream_df,
+        str(tmp_path / "index"),
+        str(tmp_path / "matches"),
+        str(tmp_path / "ckpt"),
+        "doc_id",
+        "text",
+        mask_bits=2,
+    )
+    assert runner.n_batches == 3
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "matches"))
+        .drop("batch_id")
+        .collect()
+    }
+
+    # sequential replay with the batch operators over a growing index
+    seen: list = []
+    want = set()
+    for rows in chunks_in:
+        bdf = spark.createDataFrame(rows, schema)
+        idx = (
+            packing.chunk_index(
+                packing.token_cdc_chunks(
+                    spark.createDataFrame(seen, schema), "doc_id", "text", mask_bits=2
+                ),
+                "doc_id",
+            )
+            if seen
+            else spark.createDataFrame([], "chunk_md5 string, cnt long, rep_id long")
+        )
+        rep = packing.chunk_dedup_against_index(
+            packing.token_cdc_chunks(bdf, "doc_id", "text", mask_bits=2),
+            idx,
+            "doc_id",
+        )
+        want |= {tuple(r) for r in rep.collect()}
+        seen += rows
+    assert got == want
+
+    by_doc = {t[0]: t for t in got}
+    # doc 10 matched the indexed phrase chunk; doc 20 dups internally AND
+    # against the index; docs 2, 11, 21 are clean
+    assert by_doc[10][3] >= 1 and by_doc[10][5] >= 1      # dup_chunks, index_dup
+    assert by_doc[20][3] >= 2
+    assert by_doc[11][3] == 0 and by_doc[21][3] == 0
+
+    # replay idempotence: re-deliver the LAST batch by hand — both leaves
+    # overwrite, final state unchanged
+    runner.on_batch(spark.createDataFrame(chunks_in[-1], schema), 2)
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "matches"))
+        .drop("batch_id")
+        .collect()
+    }
+    assert again == got
+    idx_counts = {
+        r.chunk_md5: r.cnt
+        for r in spark.read.parquet(str(tmp_path / "index"))
+        .groupBy("chunk_md5")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    # every chunk of every doc is indexed exactly once per occurrence:
+    # total indexed count == total chunk rows over the whole corpus
+    all_chunks = packing.token_cdc_chunks(
+        spark.createDataFrame(sum(chunks_in, []), schema),
+        "doc_id",
+        "text",
+        mask_bits=2,
+    ).count()
+    assert sum(idx_counts.values()) == all_chunks
