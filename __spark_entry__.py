@@ -698,6 +698,22 @@ def q_media_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(_media(spark, sf_dir), every_k=5)
 
 
+def q_media_decode_features_jpeg(spark, sf_dir):
+    """Real baseline-JPEG decode (driftval/jpeg.py: Annex K Huffman tables,
+    vectorized IDCT) over the block-constant quality-100 fixture — the
+    flat-block round trip is provably exact, so the decoded mean keeps a
+    closed-form value-checked twin even though every row runs the real
+    entropy decoder inside the Arrow pipeline."""
+    feats = multimodal.decode_features(
+        multimodal.media_table_jpeg(_t(spark, sf_dir, "documents"))
+    )
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("decoded_bytes"),
+        F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+    )
+
+
 def q_media_decode_features(spark, sf_dir):
     """Real-codec decode features via mapInPandas (PNG zlib-inflate+unfilter /
     BMP / WAV decode per row), aggregated per media_type.
@@ -2012,6 +2028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (full DuckDB twins — the declarative CDC variant)
         "token_cdc_chunks": q_token_cdc_chunks,
         "chunk_dedup_against_index": q_chunk_dedup_against_index,
+        # real baseline-JPEG decode (full DuckDB twin via the exact
+        # flat-block quality-100 round trip)
+        "media_decode_features_jpeg": q_media_decode_features_jpeg,
         # --- previously driver-verified (CORRECTNESS_r04) in original order ---
         "code_chunks": q_code_chunks,
         "function_clone_groups": q_function_clone_groups,
@@ -4835,6 +4854,34 @@ FROM masses GROUP BY pair_id
         "SELECT doc_id, chunk_ix, chunk_start, chunk_len, chunk_md5 FROM chunks"
     )
     out["chunk_dedup_against_index"] = _chunk_dedup_sql(TOKEN_CDC_MASK)
+    # media_decode_features_jpeg: block-constant quality-100 JPEG decodes
+    # EXACTLY (flat 8x8 block = DC only, quantizer 1), so the decoded mean
+    # is the block-byte expansion: block b (row-major over nbx*nby blocks)
+    # has value byte[b mod nb] and covers min(8, w-8bx) * min(8, h-8by)
+    # cropped pixels.
+    out["media_decode_features_jpeg"] = """
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text))::BIGINT AS nb,
+         (16 + doc_id % 32)::BIGINT AS w, (16 + doc_id % 24)::BIGINT AS h
+  FROM documents
+), b AS (
+  SELECT doc_id, w, h, nb, hx, (w + 7) // 8 AS nbx, (h + 7) // 8 AS nby
+  FROM m
+), per AS (
+  SELECT doc_id, w, h,
+         list_sum(list_transform(generate_series(0, (nbx * nby - 1)::INT), i ->
+           (CASE WHEN nb > 0
+                 THEN ('0x' || substr(hx, 2 * (i % nb)::INT + 1, 2))::BIGINT
+                 ELSE 0 END)
+           * least(8, w - 8 * (i % nbx)) * least(8, h - 8 * (i // nbx))
+         )) AS s
+  FROM b
+)
+SELECT 'image' AS media_type, count(*)::BIGINT AS n_media,
+       sum(w * h)::BIGINT AS decoded_bytes,
+       round(avg(coalesce(s, 0)::DOUBLE / (w * h)), 6) AS avg_intensity
+FROM per
+"""
     return out
 
 

@@ -1,0 +1,396 @@
+"""Baseline JFIF (JPEG) codec — pure stdlib + NumPy, public knowledge only
+(ITU-T T.81 / ISO 10918-1: Annex K example tables, Annex F baseline
+sequential DCT procedure; the JFIF APP0 layout per the JFIF 1.02 spec).
+
+Scope: 8-bit baseline sequential, single (grayscale) component, no
+subsampling, standard Annex K luminance quantization + Huffman tables (the
+quantization table scales with the usual IJG quality mapping).  This is the
+last entropy-coded image format the engine's decode ladder needed a real
+implementation for (`SURVEY.md` §2.8 multimodal); video remains the only
+stubbed decode path.
+
+Determinism contract: both directions use float64 and ``np.rint``
+(half-even) around the orthonormal DCT-II matrix product, so
+``decode_jpeg(encode_jpeg_gray(...))`` is a pure function of its inputs —
+and for BLOCK-CONSTANT images at quality 100 (all-ones quantization) the
+round trip is EXACT: a flat 8x8 block has only a DC coefficient, stored as
+``8*(v-128)`` with quantizer 1, which the IDCT returns to ``v`` with zero
+error.  The multimodal fixture exploits exactly this to keep a value-checked
+closed-form DuckDB twin over a real Huffman+IDCT decode
+(`__spark_entry__.q_media_decode_features_jpeg`); arbitrary-content fidelity
+is pinned in ``tests/test_codecs_jpeg.py`` against an independent naive
+decoder.
+
+The per-block entropy decode is a sequential bit walk (inherent to Huffman
+streams) in plain Python over tiny per-row payloads; the DCT/IDCT and
+quantization are vectorized NumPy over all blocks at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K Table K.1 — luminance quantization (natural / row-major order)
+K1_LUMA_QUANT = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+# zig-zag scan: ZIGZAG[k] = natural (row-major) index of the k-th coefficient
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K Tables K.3/K.5 — luminance DC / AC Huffman specs (BITS, HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix (A @ X @ A.T = forward 2D DCT)."""
+    k = np.arange(8)[:, None].astype(np.float64)
+    j = np.arange(8)[None, :].astype(np.float64)
+    a = 0.5 * np.cos((2 * j + 1) * k * np.pi / 16.0)
+    a[0, :] = 1.0 / np.sqrt(8.0)
+    return a
+
+
+_A = _dct_matrix()
+
+
+def quant_table(quality: int) -> np.ndarray:
+    """Annex K luminance table scaled with the standard IJG quality mapping
+    (quality 100 -> all ones, which is what makes the flat-block fixture
+    round trip exact)."""
+    q = int(min(100, max(1, quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((K1_LUMA_QUANT * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via the canonical assignment of T.81 C.2."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[vi]] = (code, length)
+            vi += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+_AC_ENC = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for the bit-walk decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+def _category(v: int) -> int:
+    """Bit size SSSS of |v| (0 for 0)."""
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing and 1-padding at flush."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _amplitude(v: int, cat: int) -> int:
+    """T.81 F.1.2.1 amplitude bits: positive as-is, negative one's-complement."""
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def encode_jpeg_gray(
+    pixels: np.ndarray, width: int, height: int, quality: int = 75
+) -> bytes:
+    """Encode a flat uint8 grayscale array (row-major, ``width*height``) as a
+    baseline JFIF stream: edge-replicated padding to 8x8 blocks, vectorized
+    DCT + quantization over all blocks, then the sequential Huffman pass."""
+    w, h = int(width), int(height)
+    img = np.asarray(pixels, dtype=np.uint8).reshape(h, w)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    nby, nbx = ph // 8, pw // 8
+    # (nblocks, 8, 8) batch: vectorized 2D DCT via two tensordots
+    blocks = (
+        img.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    ).astype(np.float64) - 128.0
+    coefs = np.einsum("ij,njk,lk->nil", _A, blocks, _A)
+    qt = quant_table(quality)
+    q = np.rint(coefs.reshape(-1, 64) / qt.astype(np.float64)).astype(np.int64)
+    zz = q[:, ZIGZAG]
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        dc = int(blk[0])
+        diff = dc - prev_dc
+        prev_dc = dc
+        cat = _category(diff)
+        code, ln = _DC_ENC[cat]
+        bw.write(code, ln)
+        bw.write(_amplitude(diff, cat), cat)
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(blk[1:])[0]
+        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_ENC[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = _AC_ENC[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(_amplitude(v, cat), cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = _AC_ENC[0x00]  # EOB
+            bw.write(code, ln)
+    scan = bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in qt[ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    for cls, bits, vals in ((0, DC_LUMA_BITS, DC_LUMA_VALS), (1, AC_LUMA_BITS, AC_LUMA_VALS)):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy segment with FF00 unstuffing; stops
+    at any real marker (leaves it for the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("jpeg: truncated entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("jpeg: marker inside entropy stream")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline single-component (grayscale) JFIF stream produced by
+    :func:`encode_jpeg_gray` or any conforming encoder.  Returns
+    ``(width, height, flat uint8 pixels)``.  Raises ``ValueError`` for
+    non-JPEG payloads and for features outside baseline grayscale
+    (progressive SOF2, multi-component scans, 16-bit tables) — the codec
+    ladder treats that as "try the next codec"."""
+    d = bytes(payload)
+    if len(d) < 4 or d[0:2] != b"\xff\xd8":
+        raise ValueError("jpeg: no SOI marker")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = -1
+    qsel = 0
+    dcsel = acsel = 0
+    restart = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker alignment")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", d[pos : pos + 2])[0]
+        seg = d[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                tab = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                qtabs[tq] = tab[UNZIGZAG]  # store natural order
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                htabs[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8 or ncomp != 1:
+                raise ValueError("jpeg: only 8-bit single-component baseline")
+            if (seg[7] >> 4) != 1 or (seg[7] & 0xF) != 1:
+                raise ValueError("jpeg: subsampling unsupported")
+            qsel = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline SOF unsupported")
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise ValueError("jpeg: multi-component scan unsupported")
+            dcsel, acsel = seg[2] >> 4, seg[2] & 0xF
+            pos += seglen
+            break
+        pos += seglen
+    if w < 0 or marker != 0xDA:
+        raise ValueError("jpeg: missing SOF/SOS")
+    if qsel not in qtabs or (0, dcsel) not in htabs or (1, acsel) not in htabs:
+        raise ValueError("jpeg: missing tables")
+    qt = qtabs[qsel].astype(np.float64)
+    dct_t, act_t = htabs[(0, dcsel)], htabs[(1, acsel)]
+
+    nby, nbx = -(-h // 8), -(-w // 8)
+    zz = np.zeros((nby * nbx, 64), dtype=np.int64)
+    br = _BitReader(d, pos)
+    prev_dc = 0
+    for bi in range(nby * nbx):
+        if restart and bi and bi % restart == 0:
+            # RSTn: byte-align, consume the marker, reset the DC predictor
+            br.n = 0
+            if d[br.pos] == 0xFF and 0xD0 <= d[br.pos + 1] <= 0xD7:
+                br.pos += 2
+            prev_dc = 0
+        cat = _huff_decode(br, dct_t)
+        diff = _extend(br.bits(cat), cat) if cat else 0
+        prev_dc += diff
+        zz[bi, 0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _huff_decode(br, act_t)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, cat = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            zz[bi, k] = _extend(br.bits(cat), cat)
+            k += 1
+
+    coefs = np.zeros_like(zz)
+    coefs[:, ZIGZAG] = zz
+    blocks = np.einsum(
+        "ji,njk,kl->nil", _A, coefs.reshape(-1, 8, 8).astype(np.float64) * qt.reshape(8, 8), _A
+    )
+    img = (
+        np.clip(np.rint(blocks + 128.0), 0, 255)
+        .astype(np.uint8)
+        .reshape(nby, nbx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby * 8, nbx * 8)
+    )
+    return w, h, img[:h, :w].reshape(-1)

@@ -7,16 +7,21 @@ metadata checks are pure JVM column expressions (pushdown-friendly), and the
 per-batch Python work is vectorized NumPy over ``pyarrow``-delivered byte
 arrays.
 
-Codec status (round 4): image and audio payloads are REAL encoded files —
+Codec status (round 5): image and audio payloads are REAL encoded files —
 image rows alternate 24-bit BMP and 8-bit RGB PNG (cycling all five PNG
 scanline filters across the fixture so the whole unfilter path is exercised
 end-to-end), audio rows are 16-bit mono PCM WAV — generated and decoded by
 the pure-stdlib+NumPy codecs in :mod:`driftval.codecs` (PNG via stdlib zlib;
 stored-DEFLATE IDAT so the encoded size stays a closed form the DuckDB
-oracles can value-check). Video has no dependency-free container, so its
-payload stays an opaque blob and its decode path is the clearly-marked
-deterministic stub. Formats needing a non-stdlib entropy coder (JPEG/MP3/
-H.264) still route through the optional PIL hook / stub fallback.
+oracles can value-check).  Baseline JPEG (Huffman + DCT, Annex K tables) is
+real too (:mod:`driftval.jpeg`): the ladder decodes any baseline grayscale
+JFIF payload, and the :func:`media_table_jpeg` fixture feeds the catalog a
+BLOCK-CONSTANT quality-100 stream whose decode is provably exact, keeping
+the closed-form DuckDB twin over a real entropy-coded decode (arbitrary
+content is pinned in tests against an independent naive decoder).  Video
+has no dependency-free container, so its payload stays an opaque blob and
+its decode path is the clearly-marked deterministic stub — the ONLY stub
+left. MP3/H.264 route through the optional PIL/codec hook or the stub.
 
 No multimodal capability exists in the reference (SURVEY.md §2.6); this module
 is part of the [SPEC] training-data-pipeline surface.
@@ -113,6 +118,52 @@ def media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return src.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def media_table_jpeg(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic JPEG fixture: every doc becomes a baseline grayscale
+    JFIF image whose pixels are BLOCK-CONSTANT — 8x8 block ``(bx, by)``
+    carries the doc's byte ``(by*nbx + bx) mod nb`` — encoded at quality
+    100 (all-ones quantization).  A flat block has only a DC coefficient,
+    stored exactly with quantizer 1, so the REAL Huffman+IDCT decode
+    returns the pixels bit-exactly and the decoded mean keeps the
+    closed-form DuckDB twin (`media_decode_features_jpeg`); the general
+    AC path is pinned in tests/test_codecs_jpeg.py instead.  Same schema
+    and width/height formulas as :func:`media_table`."""
+    from driftval import jpeg as _jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["_id"].astype("int64")
+            out = {
+                "doc_id": ids,
+                "media_type": "image",
+                "payload": [],
+                "width": (16 + ids % 32).astype("int32"),
+                "height": (16 + ids % 24).astype("int32"),
+                "sample_rate": (8000 + (ids % 4) * 8000).astype("int32"),
+                "n_frames": (1 + ids % 30).astype("int32"),
+                "n_bytes": [],
+            }
+            for txt, w, h in zip(pdf["_text"], out["width"], out["height"]):
+                tb = str(txt).encode("utf-8")
+                w, h = int(w), int(h)
+                nbx, nby = -(-w // 8), -(-h // 8)
+                vals = _cycled_bytes(tb, nbx * nby).reshape(nby, nbx)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:h, :w]
+                payload = _jpeg.encode_jpeg_gray(
+                    img.reshape(-1), w, h, quality=100
+                )
+                out["payload"].append(payload)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")
+    )
+    return src.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def _codec_available() -> bool:
     try:  # real codec path — not present in this container
         import PIL.Image  # noqa: F401
@@ -152,7 +203,8 @@ def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
     Codec ladder per media type, most-capable first, stub last — a
     present-but-inapplicable codec must never break the run (ADVICE r2):
 
-    - image: optional PIL hook (entropy-coded formats, when installed) ->
+    - image: optional PIL hook (when installed) -> pure-NumPy baseline JPEG
+      (:func:`driftval.jpeg.decode_jpeg`, real Huffman + IDCT) ->
       pure-stdlib PNG (:func:`driftval.codecs.decode_png`, real zlib
       inflate + unfilter) -> pure-NumPy BMP
       (:func:`driftval.codecs.decode_bmp`) -> byte-stat stub.
@@ -166,6 +218,12 @@ def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
                 return _real_decode(payload)
             except Exception:  # UnidentifiedImageError etc. — not a PIL image
                 pass
+        try:
+            from driftval import jpeg as _jpeg
+
+            return _jpeg.decode_jpeg(bytes(payload))[2]
+        except ValueError:
+            pass
         try:
             return codecs.decode_png(bytes(payload))[3]
         except ValueError:
@@ -362,6 +420,10 @@ def media_conformance(media: DataFrame) -> DataFrame:
             | (
                 F.expr("substring(payload, 1, 8)")
                 == F.lit(bytearray(_codecs.PNG_SIG))
+            )
+            | (
+                F.expr("substring(payload, 1, 2)")
+                == F.lit(bytearray(b"\xff\xd8"))
             ),
         )
         .when(

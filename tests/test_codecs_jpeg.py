@@ -1,0 +1,245 @@
+"""Baseline JPEG codec tests: an INDEPENDENT scalar-reference decoder (its
+own marker walk, bit reader, Huffman walker, and per-pixel IDCT double loop
+transcribed from the T.81 pseudocode — shared nothing with driftval.jpeg
+except the public Annex K table constants), quality-bounded fidelity on
+arbitrary content, the flat-block quality-100 EXACTNESS the fixture twin
+relies on, the decode-ladder routing, and the rejection matrix."""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from driftval import jpeg
+
+
+# ---------------------------------------------------------------------------
+# Independent reference decoder (naive, per-pixel, loop-based)
+# ---------------------------------------------------------------------------
+
+
+def _ref_huff_maps(bits, vals):
+    maps = {}
+    code, vi = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            maps[(ln, code)] = vals[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return maps
+
+
+class _RefBits:
+    def __init__(self, data, pos):
+        self.d, self.p, self.cur, self.n = data, pos, 0, 0
+
+    def bit(self):
+        if self.n == 0:
+            b = self.d[self.p]
+            if b == 0xFF:
+                assert self.d[self.p + 1] == 0x00
+                self.p += 2
+            else:
+                self.p += 1
+            self.cur, self.n = b, 8
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def ref_decode(payload: bytes):
+    """Independent baseline grayscale decode: marker walk + scalar IDCT."""
+    d = bytes(payload)
+    assert d[:2] == b"\xff\xd8"
+    p = 2
+    qt = None
+    hmaps = {}
+    w = h = None
+    while True:
+        assert d[p] == 0xFF
+        mk = d[p + 1]
+        p += 2
+        if mk == 0xD9:
+            break
+        ln = struct.unpack(">H", d[p : p + 2])[0]
+        seg = d[p + 2 : p + ln]
+        if mk == 0xDB:
+            assert seg[0] == 0x00
+            zz = list(seg[1:65])
+            qt = [0] * 64
+            for k, nat in enumerate(jpeg.ZIGZAG):
+                qt[nat] = zz[k]
+        elif mk == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                hmaps[(tc, th)] = _ref_huff_maps(bits, list(seg[i + 17 : i + 17 + nv]))
+                i += 17 + nv
+        elif mk == 0xC0:
+            assert seg[0] == 8 and seg[5] == 1
+            h, w = struct.unpack(">HH", seg[1:5])
+        elif mk == 0xDA:
+            p += ln
+            break
+        p += ln
+
+    def huff(br, maps):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            if (ln, code) in maps:
+                return maps[(ln, code)]
+        raise AssertionError("bad code")
+
+    def extend(v, s):
+        if s == 0:
+            return 0
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    br = _RefBits(d, p)
+    nby, nbx = math.ceil(h / 8), math.ceil(w / 8)
+    img = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = [0] * 64
+            s = huff(br, hmaps[(0, 0)])
+            pred += extend(br.bits(s), s)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = huff(br, hmaps[(1, 0)])
+                if sym == 0:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                zz[k] = extend(br.bits(sym & 0xF), sym & 0xF)
+                k += 1
+            coef = [0.0] * 64
+            for kk, nat in enumerate(jpeg.ZIGZAG):
+                coef[nat] = zz[kk] * qt[nat]
+            # scalar IDCT straight from the T.81 definition
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                            s += (
+                                cu * cv * coef[u * 8 + v]
+                                * math.cos((2 * y + 1) * u * math.pi / 16)
+                                * math.cos((2 * x + 1) * v * math.pi / 16)
+                            )
+                    val = np.rint(np.float64(s / 4.0 + 128.0))
+                    img[by * 8 + y, bx * 8 + x] = min(255, max(0, int(val)))
+    return w, h, img[:h, :w].reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+
+def test_decode_matches_independent_reference():
+    rng = np.random.default_rng(23)
+    for w, h, q in ((16, 16, 75), (37, 21, 50), (8, 8, 90), (11, 5, 100)):
+        px = rng.integers(0, 256, w * h, dtype=np.uint8)
+        enc = jpeg.encode_jpeg_gray(px, w, h, quality=q)
+        got = jpeg.decode_jpeg(enc)
+        want = ref_decode(enc)
+        assert got[0] == want[0] and got[1] == want[1]
+        assert np.array_equal(got[2], want[2]), (w, h, q)
+
+
+def test_quality_bounds_reconstruction_error():
+    """Smooth content (a gradient) reconstructs tightly; higher quality is
+    monotonically-not-worse on the same content."""
+    w, h = 32, 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = ((yy * 4 + xx * 3) % 256).astype(np.uint8).reshape(-1)
+    errs = []
+    for q in (50, 75, 90, 100):
+        _, _, dec = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(px, w, h, quality=q))
+        errs.append(float(np.abs(dec.astype(int) - px.astype(int)).mean()))
+    assert errs[-1] <= 0.6  # near-lossless at quality 100
+    assert errs[0] < 32 and all(b <= a + 1e-9 for a, b in zip(errs, errs[1:]))
+
+
+def test_flat_blocks_roundtrip_exact_at_quality_100():
+    """The fixture contract: block-constant pixels at quality 100 decode
+    EXACTLY (DC-only blocks, quantizer 1) — including partial edge blocks."""
+    rng = np.random.default_rng(3)
+    for w, h in ((16, 16), (37, 21), (17, 23), (8, 8), (9, 9)):
+        nbx, nby = math.ceil(w / 8), math.ceil(h / 8)
+        vals = rng.integers(0, 256, nbx * nby, dtype=np.uint8).reshape(nby, nbx)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:h, :w]
+        enc = jpeg.encode_jpeg_gray(img.reshape(-1), w, h, quality=100)
+        dw, dh, dec = jpeg.decode_jpeg(enc)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(dec, img.reshape(-1)), (w, h)
+
+
+def test_decode_ladder_routes_jpeg(spark):
+    """decode_payload picks the JPEG codec for a JFIF payload and still
+    routes PNG/BMP payloads to their own codecs."""
+    from driftval import codecs, multimodal
+
+    px = np.arange(64, dtype=np.uint8)
+    jp = jpeg.encode_jpeg_gray(np.full(64, 77, np.uint8), 8, 8, quality=100)
+    got = multimodal.decode_payload(jp, "image")
+    assert np.array_equal(got, np.full(64, 77, np.uint8))
+    png = codecs.encode_png(np.resize(px, 8 * 8 * 3), 8, 8)
+    assert len(multimodal.decode_payload(png, "image")) == 8 * 8 * 3
+
+
+def test_rejection_matrix():
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"")
+    enc = bytearray(jpeg.encode_jpeg_gray(np.zeros(64, np.uint8), 8, 8))
+    # flip SOF0 -> SOF2 (progressive): rejected, not mis-decoded
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(enc))
+    # truncated entropy stream
+    good = jpeg.encode_jpeg_gray(np.arange(64, dtype=np.uint8), 8, 8)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(good[: len(good) - 4])
+
+
+def test_media_table_jpeg_fixture_decodes_to_block_bytes(spark):
+    """End-to-end fixture contract on a small frame: decode_features over
+    media_table_jpeg reproduces the closed-form block-byte expansion."""
+    from driftval import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (7, ""), (13, "x" * 100)], "doc_id long, text string"
+    )
+    feats = {
+        r.doc_id: r
+        for r in multimodal.decode_features(
+            multimodal.media_table_jpeg(docs)
+        ).collect()
+    }
+    for did, text in ((0, "hello world"), (7, ""), (13, "x" * 100)):
+        w, h = 16 + did % 32, 16 + did % 24
+        nbx, nby = math.ceil(w / 8), math.ceil(h / 8)
+        tb = text.encode()
+        vals = np.resize(np.frombuffer(tb, np.uint8), nbx * nby).reshape(nby, nbx)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)[:h, :w]
+        assert feats[did].n_bytes == w * h
+        assert abs(feats[did].mean_intensity - img.mean()) < 1e-9, did
