@@ -808,12 +808,47 @@ def cmd_snapmaint(spark, args) -> int:
             print("cluster requires --where col=value and --by col,col", flush=True)
             return 2
         where = dict(kv.split("=", 1) for kv in args.where)
+        prev_sid = snaptable.current_snapshot_id(args.root)
         sid = snaptable.cluster_partition(
             spark, args.root, where, args.by.split(","),
             target_files=args.target_files, bits=args.bits,
         )
-        print(_json.dumps({"snapshot_id": sid, "clustered": where, "by": args.by}))
+        out = {"snapshot_id": sid, "clustered": where, "by": args.by}
+        if args.probe:
+            # measured payoff: footer-stats pruning simulation for the probe
+            # predicates on the selection, BEFORE (previous snapshot, still
+            # readable) vs AFTER the Z-order rewrite
+            preds = _parse_probe(args.probe)
+            out["probe"] = {
+                "predicates": {c: list(v) for c, v in preds.items()},
+                "before": snaptable.file_skip_stats(
+                    args.root, preds, where=where, snapshot_id=prev_sid
+                ),
+                "after": snaptable.file_skip_stats(
+                    args.root, preds, where=where, snapshot_id=sid
+                ),
+            }
+        print(_json.dumps(out))
     return 0
+
+
+def _parse_probe(specs: list[str]) -> dict:
+    """``col=lo:hi`` (inclusive range) or ``col=value`` probe predicates;
+    numeric when both ends parse as float, string otherwise."""
+    preds = {}
+    for kv in specs:
+        c, spec = kv.split("=", 1)
+        parts = spec.split(":", 1) if ":" in spec else [spec, spec]
+
+        def _num(s):
+            try:
+                return float(s)
+            except ValueError:
+                return s
+
+        lo, hi = _num(parts[0]), _num(parts[1])
+        preds[c] = (lo, hi)
+    return preds
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -1099,6 +1134,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="cluster: comma-separated Z-order columns")
     p.add_argument("--bits", type=int, default=16,
                    help="cluster: Z-value bits per column")
+    p.add_argument(
+        "--probe", nargs="*", default=[],
+        help="cluster: probe predicates col=lo:hi (range) or col=value — "
+             "reports the measured before/after file/row-group skip ratio "
+             "from parquet footer stats",
+    )
     p.set_defaults(fn=cmd_snapmaint)
 
     p = sub.add_parser("pack", help="write a sequence-packing layout plan")

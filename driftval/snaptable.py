@@ -640,3 +640,87 @@ def cluster_partition(
         .drop("_z")
     )
     return commit_overwrite(spark, root, clustered, spec, replace_where=where)
+
+
+def _stat_val(v):
+    """Normalize a pyarrow statistics min/max for comparison (bytes -> str)."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def file_skip_stats(
+    root: str,
+    predicates: dict[str, object],
+    where: dict[str, object] | None = None,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Parquet-footer pruning simulation — the MEASURED Z-order payoff:
+    for every data file of the (optionally partition-pruned) selection,
+    read the per-row-group min/max statistics from the parquet footer and
+    report how many files and row groups a stats-aware reader (Spark's
+    parquet filter pushdown, an Iceberg planner on file-level stats) could
+    skip under the given predicates.
+
+    ``predicates``: ``col -> scalar`` (equality) or ``col -> (lo, hi)``
+    inclusive range; conjunctive — a file/row group is skippable as soon
+    as ONE predicate's range misses its ``[min, max]``.
+
+    Returns ``{n_files, skipped_files, file_skip_ratio, n_row_groups,
+    skipped_row_groups, row_group_skip_ratio}``.
+
+    Driver-side loop over footers: O(files-in-selection) metadata-only
+    reads — the same work a table-format planner does per query; at
+    warehouse scale run it per partition or distribute the manifest."""
+    import pyarrow.parquet as pq
+
+    norm: dict[str, tuple[object, object]] = {}
+    for c, v in predicates.items():
+        if isinstance(v, (tuple, list)) and len(v) == 2:
+            norm[c] = (v[0], v[1])
+        else:
+            norm[c] = (v, v)
+
+    manifest = read_manifest(root, snapshot_id)
+    files = prune_files(manifest, where)
+    n_files = n_skipped = n_rg = n_rg_skipped = 0
+    for f in files:
+        md = pq.ParquetFile(os.path.join(root, f["path"])).metadata
+        names = list(md.schema.names)
+        col_ix = {c: names.index(c) for c in norm if c in names}
+        file_skippable = False
+        rg_flags = []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            skippable = False
+            for c, (lo, hi) in norm.items():
+                if c not in col_ix:
+                    continue
+                st = rg.column(col_ix[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = _stat_val(st.min), _stat_val(st.max)
+                try:
+                    if (hi is not None and mn > hi) or (
+                        lo is not None and mx < lo
+                    ):
+                        skippable = True
+                        break
+                except TypeError:
+                    # predicate/stat type mismatch (e.g. numeric probe on a
+                    # string column): stats cannot prove exclusion — keep
+                    continue
+            rg_flags.append(skippable)
+        n_rg += len(rg_flags)
+        n_rg_skipped += sum(rg_flags)
+        file_skippable = bool(rg_flags) and all(rg_flags)
+        n_files += 1
+        n_skipped += int(file_skippable)
+    return {
+        "n_files": n_files,
+        "skipped_files": n_skipped,
+        "file_skip_ratio": round(n_skipped / n_files, 4) if n_files else 0.0,
+        "n_row_groups": n_rg,
+        "skipped_row_groups": n_rg_skipped,
+        "row_group_skip_ratio": round(n_rg_skipped / n_rg, 4) if n_rg else 0.0,
+    }

@@ -68,7 +68,15 @@ def timed(fn):
     return out, round(time.monotonic() - t0, 2)
 
 
-def run_scale(spark, n_docs: int, workdir: str) -> dict:
+ALL_OPS = (
+    "minhash_dup_pairs", "simhash_dup_pairs", "ngram_jaccard_pairs",
+    "dedup_against_index", "clone_pairs", "clones_against_index",
+    "dup_spans", "bpe_segment_counts",
+)
+
+
+def run_scale(spark, n_docs: int, workdir: str, ops=frozenset(ALL_OPS),
+              merges=None) -> dict:
     from driftval import textops
 
     path = os.path.join(workdir, f"corpus-{n_docs}")
@@ -77,39 +85,43 @@ def run_scale(spark, n_docs: int, workdir: str) -> dict:
     out: dict = {"n_docs": n_docs}
 
     caches = []
-    n_pairs, sec = timed(
+    if "minhash_dup_pairs" in ops:
+      n_pairs, sec = timed(
         lambda: textops.minhash_dup_pairs(
             docs, "doc_id", "content", k=8, band_rows=2, n=3, caches=caches
         ).count()
     )
-    out["minhash_dup_pairs"] = {"pairs": n_pairs, "sec": sec}
+      out["minhash_dup_pairs"] = {"pairs": n_pairs, "sec": sec}
 
     # bits=60: 20-bit pigeonhole blocks — sized for ~10^6-10^7 distinct
     # texts per the occupancy rule in simhash_dup_pairs (32-bit/11-bit
     # blocks collapse to quadratic buckets at this scale; this harness is
     # what surfaced that, see the docstring there)
-    n_pairs, sec = timed(
+    if "simhash_dup_pairs" in ops:
+      n_pairs, sec = timed(
         lambda: textops.simhash_dup_pairs(
             docs, "doc_id", "content", bits=60, max_hamming=2, n=3, caches=caches
         ).count()
     )
-    out["simhash_dup_pairs"] = {"pairs": n_pairs, "sec": sec}
+      out["simhash_dup_pairs"] = {"pairs": n_pairs, "sec": sec}
 
-    n_pairs, sec = timed(
+    if "ngram_jaccard_pairs" in ops:
+      n_pairs, sec = timed(
         lambda: textops.ngram_jaccard_pairs(
             docs, "doc_id", "content", n=3, threshold=0.5, df_cap=200, caches=caches
         ).count()
     )
-    out["ngram_jaccard_pairs"] = {"pairs": n_pairs, "sec": sec}
+      out["ngram_jaccard_pairs"] = {"pairs": n_pairs, "sec": sec}
 
     # daily-ingest: index the corpus once (untimed), then match a 5%-sized
     # new batch (half of it duplicating indexed docs) against it — the
     # steady-state cost a production pipeline pays per day
     idx_path = os.path.join(workdir, f"index-{n_docs}")
-    textops.minhash_index(docs, "doc_id", "content", k=8, n=3).write.mode(
+    if "dedup_against_index" in ops:
+      textops.minhash_index(docs, "doc_id", "content", k=8, n=3).write.mode(
         "overwrite"
     ).parquet(idx_path)
-    index = spark.read.parquet(idx_path)
+      index = spark.read.parquet(idx_path)
     n_batch = max(n_docs // 20, 10)
     batch = corpus(spark, n_batch).select(
         (F.col("doc_id") + F.lit(10 * n_docs)).alias("doc_id"), "content"
@@ -117,14 +129,15 @@ def run_scale(spark, n_docs: int, workdir: str) -> dict:
     bpath = os.path.join(workdir, f"batch-{n_docs}")
     batch.write.mode("overwrite").parquet(bpath)
     batch = spark.read.parquet(bpath)
-    n_matches, sec = timed(
+    if "dedup_against_index" in ops:
+      n_matches, sec = timed(
         lambda: textops.dedup_against_index(
             batch, index, "doc_id", "content", k=8, band_rows=2, n=3
         ).count()
     )
-    out["dedup_against_index"] = {
+      out["dedup_against_index"] = {
         "batch_docs": n_batch, "matches": n_matches, "sec": sec,
-    }
+      }
 
     # clone family (round 4): character-gram fingerprint pairs on the same
     # corpus — exact/near duplicates share (almost) all selected k-grams, so
@@ -133,27 +146,29 @@ def run_scale(spark, n_docs: int, workdir: str) -> dict:
     # corpus sample, not a sketch), so this is the family's stress test.
     from driftval import clonedetect
 
-    n_pairs, sec = timed(
+    if "clone_pairs" in ops:
+      n_pairs, sec = timed(
         lambda: clonedetect.clone_pairs(
             docs, "doc_id", "content", k=16, p=8, min_shared=3, df_cap=200
         ).count()
     )
-    out["clone_pairs"] = {"pairs": n_pairs, "sec": sec}
+      out["clone_pairs"] = {"pairs": n_pairs, "sec": sec}
 
     cidx_path = os.path.join(workdir, f"clone-index-{n_docs}")
-    clonedetect.clone_index(docs, "doc_id", "content", k=16, p=8).write.mode(
+    if "clones_against_index" in ops:
+      clonedetect.clone_index(docs, "doc_id", "content", k=16, p=8).write.mode(
         "overwrite"
     ).parquet(cidx_path)
-    cindex = spark.read.parquet(cidx_path)
-    n_matches, sec = timed(
+      cindex = spark.read.parquet(cidx_path)
+      n_matches, sec = timed(
         lambda: clonedetect.clones_against_index(
             batch, cindex, "doc_id", "content", k=16, p=8,
             min_shared=3, df_cap=200,
         ).count()
     )
-    out["clones_against_index"] = {
+      out["clones_against_index"] = {
         "batch_docs": n_batch, "matches": n_matches, "sec": sec,
-    }
+      }
 
     # substring-span dedup (round 4 day-2): positional-gram volume is the
     # whole corpus (one row per token), so this is the family's heaviest
@@ -161,12 +176,32 @@ def run_scale(spark, n_docs: int, workdir: str) -> dict:
     # span count and wall must still grow ~linearly.
     from driftval import spandedup
 
-    n_spans, sec = timed(
+    if "dup_spans" in ops:
+      n_spans, sec = timed(
         lambda: spandedup.dup_spans(
             docs, "doc_id", "content", k=5, caches=caches
         ).count()
-    )
-    out["dup_spans"] = {"pairs": n_spans, "sec": sec}
+      )
+      out["dup_spans"] = {"pairs": n_spans, "sec": sec}
+
+    # tokenizer APPLY at corpus scale (VERDICT r4 #7): a FIXED merge list
+    # (learned once at the first scale, reused) applied to a 10x corpus
+    # over the SAME vocabulary — the rank-greedy segmenter runs once per
+    # DISTINCT word, so wall must track the scan, not the merge loop.
+    if "bpe_segment_counts" in ops and merges is not None:
+        from driftval import bpe
+
+        n_rows, sec = timed(
+            lambda: bpe.bpe_segment_counts(
+                docs, "doc_id", "content", merges
+            ).count()
+        )
+        ndw = docs.select(
+            F.explode(F.split(F.col("content"), "[ ]+")).alias("w")
+        ).where(F.col("w") != "").distinct().count()
+        out["bpe_segment_counts"] = {
+            "pairs": n_rows, "sec": sec, "distinct_words": ndw,
+        }
 
     for c in caches:
         c.unpersist()
@@ -180,6 +215,17 @@ def main() -> None:
             "DRIFTVAL_DEDUP_SCALES", "250000,2500000"
         ).split(",")
     ]
+    # extra scales where ONLY the substring-span scan runs (the family's
+    # heaviest content pass — VERDICT r4 #4 asks for the next decade there
+    # without paying the full pair-join battery at 10x)
+    span_scales = [
+        int(s)
+        for s in os.environ.get("DRIFTVAL_DEDUP_SPAN_SCALES", "").split(",")
+        if s.strip()
+    ]
+    ops = frozenset(
+        os.environ.get("DRIFTVAL_DEDUP_OPS", ",".join(ALL_OPS)).split(",")
+    )
     cpus = int(os.environ.get("DRIFTVAL_DEDUP_CPUS", "32"))
     from driftval.session import build_session
 
@@ -196,7 +242,11 @@ def main() -> None:
     os.environ.setdefault("DRIFTVAL_LOCAL_DIR", os.path.join(workdir, "spark-local"))
     try:
         results = []
-        for n in scales:
+        merges = None
+        plan = [(n, ops) for n in scales] + [
+            (n, frozenset({"dup_spans"})) for n in span_scales
+        ]
+        for n, scale_ops in plan:
             spark = build_session(
                 "dedup-scale",
                 master=f"local[{cpus}]",
@@ -204,7 +254,15 @@ def main() -> None:
                 extra_conf={"spark.cleaner.periodicGC.interval": "1min"},
             )
             spark.sparkContext.setLogLevel("ERROR")
-            results.append(run_scale(spark, n, workdir))
+            if merges is None and "bpe_segment_counts" in scale_ops:
+                # fixed tokenizer: learn ONCE on the smallest corpus, apply
+                # at every scale (the apply cost is the claim under test)
+                from driftval import bpe
+
+                merges = bpe.learn_bpe_merges(
+                    corpus(spark, scales[0]), "content", n_merges=20
+                )
+            results.append(run_scale(spark, n, workdir, ops=scale_ops, merges=merges))
             spark.stop()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -229,23 +287,26 @@ def main() -> None:
         "|---|" + "---|" * (len(results) + 1),
     ]
     ratio = results[-1]["n_docs"] / results[0]["n_docs"]
-    for op in (
-        "minhash_dup_pairs", "simhash_dup_pairs",
-        "ngram_jaccard_pairs", "dedup_against_index",
-        "clone_pairs", "clones_against_index", "dup_spans",
-    ):
+    for op in ALL_OPS:
+        have = [r for r in results if op in r]
+        if not have:
+            continue
         cells = []
         for r in results:
+            if op not in r:
+                cells.append("—")
+                continue
             d = r[op]
             cnt = d.get("pairs", d.get("matches"))
             cells.append(f"{cnt:,} pairs, {d['sec']}s")
-        a, b = results[0][op], results[-1][op]
+        a, b = have[0][op], have[-1][op]
         ca = a.get("pairs", a.get("matches")) or 1
         cb = b.get("pairs", b.get("matches")) or 1
+        op_ratio = have[-1]["n_docs"] / have[0]["n_docs"]
         lines.append(
             f"| {op} | " + " | ".join(cells)
             + f" | ×{cb / ca:.1f} / ×{b['sec'] / max(a['sec'], 0.01):.1f}"
-            + f" (data ×{ratio:.0f}) |"
+            + f" (data ×{op_ratio:.0f}) |"
         )
     lines += [
         "",

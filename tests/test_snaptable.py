@@ -638,3 +638,99 @@ def test_cluster_partition_rejects_bad_selection(spark, root):
         snaptable.zorder_value(
             _files(spark, ["2026-01-01"], ["py"]), ["repo"] * 5, bits=16
         )
+
+
+def test_file_skip_stats_measures_zorder_payoff(spark, root):
+    """The measured Z-order payoff (VERDICT r4 #6): on a scattered layout a
+    narrow n_line predicate skips nothing; after cluster_partition the
+    footer-stats simulation reports most files/row groups skippable, and an
+    out-of-range predicate skips everything."""
+    rows = [
+        Row(
+            repo=f"r{i % 8}",
+            path=f"src/f{i}.py",
+            commit=f"{i:040x}",
+            lang="py",
+            content=f"print({i})",
+            n_line=i % 100,
+            part_date="2026-01-01",
+        )
+        for i in range(4000)
+    ]
+    snaptable.commit_append(
+        spark, root, spark.createDataFrame(rows).repartition(8), ["part_date"]
+    )
+    where = {"part_date": "2026-01-01"}
+    pred = {"n_line": (10, 19)}
+
+    before = snaptable.file_skip_stats(root, pred, where=where)
+    assert before["n_files"] == 8
+    assert before["skipped_files"] == 0  # every scattered file spans 0..99
+
+    sid = snaptable.cluster_partition(
+        spark, root, where, ["n_line"], target_files=8, bits=8
+    )
+    after = snaptable.file_skip_stats(root, pred, where=where, snapshot_id=sid)
+    assert after["n_files"] == 8
+    # a 10-wide slice of a 100-wide space over 8 z-ranged files: at least
+    # half the files (and row groups) are provably skippable
+    assert after["file_skip_ratio"] >= 0.5, after
+    assert after["row_group_skip_ratio"] >= 0.5, after
+    assert after["skipped_files"] > before["skipped_files"]
+
+    # out-of-range predicate: everything skippable, before and after
+    none = snaptable.file_skip_stats(
+        root, {"n_line": (1000, 2000)}, where=where, snapshot_id=sid
+    )
+    assert none["file_skip_ratio"] == 1.0
+
+    # equality probe on a string column: clustering on repo ALONE collapses
+    # each z-ranged file to ~1 hash-adjacent repo, so the lexicographic
+    # min/max excludes the probed value for most files (a multi-column
+    # interleave gives no such lex guarantee — hash order != lex order)
+    sid2 = snaptable.cluster_partition(
+        spark, root, where, ["repo"], target_files=8, bits=8
+    )
+    eq = snaptable.file_skip_stats(
+        root, {"repo": "r3"}, where=where, snapshot_id=sid2
+    )
+    assert eq["skipped_files"] >= 4, eq
+
+
+def test_snapmaint_cluster_probe_cli(spark, root, tmp_path):
+    """snapmaint cluster --probe emits the before/after skip measurement."""
+    import json as _json
+    import subprocess
+    import sys
+
+    rows = [
+        Row(
+            repo=f"r{i % 4}",
+            path=f"src/f{i}.py",
+            commit=f"{i:040x}",
+            lang="py",
+            content=f"print({i})",
+            n_line=i % 50,
+            part_date="2026-02-01",
+        )
+        for i in range(2000)
+    ]
+    snaptable.commit_append(
+        spark, root, spark.createDataFrame(rows).repartition(4), ["part_date"]
+    )
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "driftval", "snapmaint", "cluster",
+            "--root", root, "--where", "part_date=2026-02-01",
+            "--by", "n_line", "--target-files", "4", "--bits", "8",
+            "--probe", "n_line=0:9",
+        ],
+        capture_output=True, text=True, cwd=repo_dir,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="8"), timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = _json.loads(out.stdout.strip().splitlines()[-1])
+    probe = rec["probe"]
+    assert probe["before"]["skipped_files"] == 0
+    assert probe["after"]["file_skip_ratio"] >= 0.5, probe
