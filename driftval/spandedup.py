@@ -285,6 +285,7 @@ def dup_span_stats(
     source_col: str,
     k: int = 5,
     min_count: int = 2,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-source span-dedup payoff report: ``(source, n_docs,
     docs_with_spans, total_tokens, dup_tokens, dup_token_frac)`` — what
@@ -292,14 +293,23 @@ def dup_span_stats(
     number that decides whether running the strip is worth a corpus pass).
 
     Two aggregates over the strip output joined to the source column;
-    everything heavy is shared with :func:`strip_dup_spans`'s plan."""
-    caches: list[DataFrame] = []
+    everything heavy is shared with :func:`strip_dup_spans`'s plan.
+
+    ``caches`` follows the sibling convention: pass a list to receive the
+    internal persisted frames and OWN the unpersist after acting on the
+    (lazy) result.  Without it the tiny O(sources) report is materialized
+    via ``localCheckpoint`` before the internal unpersist — action
+    ownership stays here so the convenience form cannot return a frame
+    whose cache is already gone."""
+    own = caches is None
+    if caches is None:
+        caches = []
     try:
         stripped = strip_dup_spans(
             df, id_col, text_col, k=k, min_count=min_count, caches=caches
         )
         joined = stripped.join(df.select(id_col, source_col), id_col)
-        return (
+        out = (
             joined.groupBy(source_col)
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -314,11 +324,12 @@ def dup_span_stats(
                     8,
                 ).alias("dup_token_frac"),
             )
-            .localCheckpoint(eager=True)
         )
+        return out.localCheckpoint(eager=True) if own else out
     finally:
-        for c in caches:
-            c.unpersist()
+        if own:
+            for c in caches:
+                c.unpersist()
 
 
 # ---------------------------------------------------------------------------
