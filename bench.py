@@ -174,6 +174,7 @@ def main() -> None:
         # positions): prices its documented extra content scan honestly
         max_dup_span_frac=0.99,
         span_k=20,
+        max_chunk_dup_frac=0.99,
         sequential_detectors={"page_hinkley": {}, "cusum": {}, "adwin": {}},
         quality_report=True,
         pack_ctx_len=2048,

@@ -209,6 +209,8 @@ def cmd_suite(spark, args) -> int:
         max_norm_dup_rate=args.max_norm_dup_rate,
         max_dup_span_frac=args.max_dup_span_frac,
         span_k=args.span_k,
+        max_chunk_dup_frac=args.max_chunk_dup_frac,
+        chunk_mask_bits=args.chunk_mask_bits,
         min_keep_rate=args.min_keep_rate,
         classifier_model=_load_clf_model(args.clf_model),
         max_snapshot_lag=args.max_snapshot_lag,
@@ -959,6 +961,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--span-k", type=int, default=20,
                    help="minimum duplicated span length in tokens for "
                         "--max-dup-span-frac (default 20)")
+    p.add_argument("--max-chunk-dup-frac", type=float, default=None,
+                   help="enable chunk-level duplication verdicts: fail a "
+                        "partition whose within-partition repeated-chunk "
+                        "token share exceeds this (content-defined chunks, "
+                        "cheaper than the span gate: digest-only shuffles)")
+    p.add_argument("--chunk-mask-bits", type=int, default=6,
+                   help="expected chunk length 2^bits tokens for "
+                        "--max-chunk-dup-frac (default 6)")
     p.add_argument("--max-snapshot-lag", type=int, default=None,
                    help="with --snapshot-root: fail the table-level "
                         "snapshot_lag verdict when the pinned snapshot "

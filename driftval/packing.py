@@ -533,7 +533,13 @@ def cdc_chunks(
     return _spread(df.select(id_col, text_col)).mapInPandas(run, schema)
 
 
-def token_cdc_chunks(df: DataFrame, id_col: str, text_col: str, mask_bits: int = 3) -> DataFrame:
+def token_cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mask_bits: int = 3,
+    scope_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Token-level content-defined chunks — the fully DECLARATIVE sibling of
     :func:`cdc_chunks`: a chunk boundary falls after every token whose
     pinned 60-bit md5-prefix hash is ``0 (mod 2^mask_bits)`` (expected
@@ -616,9 +622,10 @@ def token_cdc_chunks(df: DataFrame, id_col: str, text_col: str, mask_bits: int =
     chunks = F.flatten(
         F.transform(F.array(_cs_tokens(F.col(text_col))), _chunks)
     )
+    scope = list(scope_cols)
     return df.select(
-        F.col(id_col), F.explode(chunks).alias("_ch")
-    ).select(id_col, "_ch.*")
+        *scope, F.col(id_col), F.explode(chunks).alias("_ch")
+    ).select(*scope, id_col, "_ch.*")
 
 
 def chunk_index(chunks: DataFrame, id_col: str) -> DataFrame:

@@ -36,7 +36,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from driftval.blocks import UNIFORM_ORDER_MAX, order_key
@@ -143,6 +143,20 @@ class SuiteConfig:
     # explode is digest-only.
     max_dup_span_frac: float | None = None
     span_k: int = 20
+    # CHUNK-level duplication gate (driftval.packing.token_cdc_chunks).
+    # None = off (default). A fraction in [0, 1] turns it on: each
+    # partition gets a ``chunk_dup_frac`` verdict that FAILS when the
+    # share of the partition's tokens sitting inside content-defined
+    # chunks whose digest occurs >= 2 times WITHIN the partition exceeds
+    # the threshold.  The cheap sibling of the span gate: it also needs
+    # its own content scan (token positions), but everything after the
+    # chunker projection is ONE window + ONE aggregate over ~40-byte
+    # digest rows — no corpus-wide positional-gram join — at the price of
+    # chunk-boundary granularity (a duplicated region registers only to
+    # the extent whole chunks repeat; expected chunk length
+    # 2^chunk_mask_bits tokens).
+    max_chunk_dup_frac: float | None = None
+    chunk_mask_bits: int = 6
     # Model-based quality gate (driftval.classifier). None = off (default).
     # A rate in [0, 1] turns it on: the linear classifier margin rides the
     # single derived content pass as ONE array-fold column (zero extra
@@ -503,6 +517,68 @@ def span_suite_verdicts(span_stats: DataFrame, cfg: SuiteConfig) -> DataFrame:
     return agg.select(
         "partition_value",
         F.lit("dup_span_frac").alias("check_name"),
+        (rate <= thr).alias("passed"),
+        rate.cast("double").alias("metric"),
+        F.lit(thr).alias("threshold"),
+        F.col("_files").cast("long").alias("violation_count"),
+    )
+
+
+def chunk_dup_suite_verdicts(files_pending: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """Per-partition CHUNK-level duplication verdicts: metric = share of
+    the partition's tokens inside content-defined chunks whose digest
+    repeats within the partition, passed iff metric <=
+    ``cfg.max_chunk_dup_frac``, violation_count = files containing a
+    repeated chunk.
+
+    Plan shape: ONE declarative chunker projection (no Python), ONE window
+    keyed by (partition, digest) to count each chunk's occurrences, ONE
+    partition-keyed aggregate — both shuffles carry digest rows (~40 B),
+    never content."""
+    from driftval import packing
+
+    pcol = cfg.partition_col
+    key_cols = list(cfg.key_cols)
+    fid = F.md5(
+        F.concat_ws(
+            "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols]
+        ).cast("binary")
+    ).alias("_fid")
+    frame = files_pending.select(
+        F.col(pcol).cast("string").alias("partition_value"),
+        fid,
+        F.col(cfg.content_col),
+    )
+    chunks = packing.token_cdc_chunks(
+        frame,
+        "_fid",
+        cfg.content_col,
+        mask_bits=int(cfg.chunk_mask_bits),
+        scope_cols=("partition_value",),
+    )
+    w = Window.partitionBy("partition_value", "chunk_md5")
+    flagged = chunks.select(
+        "partition_value",
+        "_fid",
+        F.col("chunk_len").cast("long").alias("_len"),
+        (F.count(F.lit(1)).over(w) >= 2).alias("_dup"),
+    )
+    per_file = flagged.groupBy("partition_value", "_fid").agg(
+        F.sum("_len").alias("_tok"),
+        F.sum(F.when(F.col("_dup"), F.col("_len")).otherwise(F.lit(0))).alias("_dupt"),
+    )
+    agg = per_file.groupBy("partition_value").agg(
+        F.sum("_tok").alias("_tok"),
+        F.sum("_dupt").alias("_dup"),
+        F.sum((F.col("_dupt") > 0).cast("long")).alias("_files"),
+    )
+    thr = float(cfg.max_chunk_dup_frac or 0.0)
+    rate = F.when(F.col("_tok") > 0, F.col("_dup") / F.col("_tok")).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        "partition_value",
+        F.lit("chunk_dup_frac").alias("check_name"),
         (rate <= thr).alias("passed"),
         rate.cast("double").alias("metric"),
         F.lit(thr).alias("threshold"),
@@ -1276,6 +1352,15 @@ def run_suite(
             span_caches,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         frames.append(span_suite_verdicts(span_stats, cfg))
+    if cfg.max_chunk_dup_frac is not None:
+        # chunk-granular duplication: needs token positions like the span
+        # gate (one extra content scan over pending partitions) but no
+        # corpus-wide gram join — window + aggregate over digest rows only
+        frames.append(
+            chunk_dup_suite_verdicts(
+                files.where(F.col(pcol).cast("string").isin(pending)), cfg
+            )
+        )
     if cfg.min_keep_rate is not None:
         frames.append(classifier_suite_verdicts(derived_pending, cfg))
     if cfg.volume_ratio_bounds is not None:
