@@ -38,7 +38,14 @@ def corpus(spark, n_docs: int, vocab_size: int = 5000, words_per_doc: int = 60):
     so every run at a given size is bit-identical."""
     n_orig = (n_docs * 9) // 10
     half_dup = n_orig + (n_docs - n_orig) // 2
-    df = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # scale-aware generator partitioning: ~100k docs (~40 MB of built
+    # strings) per task — at 25M docs the default 32-partition range put
+    # ~780k docs' worth of string construction + parquet buffers on every
+    # core at once and OOM'd the 16g heap (measured r5)
+    parts = max(
+        spark.sparkContext.defaultParallelism, n_docs // 100_000
+    )
+    df = spark.range(0, n_docs, 1, parts).select(F.col("id").alias("doc_id"))
     parent = (
         F.when(F.col("doc_id") < n_orig, F.col("doc_id"))
         .otherwise(F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(n_orig)))
