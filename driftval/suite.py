@@ -524,53 +524,58 @@ def span_suite_verdicts(span_stats: DataFrame, cfg: SuiteConfig) -> DataFrame:
     )
 
 
-def chunk_dup_suite_verdicts(files_pending: DataFrame, cfg: SuiteConfig) -> DataFrame:
-    """Per-partition CHUNK-level duplication verdicts: metric = share of
-    the partition's tokens inside content-defined chunks whose digest
-    repeats within the partition, passed iff metric <=
-    ``cfg.max_chunk_dup_frac``, violation_count = files containing a
-    repeated chunk.
+def _chunk_file_stats(files_pending: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """Per-file chunk-duplication counts, duplication scoped per partition:
+    ``(partition_value, key_cols..., _n_units, _dup_units)`` — shared by the
+    chunk-gate verdict aggregate and the violation-row extractor (the
+    caller persists it for exactly that reason, like
+    :func:`_span_file_stats`).
 
     Plan shape: ONE declarative chunker projection (no Python), ONE window
-    keyed by (partition, digest) to count each chunk's occurrences, ONE
-    partition-keyed aggregate — both shuffles carry digest rows (~40 B),
-    never content."""
+    keyed by (partition, digest) to count each chunk's occurrences within
+    its partition, ONE per-file aggregate — both shuffles carry ~40-byte
+    digest rows, never content."""
     from driftval import packing
 
     pcol = cfg.partition_col
     key_cols = list(cfg.key_cols)
-    fid = F.md5(
-        F.concat_ws(
-            "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in key_cols]
-        ).cast("binary")
-    ).alias("_fid")
     frame = files_pending.select(
         F.col(pcol).cast("string").alias("partition_value"),
-        fid,
+        *key_cols,
         F.col(cfg.content_col),
     )
     chunks = packing.token_cdc_chunks(
         frame,
-        "_fid",
+        key_cols[0],
         cfg.content_col,
         mask_bits=int(cfg.chunk_mask_bits),
-        scope_cols=("partition_value",),
+        scope_cols=("partition_value", *key_cols[1:]),
     )
     w = Window.partitionBy("partition_value", "chunk_md5")
     flagged = chunks.select(
         "partition_value",
-        "_fid",
+        *key_cols,
         F.col("chunk_len").cast("long").alias("_len"),
         (F.count(F.lit(1)).over(w) >= 2).alias("_dup"),
     )
-    per_file = flagged.groupBy("partition_value", "_fid").agg(
-        F.sum("_len").alias("_tok"),
-        F.sum(F.when(F.col("_dup"), F.col("_len")).otherwise(F.lit(0))).alias("_dupt"),
+    return flagged.groupBy("partition_value", *key_cols).agg(
+        F.sum("_len").alias("_n_units"),
+        F.sum(F.when(F.col("_dup"), F.col("_len")).otherwise(F.lit(0))).alias(
+            "_dup_units"
+        ),
     )
-    agg = per_file.groupBy("partition_value").agg(
-        F.sum("_tok").alias("_tok"),
-        F.sum("_dupt").alias("_dup"),
-        F.sum((F.col("_dupt") > 0).cast("long")).alias("_files"),
+
+
+def chunk_dup_suite_verdicts(chunk_stats: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """Per-partition CHUNK-level duplication verdicts from a (persisted)
+    :func:`_chunk_file_stats` frame: metric = share of the partition's
+    tokens inside content-defined chunks whose digest repeats within the
+    partition, passed iff metric <= ``cfg.max_chunk_dup_frac``,
+    violation_count = files containing a repeated chunk."""
+    agg = chunk_stats.groupBy("partition_value").agg(
+        F.sum("_n_units").alias("_tok"),
+        F.sum("_dup_units").alias("_dup"),
+        F.sum((F.col("_dup_units") > 0).cast("long")).alias("_files"),
     )
     thr = float(cfg.max_chunk_dup_frac or 0.0)
     rate = F.when(F.col("_tok") > 0, F.col("_dup") / F.col("_tok")).otherwise(
@@ -971,6 +976,7 @@ def _write_violation_rows(
     violations_path: str,
     run_id: str,
     span_stats: DataFrame | None = None,
+    chunk_stats: DataFrame | None = None,
 ) -> None:
     """Offending-row extraction for the row-localizable checks (V4 type
     conformance, V5 duplicate keys, V6 referential orphans), appended to a
@@ -1052,6 +1058,19 @@ def _write_violation_rows(
                 *key_cols,
                 F.col("_dup_tokens").cast("string").alias("detail"),
                 F.lit("dup_span_frac").alias("check_name"),
+            )
+        )
+
+    if chunk_stats is not None:
+        # the files behind each chunk_dup_frac verdict: every file with
+        # repeated-chunk tokens, detail = its dup token count (from the
+        # persisted stats frame — no recompute); output ∝ offending files
+        frames.append(
+            chunk_stats.where(F.col("_dup_units") > 0).select(
+                F.col("partition_value"),
+                *key_cols,
+                F.col("_dup_units").cast("string").alias("detail"),
+                F.lit("chunk_dup_frac").alias("check_name"),
             )
         )
 
@@ -1352,15 +1371,16 @@ def run_suite(
             span_caches,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         frames.append(span_suite_verdicts(span_stats, cfg))
+    chunk_stats = None
     if cfg.max_chunk_dup_frac is not None:
         # chunk-granular duplication: needs token positions like the span
         # gate (one extra content scan over pending partitions) but no
-        # corpus-wide gram join — window + aggregate over digest rows only
-        frames.append(
-            chunk_dup_suite_verdicts(
-                files.where(F.col(pcol).cast("string").isin(pending)), cfg
-            )
-        )
+        # corpus-wide gram join — window + aggregate over digest rows only;
+        # the per-file frame persists so violation extraction shares it
+        chunk_stats = _chunk_file_stats(
+            files.where(F.col(pcol).cast("string").isin(pending)), cfg
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        frames.append(chunk_dup_suite_verdicts(chunk_stats, cfg))
     if cfg.min_keep_rate is not None:
         frames.append(classifier_suite_verdicts(derived_pending, cfg))
     if cfg.volume_ratio_bounds is not None:
@@ -1470,6 +1490,7 @@ def run_suite(
             files, derived_pending, cfg, pcol, pending,
             dim_repos, dim_commits, violations_path, run_id,
             span_stats=span_stats,
+            chunk_stats=chunk_stats,
         )
 
     # Lazy frames for the remaining stages, then collect ALL independent
@@ -1664,6 +1685,8 @@ def run_suite(
     derived.unpersist()
     if span_stats is not None:
         span_stats.unpersist()
+    if chunk_stats is not None:
+        chunk_stats.unpersist()
     for c in span_caches:
         c.unpersist()
     return store.read().where(F.col("run_id") == run_id)

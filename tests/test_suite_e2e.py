@@ -1017,7 +1017,8 @@ def test_chunk_dup_gate_flags_repeated_chunks(spark, tmp_path_factory):
     )
     base = tmp_path_factory.mktemp("chunkgate")
     v = run_suite(
-        spark, files, cfg, str(base / "ckpt"), run_id="rc"
+        spark, files, cfg, str(base / "ckpt"), run_id="rc",
+        violations_path=str(base / "violations"),
     ).toPandas()
     cv = v[v["check_name"] == "chunk_dup_frac"].set_index("partition_value")
     assert bool(cv.loc["2026-03-01", "passed"])
@@ -1045,3 +1046,12 @@ def test_chunk_dup_gate_flags_repeated_chunks(spark, tmp_path_factory):
     dup_tok = int(ch[ch["chunk_md5"].isin(dup_md5)]["chunk_len"].sum())
     tot_tok = int(ch["chunk_len"].sum())
     assert abs(m - dup_tok / tot_tok) < 1e-9
+
+    # violation rows name exactly the offending files with dup-token detail
+    viol = spark.read.parquet(str(base / "violations")).toPandas()
+    cvr = viol[viol["check_name"] == "chunk_dup_frac"]
+    assert set(cvr["partition_value"]) == {"2026-03-02"}
+    assert sorted(cvr["path"]) == ["f0.py", "f1.py", "f2.py"]
+    per_file_dup = ch[ch["chunk_md5"].isin(dup_md5)].groupby("path")["chunk_len"].sum()
+    want_details = {str(int(per_file_dup[p])) for p in ("f0.py", "f1.py", "f2.py")}
+    assert set(cvr["detail"]) == want_details
