@@ -33,7 +33,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def corpus(spark, n_docs: int, vocab_size: int = 5000, words_per_doc: int = 60):
+WORDS_PER_DOC = int(os.environ.get("DRIFTVAL_DEDUP_WORDS", "60"))
+# output tag: a separate measurement series (e.g. the light-corpus span
+# decade) writes dedup_scale_<tag>.json / DEDUP_SCALE_<TAG>.md instead of
+# overwriting the main battery's records
+TAG = os.environ.get("DRIFTVAL_DEDUP_TAG", "")
+
+
+def corpus(spark, n_docs: int, vocab_size: int = 5000, words_per_doc: int = WORDS_PER_DOC):
     """(doc_id, content) with the planted structure above; id space is dense
     so every run at a given size is bit-identical."""
     n_orig = (n_docs * 9) // 10
@@ -271,15 +278,25 @@ def main() -> None:
                 )
             results.append(run_scale(spark, n, workdir, ops=scale_ops, merges=merges))
             spark.stop()
+            _write_report(results, cpus)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
-    record = {"scales": results, "cpus": cpus}
+    _write_report(results, cpus)
+
+
+def _write_report(results: list[dict], cpus: int) -> None:
+    """Write/overwrite the JSON + markdown records from the scales done so
+    far — called AFTER EVERY SCALE so a crash in a later (bigger) scale
+    never loses the completed measurements (learned the hard way at 25M)."""
+    suffix = f"_{TAG}" if TAG else ""
+    record = {"scales": results, "cpus": cpus,
+              "words_per_doc": WORDS_PER_DOC}
     bench_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"
     )
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "dedup_scale.json"), "w") as fh:
+    with open(os.path.join(bench_dir, f"dedup_scale{suffix}.json"), "w") as fh:
         json.dump(record, fh, indent=2)
 
     lines = [
@@ -326,7 +343,13 @@ def main() -> None:
         json.dumps(record),
         "```",
     ]
-    with open(os.path.join(bench_dir, "DEDUP_SCALE.md"), "w") as fh:
+    if TAG:
+        lines.insert(1, "")
+        lines.insert(2, f"Series tag `{TAG}`: words_per_doc={WORDS_PER_DOC} "
+                        "(lighter same-construction corpus sized to the "
+                        "sandbox disk budget at the top scale).")
+    md_name = f"DEDUP_SCALE{suffix.upper()}.md" if suffix else "DEDUP_SCALE.md"
+    with open(os.path.join(bench_dir, md_name), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(json.dumps(record))
 
