@@ -209,9 +209,20 @@ def main() -> None:
         with open(prev_path) as fh:
             prev = json.loads(fh.read())
         if prev.get("sf") == _sf_of(sf_dir) and prev.get("cpus") == cpus:
+            same_suite = prev.get("suite_files") == suite["suite_files"]
             for name, sec in qtimes.items():
+                if name.startswith("suite_") and not same_suite:
+                    # the suite phases scale with DRIFTVAL_BENCH_ROWS_PER_PART,
+                    # not sf — comparing a full run against a smoke record
+                    # would flag workload growth as a regression
+                    continue
                 old = prev.get("queries", {}).get(name)
-                if old is not None and sec > 1.5 * old and sec - old > 1.0:
+                # floor 2s: sub-3s queries swing ~2x run-to-run on this
+                # shared VM (measured: media_decode_features 1.4/2.4/2.8s
+                # same session, cdcstream_block_summaries 1.1->2.9s across
+                # r3/r4) while the one real regression class seen so far
+                # (knn_ivf_trained 3.7->11.2s) clears the floor easily
+                if old is not None and sec > 1.5 * old and sec - old > 2.0:
                     regressions[name] = {"prev_sec": old, "sec": sec,
                                          "ratio": round(sec / old, 2)}
     except (OSError, ValueError):
