@@ -938,6 +938,17 @@ def q_chunk_dedup_against_index(spark, sf_dir):
     )
 
 
+def q_chunk_dup_stats(spark, sf_dir):
+    """Per-source chunk-dedup payoff report (driftval/packing.py
+    chunk_dup_stats): corpus-wide duplication expressed as
+    chunk_dedup_against_index vs an EMPTY index, one source-keyed
+    aggregate on top — the chunk sibling of dup_span_stats."""
+    d = _t(spark, sf_dir, "documents")
+    return packing.chunk_dup_stats(
+        d, "doc_id", "text", "source", mask_bits=TOKEN_CDC_MASK
+    )
+
+
 def q_embedding_conformance(spark, sf_dir):
     """Vector-column health per label: NULL/ragged/NaN/zero vectors + norm
     stats (driftval/simsearch.py) — the V-family for embeddings; one
@@ -2031,6 +2042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real baseline-JPEG decode (full DuckDB twin via the exact
         # flat-block quality-100 round trip)
         "media_decode_features_jpeg": q_media_decode_features_jpeg,
+        # per-source chunk-dedup payoff (full DuckDB twin)
+        "chunk_dup_stats": q_chunk_dup_stats,
         # --- previously driver-verified (CORRECTNESS_r04) in original order ---
         "code_chunks": q_code_chunks,
         "function_clone_groups": q_function_clone_groups,
@@ -4854,6 +4867,25 @@ FROM masses GROUP BY pair_id
         "SELECT doc_id, chunk_ix, chunk_start, chunk_len, chunk_md5 FROM chunks"
     )
     out["chunk_dedup_against_index"] = _chunk_dedup_sql(TOKEN_CDC_MASK)
+    out["chunk_dup_stats"] = f"""
+WITH {_token_chunks_ctes(TOKEN_CDC_MASK)},
+cnt AS (SELECT chunk_md5, count(*) AS n FROM chunks GROUP BY chunk_md5),
+perdoc AS (
+  SELECT c.doc_id,
+         sum(c.chunk_len)::BIGINT AS n_units,
+         sum(CASE WHEN cnt.n >= 2 THEN c.chunk_len ELSE 0 END)::BIGINT AS dup_units,
+         sum(CASE WHEN cnt.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks
+  FROM chunks c JOIN cnt USING (chunk_md5) GROUP BY c.doc_id
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN p.dup_chunks > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dup_chunks,
+       sum(p.n_units)::BIGINT AS total_units,
+       sum(p.dup_units)::BIGINT AS dup_units,
+       round(sum(p.dup_units)::DOUBLE / greatest(sum(p.n_units), 1), 8) AS dup_unit_frac
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
     # media_decode_features_jpeg: block-constant quality-100 JPEG decodes
     # EXACTLY (flat 8x8 block = DC only, quantizer 1), so the decoded mean
     # is the block-byte expansion: block b (row-major over nbx*nby blocks)

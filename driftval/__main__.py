@@ -578,6 +578,83 @@ def cmd_spanscan(spark, args) -> int:
         batch.unpersist()
 
 
+def cmd_chunkindex(spark, args) -> int:
+    """Build (or rebuild) the persistent chunk-count index: one ~40-byte
+    (chunk_md5, cnt, rep_id) row per distinct content-defined chunk.
+    Corpus content is read ONCE here; every later ``chunkscan`` matches
+    against this parquet."""
+    from driftval import packing
+
+    files = read_files_table(spark, path=args.path, table=args.table)
+    chunker = (
+        packing.token_cdc_chunks if args.chunker == "token" else packing.cdc_chunks
+    )
+    packing.chunk_index(
+        chunker(files, args.id_col, args.text_col, mask_bits=args.mask_bits),
+        args.id_col,
+    ).write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{n} distinct chunks indexed -> {args.out}")
+    return 0
+
+
+def cmd_chunkscan(spark, args) -> int:
+    """Scan a new batch for duplicated chunks against an existing chunk
+    index (plus the batch itself), write the per-doc dedup report, and —
+    unless ``--no-append`` — merge the batch's chunk counts in (atomic
+    rename + applied-batch digest sidecar, same replay safety as
+    ``spanscan``). Chunker parameters must match the index build."""
+    from pyspark.sql import functions as F
+
+    from driftval import packing
+
+    batch = read_files_table(spark, path=args.path, table=args.table)
+    chunker = (
+        packing.token_cdc_chunks if args.chunker == "token" else packing.cdc_chunks
+    )
+    idx = spark.read.parquet(args.index)
+    caches: list = []
+    try:
+        chunks = chunker(batch, args.id_col, args.text_col, mask_bits=args.mask_bits)
+        packing.chunk_dedup_against_index(
+            chunks, idx.select("chunk_md5", "cnt"), args.id_col,
+            min_count=args.min_count, caches=caches,
+        ).write.mode("overwrite").parquet(args.out)
+        rep = spark.read.parquet(args.out)
+        n_docs = rep.count()
+        n_dup_docs = rep.where(F.col("dup_chunks") > 0).count()
+        appended = "skipped (--no-append)"
+        if not args.no_append:
+            digest = _batch_digest(batch, args.id_col, args.text_col)
+            applied = _read_applied_batches(spark, args.index)
+            if digest in applied:
+                appended = f"skipped (batch {digest} already appended)"
+            else:
+                # caches[0] is the persisted batch chunk frame — the merge
+                # reuses it instead of re-chunking
+                merged = (
+                    idx.unionByName(packing.chunk_index(caches[0], args.id_col))
+                    .groupBy("chunk_md5")
+                    .agg(
+                        F.sum("cnt").alias("cnt"),
+                        F.min("rep_id").alias("rep_id"),
+                    )
+                )
+                tmp = args.index.rstrip("/") + ".next"
+                merged.write.mode("overwrite").parquet(tmp)
+                _swap_dirs(spark, tmp, args.index)
+                _write_applied_batches(spark, args.index, applied + [digest])
+                appended = f"appended (batch {digest})"
+        print(
+            f"{n_docs} batch docs: {n_dup_docs} with duplicated chunks; "
+            f"report -> {args.out}; index {appended}"
+        )
+        return 0
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 def _batch_digest(df, id_col: str, text_col: str) -> str:
     """Order-independent deterministic digest of a batch: sum of per-row
     xxhash64 over (id, text), as unsigned hex."""
@@ -1241,6 +1318,44 @@ def main(argv: list[str] | None = None) -> int:
         help="report spans only; do not grow the index",
     )
     p.set_defaults(fn=cmd_spanscan)
+
+    p = sub.add_parser(
+        "chunkindex", help="build the persistent content-defined chunk-count index"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--out", required=True, help="parquet output: chunk-count index")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--chunker", choices=["token", "gear"], default="token",
+                   help="token-level declarative CDC or byte-level gear CDC")
+    p.add_argument("--mask-bits", type=int, default=6,
+                   help="expected chunk length 2^bits (tokens or bytes)")
+    p.set_defaults(fn=cmd_chunkindex)
+
+    p = sub.add_parser(
+        "chunkscan",
+        help="scan a batch for duplicated chunks against an index (and grow it)",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--path", help="partitioned Parquet dataset (the new batch)")
+    src.add_argument("--table", help="catalog (e.g. Iceberg) table name")
+    p.add_argument("--index", required=True, help="the index written by `chunkindex`")
+    p.add_argument("--out", required=True, help="parquet output: per-doc dedup report")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="content")
+    p.add_argument("--chunker", choices=["token", "gear"], default="token",
+                   help="must match the index build")
+    p.add_argument("--mask-bits", type=int, default=6,
+                   help="must match the index build")
+    p.add_argument("--min-count", type=int, default=2,
+                   help="total occurrences for a chunk to count as duplicated")
+    p.add_argument(
+        "--no-append", action="store_true",
+        help="report only; do not grow the index",
+    )
+    p.set_defaults(fn=cmd_chunkscan)
 
     p = sub.add_parser(
         "export", help="write whole-document token-budget shards + manifest"

@@ -733,3 +733,48 @@ def chunk_dedup_against_index(
             .alias("dup_unit_frac"),
         )
     )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    mask_bits: int = 3,
+    min_count: int = 2,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-source CHUNK-dedup payoff report: ``(source, n_docs,
+    docs_with_dup_chunks, total_units, dup_units, dup_unit_frac)`` — what
+    fraction of each source's token volume sits in content-defined chunks
+    that repeat anywhere in the corpus (the number that decides whether
+    chunk-level dedup is worth wiring into the ingest path; the chunk
+    sibling of :func:`driftval.spandedup.dup_span_stats`).
+
+    Composition, not new machinery: corpus-wide duplication IS
+    :func:`chunk_dedup_against_index` against an EMPTY index — every
+    ``>= min_count``-occurrence repeat is then batch-internal by
+    definition — so the per-doc report is reused verbatim and one
+    source-keyed aggregate finishes the job.  ``caches`` forwards to the
+    underlying operator (callers own unpersist of the chunk frame)."""
+    spark = df.sparkSession
+    empty = spark.createDataFrame([], "chunk_md5 string, cnt long")
+    per_doc = chunk_dedup_against_index(
+        token_cdc_chunks(df, id_col, text_col, mask_bits=mask_bits),
+        empty,
+        id_col,
+        min_count=min_count,
+        caches=caches,
+    )
+    joined = per_doc.join(df.select(id_col, source_col), id_col)
+    return joined.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("dup_chunks") > 0).cast("long"))
+        .cast("long")
+        .alias("docs_with_dup_chunks"),
+        F.sum("n_units").cast("long").alias("total_units"),
+        F.sum("dup_units").cast("long").alias("dup_units"),
+        F.round(
+            F.sum("dup_units") / F.greatest(F.sum("n_units"), F.lit(1)), 8
+        ).alias("dup_unit_frac"),
+    )

@@ -435,3 +435,59 @@ def test_cli_spanindex_and_spanscan_replay_safe(tmp_path):
     assert "skipped (--no-append)" in r.stdout
     idx_after_3 = pd.read_parquet(idx).sort_values("gh").reset_index(drop=True)
     pd.testing.assert_frame_equal(idx_after_1, idx_after_3)
+
+
+def test_cli_chunkindex_and_chunkscan_replay_safe(tmp_path):
+    """`chunkscan` reports per-doc chunk dedup against the `chunkindex`
+    parquet and appends the batch's counts exactly once (atomic rename, no
+    leftover .next, digest-sidecar replay guard) — the chunk sibling of the
+    spanscan test."""
+    import pandas as pd
+
+    phrase = "alpha beta cut3 gamma delta cut5"  # cut3/cut5 hash 0 mod 4
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    pd.DataFrame(
+        {"doc_id": [1], "content": [phrase + " tail words here"]}
+    ).to_parquet(corpus + "/part-0.parquet")
+    batch = str(tmp_path / "batch")
+    os.makedirs(batch, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "content": ["prefix cut5 " + phrase, "novel body nothing shared"],
+        }
+    ).to_parquet(batch + "/part-0.parquet")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    idx = str(tmp_path / "chunkidx")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "driftval", "chunkindex", "--path", corpus,
+         "--out", idx, "--mask-bits", "2", "--text-col", "content"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def scan(out_name, *extra):
+        return subprocess.run(
+            [sys.executable, "-m", "driftval", "chunkscan", "--path", batch,
+             "--index", idx, "--out", str(tmp_path / out_name),
+             "--mask-bits", "2", "--text-col", "content", *extra],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=300,
+        )
+
+    r = scan("rep1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "1 with duplicated chunks" in r.stdout, r.stdout
+    assert "index appended (batch " in r.stdout
+    assert not os.path.exists(idx + ".next")
+    rep = pd.read_parquet(tmp_path / "rep1").set_index("doc_id")
+    assert rep.loc[10, "index_dup_chunks"] >= 1
+    assert rep.loc[11, "dup_chunks"] == 0
+    idx1 = pd.read_parquet(idx).sort_values("chunk_md5").reset_index(drop=True)
+
+    # replay: detected via the sidecar, index unchanged
+    r = scan("rep2")
+    assert r.returncode == 0 and "already appended" in r.stdout, r.stdout
+    idx2 = pd.read_parquet(idx).sort_values("chunk_md5").reset_index(drop=True)
+    pd.testing.assert_frame_equal(idx1, idx2)
