@@ -938,6 +938,26 @@ def q_chunk_dedup_against_index(spark, sf_dir):
     )
 
 
+TOKEN_DRIFT_TOP_K = 50
+
+
+def q_token_drift(spark, sf_dir):
+    """Unigram-distribution drift per source vs src0 (driftval/checks/
+    histogram.py token_drift): chi-square + KL over the baseline's top-50
+    tokens + an OTHER bucket — content drift the categorical features
+    (lang, len-bin, ext) cannot see."""
+    from driftval.checks.histogram import token_drift
+
+    d = _t(spark, sf_dir, "documents")
+    s = token_drift(d, "text", "source", ["src0"], top_k=TOKEN_DRIFT_TOP_K)
+    return s.select(
+        F.col("partition_value").alias("source"),
+        F.round("chi_square", 8).alias("chi_square"),
+        F.round("kl_divergence", 8).alias("kl_divergence"),
+        F.col("n_bins"),
+    )
+
+
 def q_chunk_dup_stats(spark, sf_dir):
     """Per-source chunk-dedup payoff report (driftval/packing.py
     chunk_dup_stats): corpus-wide duplication expressed as
@@ -2044,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_features_jpeg": q_media_decode_features_jpeg,
         # per-source chunk-dedup payoff (full DuckDB twin)
         "chunk_dup_stats": q_chunk_dup_stats,
+        # unigram-distribution drift over top-K tokens (full DuckDB twin)
+        "token_drift": q_token_drift,
         # --- previously driver-verified (CORRECTNESS_r04) in original order ---
         "code_chunks": q_code_chunks,
         "function_clone_groups": q_function_clone_groups,
@@ -4867,6 +4889,29 @@ FROM masses GROUP BY pair_id
         "SELECT doc_id, chunk_ix, chunk_start, chunk_len, chunk_md5 FROM chunks"
     )
     out["chunk_dedup_against_index"] = _chunk_dedup_sql(TOKEN_CDC_MASK)
+    # token_drift: the SAME stats tail as the lang/len drift template
+    # (string surgery, so the smoothing/chi2/KL algebra cannot drift apart),
+    # with a token-histogram head: baseline top-K tokens by (count desc,
+    # token asc), everything else pooled into __OTHER__.
+    _drift_tail = "), base AS (" + _DRIFT_SQL_TMPL.split("), base AS (", 1)[1]
+    out["token_drift"] = (
+        f"""WITH tk AS (
+  SELECT source, unnest({_TOK}) AS tok FROM documents
+), cnts AS (
+  SELECT source, tok, count(*)::DOUBLE AS cnt FROM tk GROUP BY 1, 2
+), top AS (
+  SELECT tok FROM (
+    SELECT tok, sum(cnt) AS t FROM cnts WHERE source = 'src0' GROUP BY tok
+  ) ORDER BY t DESC, tok LIMIT {TOKEN_DRIFT_TOP_K}
+), hist AS (
+  SELECT source,
+         CASE WHEN tok IN (SELECT tok FROM top) THEN tok
+              ELSE '__OTHER__' END AS bin,
+         sum(cnt)::DOUBLE AS cnt
+  FROM cnts GROUP BY 1, 2
+"""
+        + _drift_tail
+    )
     out["chunk_dup_stats"] = f"""
 WITH {_token_chunks_ctes(TOKEN_CDC_MASK)},
 cnt AS (SELECT chunk_md5, count(*) AS n FROM chunks GROUP BY chunk_md5),

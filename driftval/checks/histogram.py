@@ -555,3 +555,55 @@ def emd_verdicts(
     column's own units (e.g. characters for content length)."""
     stats = emd_stats(df, partition_col, value_col, baseline_partitions)
     return _threshold_verdict(stats, "emd", f"emd:{feature_name}", emd_threshold)
+
+
+def token_drift(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    baseline_groups: list[str],
+    top_k: int = 50,
+    other_bin: str = "__OTHER__",
+) -> DataFrame:
+    """TOKEN-distribution drift: the V7/V8 chi-square + KL machinery applied
+    to each group's unigram histogram over the baseline's top-``top_k``
+    tokens (everything else pooled into ``other_bin``) — content drift the
+    categorical lang/len-bin/ext features cannot see (vocabulary shift,
+    template churn, language mixing inside one ``lang`` label).
+
+    Top-token selection is deterministic (baseline count desc, token asc) so
+    the DuckDB twin reproduces the exact bin domain.  Scale shape: ONE
+    (group, token) count shuffle over exploded tokens (map-side partial),
+    a broadcast of the tiny top-K set, then the existing tiny-histogram
+    drift aggregate — bins are bounded at ``top_k + 1``, so everything after
+    the first aggregate is KBs regardless of corpus size."""
+    from driftval.textops import tokens
+
+    toks = df.select(
+        F.col(group_col).cast("string").alias("partition_value"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("partition_value", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    base_top = (
+        counts.where(F.col("partition_value").isin(baseline_groups))
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("_t"))
+        .orderBy(F.col("_t").desc(), F.col("tok"))
+        .limit(int(top_k))
+        .select("tok", F.lit(True).alias("_top"))
+    )
+    hist = (
+        counts.join(F.broadcast(base_top), "tok", "left")
+        .select(
+            "partition_value",
+            F.when(F.col("_top"), F.col("tok"))
+            .otherwise(F.lit(other_bin))
+            .alias("bin"),
+            "cnt",
+        )
+        .groupBy("partition_value", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return drift_stats(hist, baseline_groups)

@@ -166,3 +166,34 @@ def test_predicate_rate_constraint(spark):
         ).collect()
     }
     assert not strict["p1"] and strict["p2"]
+
+
+def test_token_drift_detects_vocabulary_shift(spark):
+    """token_drift: a group writing from a different vocabulary scores far
+    higher chi2/KL than a group sampling the baseline's own distribution —
+    content drift the lang/len-bin features cannot see (all rows share one
+    lang and similar lengths)."""
+    import random
+
+    from driftval.checks.histogram import token_drift
+
+    rng = random.Random(11)
+    base_vocab = [f"base{i}" for i in range(30)]
+    rows = []
+    for g, vocab in (
+        ("b0", base_vocab),
+        ("same", base_vocab),
+        ("shifted", [f"new{i}" for i in range(30)]),
+    ):
+        for i in range(40):
+            rows.append((g, " ".join(rng.choice(vocab) for _ in range(25))))
+    df = spark.createDataFrame(rows, "grp string, text string")
+    s = {
+        r.partition_value: r
+        for r in token_drift(df, "text", "grp", ["b0"], top_k=20).collect()
+    }
+    assert s["shifted"].chi_square > 10 * s["same"].chi_square
+    assert s["shifted"].kl_divergence > 10 * s["same"].kl_divergence
+    # bin domain bounded: top_k + OTHER (+ any current-only tokens collapse
+    # into OTHER, so n_bins is exactly 21 here)
+    assert s["same"].n_bins == 21
